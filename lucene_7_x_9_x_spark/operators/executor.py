@@ -1,0 +1,289 @@
+"""Per-segment query executor (exhaustive / COMPLETE mode), shared between
+the pure-pandas oracle and the Spark segment kernel so that rank identity is
+by construction.
+
+Scoring semantics (behavior transcription):
+  TermQuery weight = boost * idf, float32
+    (solr-8.4.0/.../search/TermQuery.java:63-74, BM25Similarity.java:184-235)
+  Phrase idf = sum of per-term float32 idfs accumulated in double, cast to
+    float32 (BM25Similarity.java:172-181); phrase freq = number of exact
+    phrase matches (ExactPhraseMatcher.java:36,117)
+  SynonymQuery pseudo-term: docFreq = max over terms, totalTermFreq = sum
+    (SynonymQuery.java:233-252); per-doc freq = sum of term freqs
+  Boolean combination: per-clause float32 scores summed in double, cast to
+    float32 (DisjunctionSumScorer.java:36-43, ConjunctionScorer.java:56-62)
+  ConstantScoreQuery scores boost (ConstantScoreQuery.java)
+  DisjunctionMaxQuery: max + tieBreaker * (sum - max)
+    (solr-8.4.0/.../search/DisjunctionMaxQuery.java DisjunctionMaxScorer)
+  Top-k ties: score desc, docid asc (HitQueue.java:76-81)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import bm25
+from ..functions.bm25 import F32
+from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
+                           DisjunctionMaxQuery, MatchAllDocsQuery,
+                           MatchNoDocsQuery, Occur, PhraseQuery, Query,
+                           SynonymQuery, TermInSetQuery, TermQuery)
+
+
+class SegmentStats:
+    """Collection + term statistics. Collection stats are GLOBAL (across all
+    segments), term stats too — Lucene gathers them once per query at the
+    IndexSearcher level (IndexSearcher.java:790,803)."""
+
+    def __init__(self, doc_count: int, sum_total_term_freq: int,
+                 doc_freqs: dict, total_term_freqs: dict,
+                 k1: float = bm25.DEFAULT_K1, b: float = bm25.DEFAULT_B):
+        self.doc_count = doc_count
+        self.sum_total_term_freq = sum_total_term_freq
+        self.doc_freqs = doc_freqs
+        self.total_term_freqs = total_term_freqs
+        self.k1, self.b = k1, b
+        self.avgdl = bm25.avgdl(sum_total_term_freq, max(doc_count, 1))
+        self.cache = bm25.norm_inverse_cache(k1, b, self.avgdl)
+
+    def idf(self, term: str) -> np.float32:
+        df = self.doc_freqs.get(term, 0)
+        if df == 0:
+            return F32(0.0)
+        return bm25.idf(df, self.doc_count)
+
+
+class Matches:
+    """A sorted docid set with aligned float32 scores."""
+
+    __slots__ = ("docids", "scores")
+
+    def __init__(self, docids: np.ndarray, scores: np.ndarray | None = None):
+        self.docids = docids.astype(np.int64, copy=False)
+        self.scores = (scores if scores is not None
+                       else np.zeros(len(docids), dtype=np.float32))
+
+    @staticmethod
+    def empty():
+        return Matches(np.zeros(0, np.int64), np.zeros(0, np.float32))
+
+
+def _sum_aligned(base_docids: np.ndarray, parts: list[Matches]) -> np.ndarray:
+    """Sum each part's scores into positions of base_docids (float64 acc)."""
+    acc = np.zeros(len(base_docids), dtype=np.float64)
+    for m in parts:
+        pos = np.searchsorted(base_docids, m.docids)
+        ok = (pos < len(base_docids))
+        ok[ok] = base_docids[pos[ok]] == m.docids[ok]
+        np.add.at(acc, pos[ok], m.scores[ok].astype(np.float64))
+    return acc.astype(np.float32)
+
+
+def evaluate(reader, stats: SegmentStats, q: Query,
+             boost: float = 1.0, needs_scores: bool = True) -> Matches:
+    """Evaluate a query against one segment reader.
+
+    reader protocol:
+      reader.postings(term) -> (docids:int64[], freqs:int64[]) | None
+      reader.positions(term) -> (docids:int64[], list_of_pos_arrays) | None
+      reader.norms() -> uint8[] indexed by docid
+      reader.all_docids() -> int64[]
+    """
+    b32 = F32(boost)
+
+    if isinstance(q, MatchNoDocsQuery):
+        return Matches.empty()
+
+    if isinstance(q, MatchAllDocsQuery):
+        d = reader.all_docids()
+        return Matches(d, np.full(len(d), b32, dtype=np.float32))
+
+    if isinstance(q, BoostQuery):
+        return evaluate(reader, stats, q.query, boost * q.boost, needs_scores)
+
+    if isinstance(q, ConstantScoreQuery):
+        sub = evaluate(reader, stats, q.query, 1.0, needs_scores=False)
+        return Matches(sub.docids,
+                       np.full(len(sub.docids), b32, dtype=np.float32))
+
+    if isinstance(q, TermQuery):
+        p = reader.postings(q.term)
+        if p is None:
+            return Matches.empty()
+        docids, freqs = p
+        if not needs_scores:
+            return Matches(docids)
+        weight = F32(b32 * F32(q.boost)) * stats.idf(q.term)
+        scores = bm25.score_term(freqs, reader.norms()[docids], weight,
+                                 stats.cache)
+        return Matches(docids, scores)
+
+    if isinstance(q, SynonymQuery):
+        parts = [reader.postings(t) for t in q.terms]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return Matches.empty()
+        all_d = np.concatenate([p[0] for p in parts])
+        all_f = np.concatenate([p[1] for p in parts])
+        docids, inv = np.unique(all_d, return_inverse=True)
+        freqs = np.zeros(len(docids), dtype=np.int64)
+        np.add.at(freqs, inv, all_f)
+        if not needs_scores:
+            return Matches(docids)
+        df = max((stats.doc_freqs.get(t, 0) for t in q.terms), default=0)
+        if df == 0:
+            return Matches(docids)
+        w = F32(b32 * F32(q.boost)) * bm25.idf(df, stats.doc_count)
+        scores = bm25.score_term(freqs, reader.norms()[docids], w, stats.cache)
+        return Matches(docids, scores)
+
+    if isinstance(q, TermInSetQuery):
+        parts = [reader.postings(t) for t in q.terms]
+        parts = [p[0] for p in parts if p is not None]
+        if not parts:
+            return Matches.empty()
+        docids = np.unique(np.concatenate(parts))
+        return Matches(docids, np.full(len(docids), b32, dtype=np.float32))
+
+    if isinstance(q, PhraseQuery):
+        docids, freqs = _phrase_match(reader, q)
+        if len(docids) == 0:
+            return Matches.empty()
+        if not needs_scores:
+            return Matches(docids)
+        idf_sum = float(np.sum(np.array(
+            [stats.idf(t) for t in q.terms], dtype=np.float32,
+        ).astype(np.float64)))
+        w = F32(b32 * F32(q.boost)) * F32(idf_sum)
+        scores = bm25.score_term(freqs, reader.norms()[docids], w, stats.cache)
+        return Matches(docids, scores)
+
+    if isinstance(q, DisjunctionMaxQuery):
+        subs = [evaluate(reader, stats, s, boost, needs_scores)
+                for s in q.queries]
+        subs = [m for m in subs if len(m.docids)]
+        if not subs:
+            return Matches.empty()
+        docids = np.unique(np.concatenate([m.docids for m in subs]))
+        mx = np.full(len(docids), -np.inf, dtype=np.float64)
+        sm = np.zeros(len(docids), dtype=np.float64)
+        for m in subs:
+            pos = np.searchsorted(docids, m.docids)
+            np.maximum.at(mx, pos, m.scores.astype(np.float64))
+            np.add.at(sm, pos, m.scores.astype(np.float64))
+        tie = q.tie_breaker
+        scores = (mx + tie * (sm - mx)).astype(np.float32)
+        return Matches(docids, scores)
+
+    if isinstance(q, BooleanQuery):
+        return _evaluate_boolean(reader, stats, q, boost, needs_scores)
+
+    raise TypeError(f"unsupported query type {type(q).__name__} "
+                    "(rewrite() it against the terms dictionary first)")
+
+
+def _phrase_match(reader, q: PhraseQuery):
+    """Exact phrase (slop=0): docs where terms appear at consecutive
+    positions; freq = number of phrase occurrences.
+    Sloppy (slop>0): window-tolerant match; freq approximated as number of
+    minimal windows (sloppyFreq weighting inventoried, not replicated)."""
+    plists = []
+    for t in q.terms:
+        pp = reader.positions(t)
+        if pp is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        plists.append(pp)
+    # candidate docs: intersection
+    cand = plists[0][0]
+    for d, _ in plists[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    out_d, out_f = [], []
+    # positions arrays are per-doc; index lookup per candidate doc
+    maps = [dict(zip(d.tolist(), pos_list)) for d, pos_list in plists]
+    for doc in cand.tolist():
+        base = np.asarray(maps[0][doc], dtype=np.int64)
+        ok = base
+        for i in range(1, len(maps)):
+            nxt = np.asarray(maps[i][doc], dtype=np.int64)
+            if q.slop == 0:
+                ok = ok[np.isin(ok + i, nxt)]
+            else:
+                # any position within i..i+slop ahead
+                hit = np.zeros(len(ok), dtype=bool)
+                for s in range(q.slop + 1):
+                    hit |= np.isin(ok + i + s, nxt)
+                ok = ok[hit]
+            if len(ok) == 0:
+                break
+        if len(ok):
+            out_d.append(doc)
+            out_f.append(len(ok))
+    return (np.asarray(out_d, dtype=np.int64),
+            np.asarray(out_f, dtype=np.int64))
+
+
+def _evaluate_boolean(reader, stats, q: BooleanQuery, boost, needs_scores):
+    musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+    shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+    filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+    must_nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+    msm = q.minimum_should_match
+
+    must_m = [evaluate(reader, stats, s, boost, needs_scores) for s in musts]
+    should_m = [evaluate(reader, stats, s, boost, needs_scores)
+                for s in shoulds]
+    filter_d = [evaluate(reader, stats, s, 1.0, needs_scores=False).docids
+                for s in filters]
+    not_d = [evaluate(reader, stats, s, 1.0, needs_scores=False).docids
+             for s in must_nots]
+
+    # base docid set
+    if musts or filters:
+        base = None
+        for arr in [m.docids for m in must_m] + filter_d:
+            base = arr if base is None else base[
+                np.isin(base, arr, assume_unique=True)]
+        need_should = max(msm, 0)
+    else:
+        if not should_m:
+            return Matches.empty()
+        base = np.unique(np.concatenate([m.docids for m in should_m]))
+        need_should = max(msm, 1)
+
+    if need_should > 0 and should_m:
+        cnt_d = np.unique(np.concatenate([m.docids for m in should_m]))
+        cnt = np.zeros(len(cnt_d), dtype=np.int64)
+        for m in should_m:
+            cnt[np.searchsorted(cnt_d, m.docids)] += 1
+        ok = cnt_d[cnt >= need_should]
+        base = base[np.isin(base, ok, assume_unique=True)]
+    elif need_should > 0 and not should_m:
+        return Matches.empty()
+
+    for arr in not_d:
+        base = base[~np.isin(base, arr, assume_unique=True)]
+
+    if len(base) == 0:
+        return Matches.empty()
+    scores = _sum_aligned(base, must_m + should_m) if needs_scores \
+        else np.zeros(len(base), dtype=np.float32)
+    return Matches(base, scores)
+
+
+def top_k(matches: Matches, k: int):
+    """(score desc, docid asc) top-k — HitQueue.java:76-81 tie semantics.
+    Returns (docids, scores) trimmed to k."""
+    n = len(matches.docids)
+    if n == 0 or k <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    s64 = matches.scores.astype(np.float64)
+    if n > k * 4:
+        # keep every doc scoring >= the k-th best so docid tie-break stays
+        # exact (HitQueue prefers lower docid on equal score)
+        kth = s64[np.argpartition(-s64, k - 1)[k - 1]]
+        cand = np.nonzero(s64 >= kth)[0]
+        d, s, s64 = matches.docids[cand], matches.scores[cand], s64[cand]
+    else:
+        d, s = matches.docids, matches.scores
+    order = np.lexsort((d, -s64))[:k]
+    return d[order], s[order]

@@ -1,0 +1,165 @@
+"""Pure pandas/numpy reference engine ("the Lucene oracle").
+
+Builds an in-memory inverted index with exactly the reference's semantics
+(analysis chain, SmallFloat norms, float32 BM25) and answers queries through
+the shared executor. This is milestone M0 of SURVEY.md §7.2: it pins
+semantics before any distribution, and every Spark result is tested against
+it (the CheckHits.checkTopScores model,
+solr-8.4.0/lucene/test-framework/src/java/org/apache/lucene/search/CheckHits.java:577-601).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .functions.analysis import AnalyzerConfig, tokenize_to_flat
+from .functions.smallfloat import int_to_byte4
+from .operators.executor import Matches, SegmentStats, evaluate, top_k
+from .plans.query import Query, RewriteContext, rewrite as rewrite_query
+from .plans import query as Q
+
+
+class InMemoryReader:
+    """Reader protocol over dict-of-numpy postings (single segment)."""
+
+    def __init__(self, postings: dict, norms: np.ndarray, max_doc: int,
+                 positions: dict | None = None):
+        self._postings = postings      # term -> (docids, freqs)
+        self._positions = positions or {}  # term -> (docids, [pos arrays])
+        self._norms = norms
+        self._max_doc = max_doc
+
+    def postings(self, term):
+        return self._postings.get(term)
+
+    def positions(self, term):
+        return self._positions.get(term)
+
+    def norms(self):
+        return self._norms
+
+    def all_docids(self):
+        return np.arange(self._max_doc, dtype=np.int64)
+
+    def terms(self):
+        return sorted(self._postings.keys())
+
+
+def index_token_lists(token_lists: list[list[str]]):
+    """Build an InMemoryReader + SegmentStats from explicit per-doc token
+    lists (docid = list index) — the shape of the reference's golden tests
+    (LT/search/TestWANDScorer.java:88-101)."""
+    rows = []
+    for docid, toks in enumerate(token_lists):
+        for pos, t in enumerate(toks):
+            rows.append((t, docid, pos))
+    dl = np.array([len(t) for t in token_lists], dtype=np.int64)
+    norms = int_to_byte4(dl)
+    postings, positions = {}, {}
+    if rows:
+        df = pd.DataFrame(rows, columns=["term", "docid", "pos"])
+        for term, g in df.groupby("term", sort=True):
+            gg = g.groupby("docid", sort=True)
+            docids = np.array(sorted(gg.groups.keys()), dtype=np.int64)
+            freqs = gg.size().reindex(docids).to_numpy(dtype=np.int64)
+            pos_arrays = [g2["pos"].to_numpy(np.int64)
+                          for _, g2 in gg]
+            postings[term] = (docids, freqs)
+            positions[term] = (docids, pos_arrays)
+    doc_freqs = {t: len(p[0]) for t, p in postings.items()}
+    ttfs = {t: int(p[1].sum()) for t, p in postings.items()}
+    stats = SegmentStats(
+        doc_count=int((dl > 0).sum()),
+        sum_total_term_freq=int(dl.sum()),
+        doc_freqs=doc_freqs, total_term_freqs=ttfs)
+    return InMemoryReader(postings, norms, len(token_lists), positions), stats
+
+
+def index_corpus(df: pd.DataFrame, text_col: str = "content",
+                 cfg: AnalyzerConfig | None = None):
+    """Tokenize a corpus DataFrame (docid = positional order) and index it."""
+    row_idx, pos, flat, dl = tokenize_to_flat(df[text_col], cfg)
+    norms = int_to_byte4(dl)
+    postings, positions = {}, {}
+    if len(flat):
+        pdf = pd.DataFrame({"term": flat, "docid": row_idx, "pos": pos})
+        for term, g in pdf.groupby("term", sort=True):
+            gg = g.groupby("docid", sort=True)
+            docids = np.array(sorted(gg.groups.keys()), dtype=np.int64)
+            freqs = gg.size().reindex(docids).to_numpy(dtype=np.int64)
+            postings[term] = (docids, freqs)
+            positions[term] = (docids,
+                               [g2["pos"].to_numpy(np.int64) for _, g2 in gg])
+    doc_freqs = {t: len(p[0]) for t, p in postings.items()}
+    ttfs = {t: int(p[1].sum()) for t, p in postings.items()}
+    stats = SegmentStats(
+        doc_count=int((dl > 0).sum()),
+        sum_total_term_freq=int(dl.sum()),
+        doc_freqs=doc_freqs, total_term_freqs=ttfs)
+    return InMemoryReader(postings, norms, len(df), positions), stats
+
+
+class OracleEngine:
+    """Brute-force reference engine: COMPLETE evaluation + exact top-k."""
+
+    def __init__(self, reader: InMemoryReader, stats: SegmentStats):
+        self.reader = reader
+        self.stats = stats
+        self._rewrite_ctx = RewriteContext(expand_terms=self._expand)
+
+    def _expand(self, q):
+        import re as _re
+        terms = self.reader.terms()
+        if isinstance(q, Q.PrefixQuery):
+            sel = [t for t in terms if t.startswith(q.prefix)]
+        elif isinstance(q, Q.WildcardQuery):
+            rx = _re.compile(q.to_regex())
+            sel = [t for t in terms if rx.match(t)]
+        elif isinstance(q, Q.RegexpQuery):
+            rx = _re.compile("^(?:" + q.pattern + ")$")
+            sel = [t for t in terms if rx.match(t)]
+        elif isinstance(q, Q.TermRangeQuery):
+            sel = [t for t in terms
+                   if (q.lower is None or t > q.lower
+                       or (q.include_lower and t == q.lower))
+                   and (q.upper is None or t < q.upper
+                        or (q.include_upper and t == q.upper))]
+        elif isinstance(q, Q.FuzzyQuery):
+            sel = [t for t in terms
+                   if _edit_distance_le(t, q.term, q.max_edits)]
+        else:
+            return None
+        return sel[: self._rewrite_ctx.max_expansions]
+
+    def rewrite(self, q: Query) -> Query:
+        return rewrite_query(q, self._rewrite_ctx)
+
+    def matches(self, q: Query) -> Matches:
+        return evaluate(self.reader, self.stats, self.rewrite(q))
+
+    def search(self, q: Query, k: int) -> pd.DataFrame:
+        m = self.matches(q)
+        d, s = top_k(m, k)
+        return pd.DataFrame({
+            "rank": np.arange(1, len(d) + 1, dtype=np.int64),
+            "docid": d, "score": s.astype(np.float32)})
+
+    def count(self, q: Query) -> int:
+        return len(evaluate(self.reader, self.stats, self.rewrite(q),
+                            needs_scores=False).docids)
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[-1] <= k

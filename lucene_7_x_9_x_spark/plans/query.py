@@ -1,0 +1,264 @@
+"""Logical query model + normalization rewrites.
+
+Mirrors the reference's Query tree and BooleanQuery rewrite semantics
+(behavior, not code):
+  solr-8.4.0/lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java:44,78-113,235-335
+  solr-8.4.0/.../search/BooleanClause.java (Occur = MUST/SHOULD/FILTER/MUST_NOT)
+  solr-8.4.0/.../search/IndexSearcher.java:674-680 (fixpoint rewrite loop)
+Multi-term queries (prefix/wildcard/regexp/range/set) expand against the
+terms dictionary and reuse the Boolean path
+(solr-8.4.0/.../search/ScoringRewrite.java, TopTermsRewrite.java).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Occur(str, Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    FILTER = "FILTER"
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple
+    slop: int = 0
+    boost: float = 1.0
+
+    def __init__(self, terms, slop=0, boost=1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Terms scored as one pseudo-term: freqs summed per doc
+    (solr-8.4.0/.../search/SynonymQuery.java:55,281-344)."""
+    terms: tuple
+    boost: float = 1.0
+
+    def __init__(self, terms, boost=1.0):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Constant-score match of any term in the set
+    (solr-8.4.0/.../search/TermInSetQuery.java)."""
+    terms: tuple
+
+    def __init__(self, terms):
+        object.__setattr__(self, "terms", tuple(sorted(set(terms))))
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # * = any seq, ? = one char
+
+    def to_regex(self) -> str:
+        out = []
+        for ch in self.pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str  # anchored, like Lucene RegexpQuery
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    # score contribution is 1.0 * enclosing boost
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    queries: tuple
+    tie_breaker: float = 0.0
+
+    def __init__(self, queries, tie_breaker=0.0):
+        object.__setattr__(self, "queries", tuple(queries))
+        object.__setattr__(self, "tie_breaker", tie_breaker)
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple
+    minimum_should_match: int = 0
+
+    def __init__(self, clauses, minimum_should_match=0):
+        cl = tuple(c if isinstance(c, BooleanClause) else BooleanClause(*c)
+                   for c in clauses)
+        if len(cl) > 1024:
+            raise ValueError("too many clauses (max 1024)")  # BooleanQuery.java:44
+        object.__setattr__(self, "clauses", cl)
+        object.__setattr__(self, "minimum_should_match", minimum_should_match)
+
+
+@dataclass
+class RewriteContext:
+    """Driver-side stats for rewrites that need the term dictionary."""
+    expand_terms: object = None  # callable(Query) -> list[str] | None
+    max_expansions: int = 1024
+
+
+def rewrite(q: Query, ctx: RewriteContext | None = None) -> Query:
+    """Fixpoint normalization (IndexSearcher.java:674-680)."""
+    for _ in range(16):
+        q2 = _rewrite_once(q, ctx)
+        if q2 == q:
+            return q2
+        q = q2
+    return q
+
+
+def _rewrite_once(q: Query, ctx) -> Query:
+    if isinstance(q, BoostQuery):
+        inner = _rewrite_once(q.query, ctx)
+        if isinstance(inner, TermQuery):
+            return TermQuery(inner.term, inner.boost * q.boost)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if isinstance(inner, BoostQuery):
+            return BoostQuery(inner.query, inner.boost * q.boost)
+        return BoostQuery(inner, q.boost)
+
+    if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
+                      FuzzyQuery)) and ctx is not None and ctx.expand_terms:
+        terms = ctx.expand_terms(q)
+        if terms is not None:
+            if not terms:
+                return MatchNoDocsQuery()
+            return ConstantScoreQuery(TermInSetQuery(terms))
+
+    if not isinstance(q, BooleanQuery):
+        return q
+
+    clauses = [BooleanClause(c.occur, _rewrite_once(c.query, ctx))
+               for c in q.clauses]
+
+    # BooleanQuery.java rewrite region (~:235-335), behaviorally:
+    if len(clauses) == 0:
+        return MatchNoDocsQuery()
+    # 1-clause simplifications
+    if len(clauses) == 1 and q.minimum_should_match <= 1:
+        c = clauses[0]
+        if c.occur in (Occur.MUST, Occur.SHOULD):
+            return c.query
+        if c.occur == Occur.FILTER:
+            return BoostQuery(ConstantScoreQuery(c.query), 0.0)
+        if c.occur == Occur.MUST_NOT:
+            return MatchNoDocsQuery()
+    # drop MatchNone SHOULD/ MUST_NOT MatchNone; MatchAll MUST_NOT -> none
+    out = []
+    for c in clauses:
+        if isinstance(c.query, MatchNoDocsQuery):
+            if c.occur in (Occur.MUST, Occur.FILTER):
+                return MatchNoDocsQuery()
+            continue  # SHOULD/MUST_NOT MatchNone: drop
+        if isinstance(c.query, MatchAllDocsQuery) and c.occur == Occur.MUST_NOT:
+            return MatchNoDocsQuery()
+        out.append(c)
+    clauses = out
+    # dedup FILTER / MUST_NOT
+    seen, dedup = set(), []
+    for c in clauses:
+        key = (c.occur, c.query)
+        if c.occur in (Occur.FILTER, Occur.MUST_NOT) and key in seen:
+            continue
+        seen.add(key)
+        dedup.append(c)
+    clauses = dedup
+    # MUST n MUST_NOT on same query -> MatchNone
+    musts = {c.query for c in clauses if c.occur in (Occur.MUST, Occur.FILTER)}
+    if any(c.occur == Occur.MUST_NOT and c.query in musts for c in clauses):
+        return MatchNoDocsQuery()
+    # FILTER duplicated by MUST -> drop the FILTER
+    must_only = {c.query for c in clauses if c.occur == Occur.MUST}
+    clauses = [c for c in clauses
+               if not (c.occur == Occur.FILTER and c.query in must_only)]
+    if not clauses:
+        return MatchNoDocsQuery()
+    return BooleanQuery(tuple(clauses), q.minimum_should_match)
+
+
+def scoring_terms(q: Query) -> set:
+    """All terms whose postings the executor must read."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
+        return set(q.terms)
+    if isinstance(q, TermInSetQuery):
+        return set(q.terms)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return scoring_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        return set().union(*[scoring_terms(s) for s in q.queries]) if q.queries else set()
+    if isinstance(q, BooleanQuery):
+        return set().union(*[scoring_terms(c.query) for c in q.clauses]) if q.clauses else set()
+    return set()
