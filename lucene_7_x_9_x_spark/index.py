@@ -1,0 +1,276 @@
+"""Index lifecycle: build, commit, load — the IndexWriter/DirectoryReader
+analogue.
+
+Commit semantics mirror Lucene's two-phase ``segments_N`` generation commit
+(solr-8.4.0/lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:3408,
+SegmentInfos.java): every stage writes to a temp location and a final
+``manifest.json`` is atomically renamed into place; readers only ever see a
+complete manifest (Iceberg-snapshot semantics without requiring the Iceberg
+runtime — the layout is a plain parquet dataset and the same code can write
+through an Iceberg catalog when one is configured).
+
+Scale design (SURVEY.md §7):
+  - The corpus is shuffled ONCE (hash of doc identity -> segment), each
+    segment inverted independently in one task (the DWPT analogue), and both
+    postings and docmap rows come out of that single pass, written
+    ``partitionBy(kind)`` so each lands in its own parquet subtree.
+  - Postings are written sorted by term within each file so parquet
+    row-group min/max stats prune term lookups (the FST/BlockTree seek
+    analogue, SURVEY.md §3.3).
+  - Resumability: segments are processed in batches; each batch commit
+    writes a checkpoint JSON with lineage + metrics; a resumed build skips
+    completed batches (north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.analysis import AnalyzerConfig
+from .operators.build import (POSTINGS_COLS, docmap_schema_ddl,
+                              invert_segment, postings_schema_ddl)
+
+MANIFEST = "manifest.json"
+
+
+def _atomic_write_json(path: str, obj: dict):
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2, default=str)
+    os.replace(tmp, path)
+
+
+class IndexSnapshot:
+    """Point-in-time readable view (DirectoryReader analogue)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.id_fields = [tuple(x) for x in self.manifest["id_fields"]]
+        self.id_cols = [n for n, _ in self.id_fields]
+        self.analyzer = AnalyzerConfig(
+            token_regex=self.manifest["analyzer"]["token_regex"],
+            max_token_length=self.manifest["analyzer"]["max_token_length"],
+            stopwords=frozenset(self.manifest["analyzer"]["stopwords"]))
+
+    # lazy DataFrames ------------------------------------------------------
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(*[
+            os.path.join(self.root, d, "kind=postings")
+            for d in self.manifest["batches"]])
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(*[
+            os.path.join(self.root, d, "kind=docmap")
+            for d in self.manifest["batches"]])
+
+    def terms(self) -> DataFrame:
+        """Global term dictionary: term -> (doc_freq, total_term_freq)."""
+        return self.spark.read.parquet(os.path.join(self.root, "terms"))
+
+    @property
+    def stats(self) -> dict:
+        return self.manifest["stats"]
+
+    def checkpoints(self) -> list[dict]:
+        return self.manifest.get("checkpoints", [])
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    *,
+    id_cols: list[str],
+    text_col: str = "content",
+    num_segments: int | None = None,
+    num_batches: int = 1,
+    analyzer: AnalyzerConfig | None = None,
+    with_positions: bool = True,
+    resume: bool = False,
+    verify_sha: bool = True,
+) -> IndexSnapshot:
+    """One-shot (optionally batched + resumable) index build."""
+    t_total = time.time()
+    cfg = analyzer or AnalyzerConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    run_id = uuid.uuid4().hex[:12]
+
+    if num_segments is None:
+        num_segments = max(spark.sparkContext.defaultParallelism, 1)
+
+    id_fields = [(f.name, f.dataType.simpleString())
+                 for f in corpus.schema.fields if f.name in id_cols]
+
+    # deterministic segment assignment: hash of doc identity, independent of
+    # input partitioning (resume/rebuild produce identical segments)
+    seg_col = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
+                     F.lit(num_segments)).cast("int")
+    prepared = corpus.select(
+        *id_cols,
+        F.col(text_col).alias("__text__"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        seg_col.alias("segment"),
+    )
+
+    combined_ddl = (
+        "kind string, " + postings_schema_ddl() + ", docid long, "
+        + ", ".join(f"{n} {t}" for n, t in id_fields)
+        + ", dl long, norm int, content_sha256_out string")
+
+    def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        postings, docmap = invert_segment(
+            pdf, segment=seg, id_cols=id_cols, text_col="__text__",
+            cfg=cfg, with_positions=with_positions)
+        postings.insert(0, "kind", "postings")
+        dm = pd.DataFrame({"kind": "docmap", "term": None,
+                           "segment": docmap["segment"],
+                           "doc_freq": None, "total_term_freq": None})
+        for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
+                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data"]:
+            dm[c] = None
+        dm["docid"] = docmap["docid"]
+        for n, _ in id_fields:
+            dm[n] = docmap[n]
+        dm["dl"] = docmap["dl"]
+        dm["norm"] = docmap["norm"]
+        dm["content_sha256_out"] = docmap["content_sha256"]
+        for col in ["docid", "dl", "norm", "content_sha256_out"]:
+            postings[col] = None
+        for n, _ in id_fields:
+            postings[n] = None
+        cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
+                + [n for n, _ in id_fields]
+                + ["dl", "norm", "content_sha256_out"])
+        return pd.concat([postings[cols], dm[cols]], ignore_index=True)
+
+    manifest_path = os.path.join(out_dir, MANIFEST)
+    done_batches, checkpoints = [], []
+    if resume:
+        for b in range(num_batches):
+            cp = os.path.join(ckpt_dir, f"batch_{b}.json")
+            if os.path.exists(cp):
+                with open(cp) as f:
+                    c = json.load(f)
+                if c.get("status") == "done":
+                    done_batches.append(b)
+                    checkpoints.append(c)
+
+    for b in range(num_batches):
+        if b in done_batches:
+            continue
+        t0 = time.time()
+        part = prepared if num_batches == 1 else prepared.where(
+            F.pmod(F.col("segment"), num_batches) == b)
+        out = (part.groupBy("segment")
+               .applyInPandas(build_combined, schema=combined_ddl))
+        batch_dir = os.path.join(out_dir, f"batch_{b}")
+        (out.repartition("segment")
+            .sortWithinPartitions("segment", "term")
+            .write.mode("overwrite").partitionBy("kind").parquet(batch_dir))
+        secs = time.time() - t0
+        # metrics from the written batch (cheap aggregates over parquet)
+        dm = spark.read.parquet(os.path.join(batch_dir, "kind=docmap"))
+        po = spark.read.parquet(os.path.join(batch_dir, "kind=postings"))
+        m_doc = dm.agg(F.count("*").alias("docs"),
+                       F.sum("dl").alias("tokens")).collect()[0]
+        m_post = po.agg(F.count("*").alias("terms"),
+                        F.sum("doc_freq").alias("postings")).collect()[0]
+        ckpt = {
+            "stage": "build", "batch": b, "status": "done",
+            "run_id": run_id, "segments_mod": num_batches,
+            "docs": m_doc["docs"] or 0, "tokens": int(m_doc["tokens"] or 0),
+            "postings": int(m_post["postings"] or 0),
+            "secs": round(secs, 3),
+            "docs_per_sec": round((m_doc["docs"] or 0) / max(secs, 1e-9), 1),
+            "postings_per_sec": round(
+                int(m_post["postings"] or 0) / max(secs, 1e-9), 1),
+            "bytes_compressed": _dir_bytes(batch_dir),
+        }
+        _atomic_write_json(os.path.join(ckpt_dir, f"batch_{b}.json"), ckpt)
+        checkpoints.append(ckpt)
+
+    batches = [f"batch_{b}" for b in range(num_batches)]
+
+    # ---- finalize: global term dictionary + collection stats (one shuffle
+    # over the tiny terms projection, not the corpus) ----------------------
+    all_postings = spark.read.parquet(
+        *[os.path.join(out_dir, d, "kind=postings") for d in batches])
+    terms_global = (all_postings
+                    .groupBy("term")
+                    .agg(F.sum("doc_freq").alias("doc_freq"),
+                         F.sum("total_term_freq").alias("total_term_freq")))
+    terms_dir = os.path.join(out_dir, "terms")
+    (terms_global.repartitionByRange(max(num_segments // 4, 1), "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(terms_dir))
+
+    all_docmap = spark.read.parquet(
+        *[os.path.join(out_dir, d, "kind=docmap") for d in batches])
+    srow = all_docmap.agg(
+        F.count("*").alias("max_doc"),
+        F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum("dl").alias("sum_total_term_freq")).collect()[0]
+    sdf = terms_global.agg(
+        F.sum("doc_freq").alias("sum_doc_freq"),
+        F.count("*").alias("n_terms")).collect()[0]
+
+    stats = {
+        "max_doc": srow["max_doc"], "doc_count": int(srow["doc_count"] or 0),
+        "sum_total_term_freq": int(srow["sum_total_term_freq"] or 0),
+        "sum_doc_freq": int(sdf["sum_doc_freq"] or 0),
+        "n_terms": sdf["n_terms"],
+    }
+
+    manifest = {
+        "format_version": 1,
+        "run_id": run_id,
+        "created_unix": time.time(),
+        "id_fields": id_fields,
+        "text_col": text_col,
+        "num_segments": num_segments,
+        "batches": batches,
+        "with_positions": with_positions,
+        "analyzer": {"token_regex": cfg.token_regex,
+                     "max_token_length": cfg.max_token_length,
+                     "stopwords": sorted(cfg.stopwords)},
+        "stats": stats,
+        "checkpoints": checkpoints,
+        "build_secs": round(time.time() - t_total, 3),
+    }
+    _atomic_write_json(manifest_path, manifest)
+    return IndexSnapshot(spark, out_dir)
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def verify_integrity(spark: SparkSession, index: IndexSnapshot,
+                     corpus: DataFrame, text_col: str | None = None) -> int:
+    """Re-verify sha256(content) of every indexed doc against the source
+    (north-rule per-row invariant). Returns number of mismatches."""
+    text_col = text_col or index.manifest["text_col"]
+    ids = index.id_cols
+    fresh = corpus.select(*ids, F.sha2(F.col(text_col), 256).alias("sha_now"))
+    dm = index.docmap().select(*ids, "content_sha256_out")
+    joined = dm.join(fresh, on=ids, how="left")
+    return joined.where(
+        (F.col("sha_now").isNull())
+        | (F.col("sha_now") != F.col("content_sha256_out"))).count()

@@ -1,0 +1,191 @@
+"""Partition-parallel index build — the DWPT + flush analogue.
+
+Architecture mapping (SURVEY.md §3.1): Lucene gives each indexing thread a
+private DocumentsWriterPerThread that builds an independent segment with no
+cross-thread coordination until flush
+(solr-8.4.0/lucene/core/src/java/org/apache/lucene/index/DocumentsWriter.java:477,
+ DocumentsWriterPerThread.java:229). Spark's execution model IS that design:
+one task per segment group builds its segment independently inside
+``applyInPandas``. The in-memory inversion
+(DefaultIndexingChain.invert -> TermsHashPerField.add ->
+FreqProxTermsWriterPerField, solr-8.4.0/.../index/DefaultIndexingChain.java:782,
+TermsHashPerField.java:147, FreqProxTermsWriterPerField.java:107,134) becomes
+a sort-based build: flatten tokens, stable-sort term-major, run-length the
+(term, docid) runs. The codec encode
+(Lucene84PostingsWriter.java:210-383) becomes the numpy block codec.
+
+Everything inside the UDF is pandas/numpy — no per-row Python on the hot
+path except the per-unique-term slicing loop (bounded by vocabulary size per
+segment, with all inner work vectorized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions import codec
+from ..functions.analysis import AnalyzerConfig, tokenize_to_flat
+from ..functions.smallfloat import int_to_byte4
+
+POSTINGS_COLS = [
+    ("term", "string"),
+    ("segment", "int"),
+    ("doc_freq", "long"),
+    ("total_term_freq", "long"),
+    ("block_max_docs", "array<long>"),
+    ("block_ns", "array<int>"),
+    ("block_docs", "array<binary>"),
+    ("block_freqs", "array<binary>"),
+    ("imp_freqs", "array<array<int>>"),
+    ("imp_norms", "array<array<int>>"),
+    ("pos_offsets", "array<long>"),
+    ("pos_data", "binary"),
+]
+
+
+def docmap_schema_ddl(id_fields: list[tuple[str, str]]) -> str:
+    cols = [("segment", "int"), ("docid", "long")] + id_fields + [
+        ("dl", "long"), ("norm", "int"), ("content_sha256", "string")]
+    return ", ".join(f"{n} {t}" for n, t in cols)
+
+
+def postings_schema_ddl() -> str:
+    return ", ".join(f"{n} {t}" for n, t in POSTINGS_COLS)
+
+
+def _vint_lengths(vals: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(vals), dtype=np.int64)
+    v = vals.astype(np.uint64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    return nb
+
+
+def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
+                   text_col: str, cfg: AnalyzerConfig,
+                   with_positions: bool = True):
+    """Build one segment from its documents. Returns (postings_df, docmap_df).
+
+    docid = ordinal after a deterministic sort on id_cols (Lucene assigns by
+    ingestion order per DWPT, DocumentsWriterPerThread.java:229; we fix the
+    order so rebuilds and resumes are bit-identical)."""
+    pdf = pdf.sort_values(id_cols, kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    row_idx, pos, terms_flat, dl = tokenize_to_flat(pdf[text_col], cfg)
+    norms = int_to_byte4(dl)
+
+    docmap = pd.DataFrame({
+        "segment": np.full(n_docs, segment, dtype=np.int32),
+        "docid": np.arange(n_docs, dtype=np.int64),
+    })
+    for c in id_cols:
+        docmap[c] = pdf[c].to_numpy()
+    docmap["dl"] = dl
+    docmap["norm"] = norms.astype(np.int32)
+    docmap["content_sha256"] = (
+        pdf["content_sha256"].to_numpy() if "content_sha256" in pdf
+        else pd.array([None] * n_docs, dtype="string"))
+
+    if len(terms_flat) == 0:
+        empty = pd.DataFrame({n: pd.Series(dtype=object)
+                              for n, _ in POSTINGS_COLS})
+        return empty, docmap
+
+    # --- sort token stream term-major (stable keeps docid, pos order) ---
+    tcodes, tuniq = pd.factorize(terms_flat, sort=True)
+    order = np.argsort(tcodes, kind="stable")
+    t_s, d_s, p_s = tcodes[order], row_idx[order], pos[order]
+
+    # posting = (term, doc) run
+    new_post = np.empty(len(t_s), dtype=bool)
+    new_post[0] = True
+    new_post[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+    post_id = np.cumsum(new_post) - 1
+    freqs = np.bincount(post_id).astype(np.int64)          # tf per posting
+    post_doc = d_s[new_post]                               # docid per posting
+    post_term = t_s[new_post]                              # term code per posting
+    post_norm = norms[post_doc]
+
+    # --- positions: delta-encode the whole stream at once ---
+    pos_data_all = b""
+    post_pos_offsets = None
+    if with_positions:
+        dp = np.empty(len(p_s), dtype=np.int64)
+        dp[0] = p_s[0]
+        dp[1:] = p_s[1:] - p_s[:-1]
+        dp[new_post] = p_s[new_post]  # first position of each posting absolute
+        dp_u = dp.astype(np.uint64)
+        pos_data_all = codec.vint_encode(dp_u)
+        byte_lens = _vint_lengths(dp_u)
+        tok_off = np.concatenate(([0], np.cumsum(byte_lens)))
+        # byte offset at the first token of each posting + end sentinel
+        post_start = np.nonzero(new_post)[0]
+        post_pos_offsets = np.concatenate(
+            [tok_off[post_start], [tok_off[-1]]])
+
+    # --- per-term boundaries among postings ---
+    new_term = np.empty(len(post_term), dtype=bool)
+    new_term[0] = True
+    new_term[1:] = post_term[1:] != post_term[:-1]
+    term_start = np.nonzero(new_term)[0]
+    term_end = np.concatenate([term_start[1:], [len(post_term)]])
+    term_codes_present = post_term[term_start]
+
+    rows = {n: [] for n, _ in POSTINGS_COLS}
+    mv = memoryview(pos_data_all) if with_positions else None
+    for ti, (s, e) in enumerate(zip(term_start, term_end)):
+        docids = post_doc[s:e]
+        tfs = freqs[s:e]
+        blocks, ns, max_docs = codec.encode_doc_blocks(docids)
+        fblocks = codec.encode_freq_blocks(tfs)
+        impf, impn = [], []
+        tnorms = post_norm[s:e]
+        for bs in range(0, len(docids), codec.BLOCK_SIZE):
+            be = min(bs + codec.BLOCK_SIZE, len(docids))
+            ff, nn = codec.impacts_frontier(tfs[bs:be], tnorms[bs:be])
+            impf.append(ff.astype(np.int32))
+            impn.append(nn.astype(np.int32))
+        rows["term"].append(tuniq[term_codes_present[ti]])
+        rows["segment"].append(segment)
+        rows["doc_freq"].append(len(docids))
+        rows["total_term_freq"].append(int(tfs.sum()))
+        rows["block_max_docs"].append(np.asarray(max_docs, dtype=np.int64))
+        rows["block_ns"].append(np.asarray(ns, dtype=np.int32))
+        rows["block_docs"].append(blocks)
+        rows["block_freqs"].append(fblocks)
+        rows["imp_freqs"].append(impf)
+        rows["imp_norms"].append(impn)
+        if with_positions:
+            offs = post_pos_offsets[s:e + 1].astype(np.int64)
+            rows["pos_offsets"].append(offs - offs[0])
+            rows["pos_data"].append(bytes(mv[offs[0]:offs[-1]]))
+        else:
+            rows["pos_offsets"].append(None)
+            rows["pos_data"].append(None)
+
+    postings = pd.DataFrame(rows)
+    postings["segment"] = postings["segment"].astype(np.int32)
+    return postings, docmap
+
+
+def make_build_udfs(id_fields, text_col, cfg, with_positions=True):
+    """Two applyInPandas bodies sharing one inversion: Spark calls them on
+    the same grouped data; kind-discriminated single-pass variant below."""
+    id_cols = [n for n, _ in id_fields]
+
+    def build_postings(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        postings, _ = invert_segment(pdf, segment=seg, id_cols=id_cols,
+                                     text_col=text_col, cfg=cfg,
+                                     with_positions=with_positions)
+        return postings
+
+    def build_docmap(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        _, docmap = invert_segment(pdf, segment=seg, id_cols=id_cols,
+                                   text_col=text_col, cfg=cfg,
+                                   with_positions=False)
+        return docmap
+
+    return build_postings, build_docmap

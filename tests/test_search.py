@@ -1,0 +1,187 @@
+"""M3 exit criteria (SURVEY.md §7.2): pruned == exhaustive == oracle —
+the CheckHits.checkTopScores equivalence property
+(solr-8.4.0/lucene/test-framework/src/java/org/apache/lucene/search/CheckHits.java:577-601)
+replicated over seeded random corpora, plus Spark end-to-end identity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_7_x_9_x_spark import oracle
+from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+from lucene_7_x_9_x_spark.operators import executor as ex
+from lucene_7_x_9_x_spark.operators.build import invert_segment
+from lucene_7_x_9_x_spark.operators.search import (SparkSegmentReader,
+                                                   blockmax_topk,
+                                                   classify_blockmax)
+from lucene_7_x_9_x_spark.plans.query import (BooleanQuery, Occur,
+                                              PhraseQuery, TermQuery,
+                                              rewrite)
+
+CFG = AnalyzerConfig()
+
+
+def _random_corpus(rng, n_docs=800, vocab_hot=12, vocab_tail=300):
+    hot = [f"h{i}" for i in range(vocab_hot)]
+    tail = [f"t{i:04d}" for i in range(vocab_tail)]
+    docs = []
+    for i in range(n_docs):
+        ln = max(1, int(rng.lognormal(2.5, 1.0)))
+        words = [hot[int(rng.zipf(1.7)) % vocab_hot] if rng.rand() < 0.5
+                 else tail[rng.randint(vocab_tail)] for _ in range(ln)]
+        docs.append(" ".join(words))
+    return pd.DataFrame({
+        "id": [f"d{i:06d}" for i in range(n_docs)],
+        "content": docs})
+
+
+def _build_kernel_side(pdf):
+    """Local (no Spark) segment build + reader, plus matching oracle."""
+    postings, docmap = invert_segment(
+        pdf.copy(), segment=0, id_cols=["id"], text_col="content", cfg=CFG)
+    norms = (docmap.sort_values("docid")["norm"].to_numpy(np.int64)
+             & 0xFF).astype(np.uint8)
+    reader = SparkSegmentReader(postings, norms, len(pdf))
+    sorted_pdf = pdf.sort_values("id").reset_index(drop=True)
+    oreader, ostats = oracle.index_corpus(sorted_pdf, text_col="content")
+    return reader, oreader, ostats
+
+
+def _random_query(rng, hot, tail):
+    kind = rng.randint(6)
+    pick = lambda n: [hot[rng.randint(len(hot))] if rng.rand() < 0.7
+                      else tail[rng.randint(len(tail))] for _ in range(n)]
+    if kind == 0:
+        return TermQuery(pick(1)[0])
+    if kind == 1:  # disjunction with boosts
+        return BooleanQuery([(Occur.SHOULD,
+                              TermQuery(t, boost=float(rng.choice([1, 2, 3]))))
+                             for t in pick(rng.randint(2, 5))])
+    if kind == 2:  # conjunction
+        return BooleanQuery([(Occur.MUST, TermQuery(t))
+                             for t in pick(rng.randint(2, 4))])
+    if kind == 3:  # mixed must+should+must_not
+        return BooleanQuery(
+            [(Occur.MUST, TermQuery(pick(1)[0]))]
+            + [(Occur.SHOULD, TermQuery(t)) for t in pick(2)]
+            + [(Occur.MUST_NOT, TermQuery(pick(1)[0]))])
+    if kind == 4:  # filtered
+        return BooleanQuery(
+            [(Occur.SHOULD, TermQuery(t)) for t in pick(3)]
+            + [(Occur.FILTER, TermQuery(hot[rng.randint(len(hot))]))])
+    return BooleanQuery([(Occur.SHOULD, TermQuery(t)) for t in pick(4)],
+                        minimum_should_match=2)
+
+
+def test_blockmax_equals_exhaustive_equals_oracle_random():
+    rng = np.random.RandomState(1234)
+    hot = [f"h{i}" for i in range(12)]
+    tail = [f"t{i:04d}" for i in range(300)]
+    for trial in range(6):
+        pdf = _random_corpus(rng)
+        reader, oreader, ostats = _build_kernel_side(pdf)
+        eng = oracle.OracleEngine(oreader, ostats)
+        for qi in range(25):
+            q = rewrite(_random_query(rng, hot, tail))
+            for k in (1, 10):
+                om = eng.matches(q)
+                od, osc = ex.top_k(om, k)
+                em = ex.evaluate(reader, ostats, q)
+                ed, esc = ex.top_k(em, k)
+                assert np.array_equal(ed, od), (trial, qi, q)
+                assert np.array_equal(esc, osc), (trial, qi, q)
+                plan = classify_blockmax(q)
+                if plan is not None:
+                    bd, bs, _ = blockmax_topk(reader, ostats, plan, k)
+                    assert np.array_equal(bd, od), ("bm", trial, qi, q, k)
+                    assert np.array_equal(bs, osc), ("bm", trial, qi, q, k)
+
+
+def test_blockmax_actually_prunes():
+    rng = np.random.RandomState(77)
+    pdf = _random_corpus(rng, n_docs=4000)
+    reader, oreader, ostats = _build_kernel_side(pdf)
+    # single-term top-1: the ImpactsDISI case — blocks whose impact bound is
+    # below the running best must be skipped
+    q = TermQuery("h0")
+    plan = classify_blockmax(rewrite(q))
+    d, s, frac = blockmax_topk(reader, ostats, plan, 1)
+    assert frac < 0.85, f"expected pruning, decoded {frac:.0%} of blocks"
+    # and identical to exhaustive
+    ed, esc = ex.top_k(ex.evaluate(reader, ostats, rewrite(q)), 1)
+    assert np.array_equal(d, ed) and np.array_equal(s, esc)
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, tmp_path_factory):
+    from lucene_7_x_9_x_spark.index import build_index
+    rng = np.random.RandomState(5)
+    pdf = _random_corpus(rng, n_docs=600)
+    out = str(tmp_path_factory.mktemp("sidx"))
+    idx = build_index(spark, spark.createDataFrame(pdf), out,
+                      id_cols=["id"], text_col="content", num_segments=4)
+    return pdf, idx
+
+
+def _oracle_in_engine_order(pdf, idx):
+    """Oracle over docs ordered (segment asc, docid asc) so global tie-break
+    order matches the engine's (TopDocs.java:75 analogue)."""
+    dm = idx.docmap().toPandas().sort_values(["segment", "docid"])
+    ordered = dm[["id"]].merge(pdf, on="id")
+    return oracle.OracleEngine(*oracle.index_corpus(
+        ordered.reset_index(drop=True), text_col="content")), ordered
+
+
+def test_spark_search_matches_oracle(spark, spark_index):
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    pdf, idx = spark_index
+    eng, ordered = _oracle_in_engine_order(pdf, idx)
+    searcher = Searcher(idx)
+    queries = [
+        TermQuery("h0"),
+        BooleanQuery([(Occur.SHOULD, TermQuery("h1")),
+                      (Occur.SHOULD, TermQuery("h2", boost=2.0)),
+                      (Occur.SHOULD, TermQuery("t0005"))]),
+        BooleanQuery([(Occur.MUST, TermQuery("h0")),
+                      (Occur.MUST, TermQuery("h1")),
+                      (Occur.MUST_NOT, TermQuery("h2"))]),
+        BooleanQuery([(Occur.SHOULD, TermQuery("h3")),
+                      (Occur.SHOULD, TermQuery("h4")),
+                      (Occur.SHOULD, TermQuery("h5"))],
+                     minimum_should_match=2),
+    ]
+    for q in queries:
+        for k in (1, 10):
+            got = searcher.search(q, k).toPandas()
+            want = eng.search(q, k)
+            want_ids = ordered.iloc[want.docid].id.tolist()
+            assert got.id.tolist() == want_ids, (q, k)
+            assert np.array_equal(got.score.to_numpy(np.float32),
+                                  want.score.to_numpy(np.float32)), (q, k)
+            # blockmax and complete agree end-to-end
+            got_c = searcher.search(q, k, mode="complete").toPandas()
+            assert got.id.tolist() == got_c.id.tolist()
+
+
+def test_spark_phrase_and_count(spark, spark_index):
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    pdf, idx = spark_index
+    eng, ordered = _oracle_in_engine_order(pdf, idx)
+    searcher = Searcher(idx)
+    # find a bigram that exists
+    toks = pdf.content.iloc[0].split()
+    q = PhraseQuery([toks[0], toks[1]])
+    got = searcher.search(q, 10).toPandas()
+    want = eng.search(q, 10)
+    assert got.id.tolist() == ordered.iloc[want.docid].id.tolist()
+    assert searcher.count(TermQuery("h0")) == eng.count(TermQuery("h0"))
+
+
+def test_spark_multi_term_expansion(spark, spark_index):
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import PrefixQuery
+    pdf, idx = spark_index
+    eng, ordered = _oracle_in_engine_order(pdf, idx)
+    searcher = Searcher(idx)
+    assert (searcher.count(PrefixQuery("t00"))
+            == eng.count(PrefixQuery("t00")))
