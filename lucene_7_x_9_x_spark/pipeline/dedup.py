@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in pyspark.sql.functions (JVM, whole-stage codegen);
+no Python UDFs. Designed for 100 TB corpora: every pairwise step goes
+through an inverted/blocking join (never a cross join), hot shingles are
+droppable via a doc-frequency cap, and all shuffles key on bounded-size
+join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = "[^a-z0-9_]+"
+
+
+def tokens_col(text_col: str):
+    """Analyzer-equivalent token array (lowercase word chars), JVM-side."""
+    return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda x: x != "")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: every doc annotated with the size of its
+    duplicate group. Single hash-shuffle; at scale the groupBy key is the
+    64-hex sha — uniformly distributed, no skew."""
+    h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha"))
+    sizes = h.groupBy("sha").agg(F.count("*").alias("dup_count"))
+    return (h.join(sizes, "sha")
+            .select(F.col(id_col), "sha", "dup_count"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3
+             ) -> DataFrame:
+    """(id, shingle) pairs: n-gram shingles over analyzer tokens."""
+    toks = df.select(F.col(id_col),
+                     tokens_col(text_col).alias("ts"))
+    # guard: sequence(0, -1) would DESCEND in Spark, so gate on size >= n
+    idxs = F.when(F.size("ts") >= n,
+                  F.sequence(F.lit(0), F.size("ts") - n)
+                  ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            idxs, lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n))
+        )).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join
+    (scalable: candidate generation is |pairs sharing a shingle|, never a
+    cross join). Returns (id_a, id_b) with id_a < id_b and
+    jaccard >= threshold.
+
+    max_shingle_df drops shingles shared by more than that many docs (stop-
+    shingle cap — the skew guard for 100 TB runs; exactness then holds for
+    pairs that share at least one sub-cap shingle, which a threshold >= 0.5
+    implies unless every common shingle is a stop-shingle)."""
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b"))
+
+
+# MinHash + banded LSH -----------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1  # 31-bit prime: a*h stays well inside int64
+
+
+def _hash_params(num_hashes: int, seed: int = 42):
+    """Deterministic affine hash params (a*x+b) mod p."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 32, seed: int = 42
+                       ) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures over shingle xxhash64s.
+    One explode + one groupBy; the per-hash mins are computed as JVM
+    aggregate expressions (no Python)."""
+    a, b = _hash_params(num_hashes, seed)
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"))
+    aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
+                         F.lit(_MERSENNE))).alias(f"m{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col),
+                      F.array(*[f"m{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """Near-dup pairs: banded LSH candidate join, then exact verification
+    of the candidates with n-gram Jaccard (so output has no false
+    positives; recall is the LSH S-curve at `bands`)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.transform(
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string")))).alias("bh"))
+        )).alias("bb")).select(id_col, "bb.band", "bb.bh")
+    l = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    r = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (l.join(r, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    # exact verify candidates
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  F.col("shingle").alias("sh_b"))
+    inter = (cand.join(a, "id_a").join(
+        b.withColumnRenamed("sh_b", "sh_a"), ["id_b", "sh_a"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("sz").alias("sz_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("sz").alias("sz_b")), "id_b")
+           .withColumn("jaccard",
+                       F.col("inter")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b"))
+    return out
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over analyzer tokens (tf-weighted bit votes), fully
+    JVM-side: per (doc, token) xxhash64 -> per-bit +-tf votes -> sign."""
+    tf = (df.select(F.col(id_col), F.explode(tokens_col(text_col))
+                    .alias("tok"))
+          .groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+          .withColumn("h", F.xxhash64("tok")))
+    bits = tf.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(sequence(0, 63), i -> struct("
+            " i as bit,"
+            " CASE WHEN (shiftright(h, i) & 1) = 1 THEN tf"
+            "      ELSE -tf END as vote))")).alias("bv")
+    ).select(id_col, "bv.bit", "bv.vote")
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return (votes.groupBy(id_col)
+            .agg(F.sum(F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
+                 .alias("simhash")))
