@@ -88,8 +88,13 @@ def _get_searcher(spark: SparkSession, sf_dir: str):
         return _INDEXES[key]
     out = os.path.join(_CACHE_ROOT, os.path.basename(key))
     if not os.path.exists(os.path.join(out, "manifest.json")):
-        build_index(spark, _docs(spark, sf_dir), out, id_cols=["doc_id"],
-                    text_col="text", num_segments=8)
+        # range-partition by doc_id so that (segment asc, docid asc) ==
+        # doc_id asc globally: the engine's tie-break order then matches
+        # the SQL oracles' ORDER BY score DESC, doc_id exactly
+        docs = (_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input")
     s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
@@ -169,6 +174,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_conj_top10(spark, sf):
         return _topk_ids(spark, sf, Q.BooleanQuery(
             [(O.MUST, T("group")), (O.MUST, T("query"))]), 10)
+
+    def bm25_synonym_top10(spark, sf):
+        return _topk_ids(spark, sf, Q.SynonymQuery(["merge", "stream"]), 10)
+
+    def bm25_dismax_top10(spark, sf):
+        return _topk_ids(spark, sf, Q.DisjunctionMaxQuery(
+            [T("filter"), T("window")], tie_breaker=0.0), 10)
+
+    def bm25_phrase_top10(spark, sf):
+        return _topk_ids(spark, sf, Q.PhraseQuery(["the", "fast"]), 10)
 
     def facet_lang(spark, sf):
         ids = _match_ids(spark, sf, T("filter"))
@@ -298,6 +313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_set": term_set,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
+        "bm25_synonym_top10": bm25_synonym_top10,
+        "bm25_dismax_top10": bm25_dismax_top10,
+        "bm25_phrase_top10": bm25_phrase_top10,
         "facet_lang": facet_lang,
         "collection_stats": collection_stats,
         "norms": norms,
@@ -350,6 +368,79 @@ def oracle_sql() -> dict[str, str]:
             "list_contains(ts, 'merge') OR list_contains(ts, 'stream')"),
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
+        # synonym pseudo-term: docFreq = max over terms, freq = sum
+        # (SynonymQuery.java:233-252)
+        "bm25_synonym_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(ts, t -> t = 'merge'))
+           + len(list_filter(ts, t -> t = 'stream')) AS tfs,
+         len(list_filter(ts, t -> t = 'merge')) AS tf_a,
+         len(list_filter(ts, t -> t = 'stream')) AS tf_b FROM q),
+dfs AS (SELECT greatest(count(*) FILTER (WHERE tf_a > 0),
+                        count(*) FILTER (WHERE tf_b > 0)) AS df_syn FROM tf),
+scored AS (SELECT doc_id,
+    ln(1 + (s.doc_count - d.df_syn + 0.5) / (d.df_syn + 0.5)) * tfs
+      / (tfs + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tfs > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        # DisjunctionMaxQuery, tie_breaker=0: score = max of clause scores
+        "bm25_dismax_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_a,
+         len(list_filter(ts, t -> t = 'window')) AS tf_b FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a,
+               count(*) FILTER (WHERE tf_b > 0) AS df_b FROM tf),
+scored AS (SELECT doc_id, greatest(
+    CASE WHEN tf_a > 0 THEN
+      ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5)) * tf_a
+        / (tf_a + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+           / CAST(s.sum_ttf AS DOUBLE))) ELSE 0 END,
+    CASE WHEN tf_b > 0 THEN
+      ln(1 + (s.doc_count - d.df_b + 0.5) / (d.df_b + 0.5)) * tf_b
+        / (tf_b + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+           / CAST(s.sum_ttf AS DOUBLE))) ELSE 0 END) AS score,
+    tf_a + tf_b AS any_tf
+    FROM tf, stats s, dfs d WHERE tf_a + tf_b > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        # phrase scoring: freq = exact-phrase occurrences, idf = sum of the
+        # member terms' idfs (BM25Similarity.java:172-181)
+        "bm25_phrase_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(range(1, len(ts)),
+             i -> ts[i] = 'the' AND ts[i+1] = 'fast')) AS tf_p,
+         len(list_filter(ts, t -> t = 'the')) AS tf_a,
+         len(list_filter(ts, t -> t = 'fast')) AS tf_b FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a,
+               count(*) FILTER (WHERE tf_b > 0) AS df_b FROM tf),
+scored AS (SELECT doc_id,
+    (ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5))
+     + ln(1 + (s.doc_count - d.df_b + 0.5) / (d.df_b + 0.5))) * tf_p
+      / (tf_p + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tf_p > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "facet_lang": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, lang, {TOKS} AS ts FROM documents)

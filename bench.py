@@ -1,0 +1,144 @@
+"""Benchmark harness: index build + headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus informational keys (docs_per_sec etc.). Run scripts/scaling.py for the
+two-parallelism scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "40000"))
+BM25_RUNS = int(os.environ.get("SPARK_GRAFT_BM25_RUNS", "5"))
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+    t_all = time.time()
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("lucene-spark-bench")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucene_7_x_9_x_spark.index import build_index, IndexSnapshot
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import (BooleanQuery, Occur,
+                                                  PhraseQuery, TermQuery)
+    from lucene_7_x_9_x_spark.sources.corpus import synth_corpus
+    from lucene_7_x_9_x_spark.pipeline import dedup, similarity, textstats
+
+    q: dict[str, float] = {}
+    extra: dict = {"sf_dir": SF_DIR, "cpus": CPUS}
+    tmp = tempfile.mkdtemp(prefix="lucene_bench_")
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        q[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_docs = docs.count()
+
+    # ---- index build on the sf documents table -------------------------
+    idx = timed("index_build_documents", lambda: build_index(
+        spark, docs, os.path.join(tmp, "idx_docs"), id_cols=["doc_id"],
+        text_col="text", num_segments=CPUS))
+    extra["documents_rows"] = n_docs
+    extra["documents_docs_per_sec"] = round(
+        n_docs / q["index_build_documents"], 1)
+
+    # ---- index build on the synthetic F1 corpus (throughput headline) --
+    corpus = synth_corpus(spark, SYNTH_DOCS).cache()
+    n_synth = corpus.count()  # materialize so build timing excludes gen
+    sidx = timed("index_build_synth", lambda: build_index(
+        spark, corpus, os.path.join(tmp, "idx_synth"),
+        id_cols=["repo", "path", "commit"], text_col="content",
+        num_segments=CPUS * 2))
+    corpus.unpersist()
+    extra["synth_rows"] = n_synth
+    extra["synth_docs_per_sec"] = round(n_synth / q["index_build_synth"], 1)
+    extra["synth_tokens"] = sidx.stats["sum_total_term_freq"]
+
+    searcher = Searcher(idx)
+    s_syn = Searcher(sidx)
+
+    # ---- BM25 query latency (p50 over repeats) -------------------------
+    def bm25_once():
+        return searcher.search(BooleanQuery(
+            [(Occur.SHOULD, TermQuery("filter")),
+             (Occur.SHOULD, TermQuery("join")),
+             (Occur.SHOULD, TermQuery("window"))]), 10).collect()
+
+    lat = []
+    for _ in range(BM25_RUNS):
+        t0 = time.time()
+        bm25_once()
+        lat.append(time.time() - t0)
+    lat.sort()
+    q["bm25_top10_p50"] = round(lat[len(lat) // 2], 3)
+    extra["bm25_top10_latencies"] = [round(x, 3) for x in lat]
+
+    timed("bm25_conj_top10", lambda: searcher.search(BooleanQuery(
+        [(Occur.MUST, TermQuery("group")), (Occur.MUST, TermQuery("query"))]),
+        10).collect())
+    timed("bm25_synth_top10", lambda: s_syn.search(BooleanQuery(
+        [(Occur.SHOULD, TermQuery("return")), (Occur.SHOULD, TermQuery("def")),
+         (Occur.SHOULD, TermQuery("mutex"))]), 10).collect())
+    timed("phrase", lambda: searcher.search(
+        PhraseQuery(["the", "fast"]), 10).collect())
+    timed("term_count", lambda: searcher.count(TermQuery("filter")))
+
+    # ---- pipeline ops ---------------------------------------------------
+    timed("dedup_exact", lambda: dedup.exact_dup_groups(
+        docs, "doc_id", "text").count())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5).count())
+    timed("simhash", lambda: dedup.simhash64(docs, "doc_id", "text").count())
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    embd = emb.withColumn("embedding", F.transform(
+        "embedding", lambda x: x.cast("double")))
+    timed("ann_bruteforce_top10", lambda: similarity.cosine_topk_bruteforce(
+        embd, qv, k=10, exclude_id=0).collect())
+    timed("ann_lsh_top10", lambda: similarity.cosine_topk_lsh(
+        embd.where(F.col("vec_id") != 0), qv, dim=len(qv), k=10).collect())
+    timed("token_stats", lambda: textstats.token_stats(
+        docs, "doc_id", "text").count())
+    timed("lang_id", lambda: textstats.lang_id(
+        docs, "doc_id", "text").count())
+
+    total = round(time.time() - t_all, 3)
+    result = {
+        "metric": "index_build_plus_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        **extra,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,14 +33,30 @@ _POW2 = (np.uint64(1) << np.arange(63, -1, -1).astype(np.uint64))
 
 # ---------------------------------------------------------------- varbyte
 
+def _vint1(x: int) -> bytes:
+    """Scalar varint (fast path for single values)."""
+    out = bytearray()
+    while x >= 0x80:
+        out.append((x & 0x7F) | 0x80)
+        x >>= 7
+    out.append(x)
+    return bytes(out)
+
+
 def vint_encode(vals: np.ndarray) -> bytes:
     """LSB-first 7-bit varint encode of a uint array (vectorized)."""
     v = np.asarray(vals, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b""
+    if n == 1:
+        return _vint1(int(v[0]))
+    mx = int(v.max())
+    if mx < 0x80:  # common case: all single-byte
+        return v.astype(np.uint8).tobytes()
     nb = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
+    top_bytes = (mx.bit_length() + 6) // 7
+    for k in range(1, top_bytes):
         nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
     maxb = int(nb.max())
     mat = np.zeros((n, maxb), dtype=np.uint8)
@@ -91,9 +107,11 @@ def _unpack_bits(buf, width: int, n: int) -> np.ndarray:
 def encode_block(vals: np.ndarray, allow_pfor: bool = True) -> bytes:
     """Encode one block of non-negative uint32 values."""
     v = np.asarray(vals, dtype=np.uint64)
-    if len(v) and np.all(v == v[0]):
-        return bytes([0]) + vint_encode(v[:1])
-    mx = int(v.max()) if len(v) else 0
+    if len(v) == 0:
+        return bytes([1])
+    mx = int(v.max())
+    if mx == int(v.min()):  # all-equal block: 1 token byte + varint
+        return bytes([0]) + _vint1(mx)
     width = max(mx.bit_length(), 1)
     if allow_pfor and len(v) > 8:
         # patched FOR: if excluding the top <=3 values lowers the width,
@@ -120,11 +138,22 @@ def encode_block(vals: np.ndarray, allow_pfor: bool = True) -> bytes:
     return bytes([width]) + _pack_bits(v, width)
 
 
+TAG_VARBYTE = 0x40  # single-block tail terms: varbyte payload (batch-
+# encoded across all small terms of a segment in one vectorized pass)
+
+
 def decode_block(buf: bytes | memoryview, n: int) -> np.ndarray:
     b = memoryview(buf)
     tag = b[0]
+    if tag == TAG_VARBYTE:
+        return vint_decode(b[1:])
     if tag == 0:
-        val = vint_decode(b[1:])[0]
+        val, shift = 0, 0
+        for byte in b[1:]:
+            val |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
         return np.full(n, val, dtype=np.uint64)
     if tag & 0x80:
         width = tag & 0x7F
@@ -145,7 +174,10 @@ def encode_doc_blocks(docids: np.ndarray, block_size: int = BLOCK_SIZE):
     ns:list[int], max_docs:list[int]). First delta is docids[0] + 1
     (base -1)."""
     d = np.asarray(docids, dtype=np.int64)
-    deltas = np.diff(d, prepend=-1).astype(np.uint64)
+    deltas = np.empty(len(d), dtype=np.uint64)
+    if len(d):
+        deltas[0] = d[0] + 1
+        np.subtract(d[1:], d[:-1], out=deltas[1:], casting="unsafe")
     blocks, ns, max_docs = [], [], []
     for s in range(0, len(d), block_size):
         e = min(s + block_size, len(d))
@@ -194,6 +226,12 @@ def impacts_frontier(freqs: np.ndarray, norms: np.ndarray):
     n = np.asarray(norms, dtype=np.int64) & 0xFF
     if len(f) == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if len(f) == 1:
+        return f.copy(), n.copy()
+    fmax = f.max()
+    if fmax == f.min():  # uniform freq (tail terms): single frontier pair
+        return (np.array([fmax], dtype=np.int64),
+                np.array([n.min()], dtype=np.int64))
     # max freq per distinct norm
     order = np.lexsort((-f, n))
     n_s, f_s = n[order], f[order]

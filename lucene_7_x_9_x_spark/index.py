@@ -77,6 +77,12 @@ class IndexSnapshot:
         """Global term dictionary: term -> (doc_freq, total_term_freq)."""
         return self.spark.read.parquet(os.path.join(self.root, "terms"))
 
+    def segnorms(self) -> DataFrame:
+        """Per-segment norms blob: (segment, max_doc, norms binary) — one
+        tiny row per segment so queries need never shuffle the docmap (the
+        per-leaf norms file of Lucene, SURVEY.md §2.2 norms writer)."""
+        return self.spark.read.parquet(os.path.join(self.root, "segnorms"))
+
     @property
     def stats(self) -> dict:
         return self.manifest["stats"]
@@ -98,8 +104,22 @@ def build_index(
     with_positions: bool = True,
     resume: bool = False,
     verify_sha: bool = True,
+    segment_by: str = "hash",
 ) -> IndexSnapshot:
-    """One-shot (optionally batched + resumable) index build."""
+    """One-shot (optionally batched + resumable) index build.
+
+    segment_by:
+      "hash"  — segment = hash(doc identity) % num_segments: one corpus
+                shuffle, but segments are stable across rebuilds and input
+                layouts (strict determinism; required for batched resume).
+      "input" — segment = input scan partition (the Lucene DWPT model,
+                DocumentsWriterPerThread.java:229: a writer thread indexes
+                whatever docs it receives): ZERO corpus shuffle — at 100 TB
+                this removes the single biggest data movement of the build.
+                Deterministic for identical input files + scan config;
+                num_segments/num_batches are ignored (segments = scan
+                partitions, sized by spark.sql.files.maxPartitionBytes).
+    """
     t_total = time.time()
     cfg = analyzer or AnalyzerConfig()
     os.makedirs(out_dir, exist_ok=True)
@@ -113,24 +133,33 @@ def build_index(
     id_fields = [(f.name, f.dataType.simpleString())
                  for f in corpus.schema.fields if f.name in id_cols]
 
-    # deterministic segment assignment: hash of doc identity, independent of
-    # input partitioning (resume/rebuild produce identical segments)
-    seg_col = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
-                     F.lit(num_segments)).cast("int")
-    prepared = corpus.select(
-        *id_cols,
-        F.col(text_col).alias("__text__"),
-        F.sha2(F.col(text_col), 256).alias("content_sha256"),
-        seg_col.alias("segment"),
-    )
+    if segment_by == "input":
+        if num_batches != 1:
+            raise ValueError("batched resume requires segment_by='hash'")
+        prepared = corpus.select(
+            *id_cols,
+            F.col(text_col).alias("__text__"),
+            F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        )
+        num_segments = prepared.rdd.getNumPartitions()
+    else:
+        # deterministic segment assignment: hash of doc identity, independent
+        # of input partitioning (resume/rebuild produce identical segments)
+        seg_col = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
+                         F.lit(num_segments)).cast("int")
+        prepared = corpus.select(
+            *id_cols,
+            F.col(text_col).alias("__text__"),
+            F.sha2(F.col(text_col), 256).alias("content_sha256"),
+            seg_col.alias("segment"),
+        )
 
     combined_ddl = (
         "kind string, " + postings_schema_ddl() + ", docid long, "
         + ", ".join(f"{n} {t}" for n, t in id_fields)
         + ", dl long, norm int, content_sha256_out string")
 
-    def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(key[0])
+    def _combine(seg: int, pdf: pd.DataFrame) -> pd.DataFrame:
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
             cfg=cfg, with_positions=with_positions)
@@ -156,7 +185,20 @@ def build_index(
                 + ["dl", "norm", "content_sha256_out"])
         return pd.concat([postings[cols], dm[cols]], ignore_index=True)
 
+    def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _combine(int(key[0]), pdf)
+
+    def map_combined(batches):
+        from pyspark import TaskContext
+        seg = TaskContext.get().partitionId()
+        dfs = [b for b in batches if len(b)]
+        if not dfs:  # empty scan split (e.g. sub-row-group file chunk)
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        yield _combine(seg, pdf)
+
     manifest_path = os.path.join(out_dir, MANIFEST)
+    phase_secs: dict[str, float] = {}
     done_batches, checkpoints = [], []
     if resume:
         for b in range(num_batches):
@@ -172,37 +214,49 @@ def build_index(
         if b in done_batches:
             continue
         t0 = time.time()
-        part = prepared if num_batches == 1 else prepared.where(
-            F.pmod(F.col("segment"), num_batches) == b)
-        out = (part.groupBy("segment")
-               .applyInPandas(build_combined, schema=combined_ddl))
         batch_dir = os.path.join(out_dir, f"batch_{b}")
-        (out.repartition("segment")
-            .sortWithinPartitions("segment", "term")
-            .write.mode("overwrite").partitionBy("kind").parquet(batch_dir))
+        if segment_by == "input":
+            # zero-shuffle DWPT path: each scan partition becomes a segment;
+            # rows leave the UDF already sorted by term within the segment
+            out = prepared.mapInPandas(map_combined, schema=combined_ddl)
+            out.write.mode("overwrite").partitionBy("kind").parquet(batch_dir)
+        else:
+            part = prepared if num_batches == 1 else prepared.where(
+                F.pmod(F.col("segment"), num_batches) == b)
+            # explicit repartition: a user-specified partition count that
+            # AQE will NOT coalesce — otherwise adaptive coalescing (64MB
+            # advisory) would collapse small shuffle outputs and run the
+            # inversion UDF at parallelism ~jobsize/64MB instead of one
+            # task per segment
+            segs_in_batch = max(num_segments // num_batches, 1)
+            out = (part.repartition(segs_in_batch, "segment")
+                   .groupBy("segment")
+                   .applyInPandas(build_combined, schema=combined_ddl))
+            (out.sortWithinPartitions("segment", "term")
+                .write.mode("overwrite").partitionBy("kind")
+                .parquet(batch_dir))
         secs = time.time() - t0
-        # metrics from the written batch (cheap aggregates over parquet)
+        phase_secs[f"invert_write_b{b}"] = round(secs, 2)
+        # metrics: one narrow aggregate over the written docmap (postings
+        # totals are derived once at finalize, not per batch)
         dm = spark.read.parquet(os.path.join(batch_dir, "kind=docmap"))
-        po = spark.read.parquet(os.path.join(batch_dir, "kind=postings"))
         m_doc = dm.agg(F.count("*").alias("docs"),
                        F.sum("dl").alias("tokens")).collect()[0]
-        m_post = po.agg(F.count("*").alias("terms"),
-                        F.sum("doc_freq").alias("postings")).collect()[0]
         ckpt = {
             "stage": "build", "batch": b, "status": "done",
             "run_id": run_id, "segments_mod": num_batches,
             "docs": m_doc["docs"] or 0, "tokens": int(m_doc["tokens"] or 0),
-            "postings": int(m_post["postings"] or 0),
             "secs": round(secs, 3),
             "docs_per_sec": round((m_doc["docs"] or 0) / max(secs, 1e-9), 1),
-            "postings_per_sec": round(
-                int(m_post["postings"] or 0) / max(secs, 1e-9), 1),
+            "tokens_per_sec": round(
+                int(m_doc["tokens"] or 0) / max(secs, 1e-9), 1),
             "bytes_compressed": _dir_bytes(batch_dir),
         }
         _atomic_write_json(os.path.join(ckpt_dir, f"batch_{b}.json"), ckpt)
         checkpoints.append(ckpt)
 
     batches = [f"batch_{b}" for b in range(num_batches)]
+    t_fin = time.time()
 
     # ---- finalize: global term dictionary + collection stats (one shuffle
     # over the tiny terms projection, not the corpus) ----------------------
@@ -211,21 +265,29 @@ def build_index(
     terms_global = (all_postings
                     .groupBy("term")
                     .agg(F.sum("doc_freq").alias("doc_freq"),
-                         F.sum("total_term_freq").alias("total_term_freq")))
+                         F.sum("total_term_freq").alias("total_term_freq"))
+                    .persist())
     terms_dir = os.path.join(out_dir, "terms")
     (terms_global.repartitionByRange(max(num_segments // 4, 1), "term")
      .sortWithinPartitions("term")
      .write.mode("overwrite").parquet(terms_dir))
+    sdf = terms_global.agg(
+        F.sum("doc_freq").alias("sum_doc_freq"),
+        F.count("*").alias("n_terms")).collect()[0]
+    terms_global.unpersist()
+    phase_secs["finalize_terms"] = round(time.time() - t_fin, 2)
 
+    t_fin = time.time()
     all_docmap = spark.read.parquet(
         *[os.path.join(out_dir, d, "kind=docmap") for d in batches])
     srow = all_docmap.agg(
         F.count("*").alias("max_doc"),
         F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("doc_count"),
         F.sum("dl").alias("sum_total_term_freq")).collect()[0]
-    sdf = terms_global.agg(
-        F.sum("doc_freq").alias("sum_doc_freq"),
-        F.count("*").alias("n_terms")).collect()[0]
+    phase_secs["finalize_stats"] = round(time.time() - t_fin, 2)
+    t_fin = time.time()
+    write_segnorms(all_docmap, os.path.join(out_dir, "segnorms"))
+    phase_secs["finalize_segnorms"] = round(time.time() - t_fin, 2)
 
     stats = {
         "max_doc": srow["max_doc"], "doc_count": int(srow["doc_count"] or 0),
@@ -241,6 +303,7 @@ def build_index(
         "id_fields": id_fields,
         "text_col": text_col,
         "num_segments": num_segments,
+        "segment_by": segment_by,
         "batches": batches,
         "with_positions": with_positions,
         "analyzer": {"token_regex": cfg.token_regex,
@@ -249,9 +312,25 @@ def build_index(
         "stats": stats,
         "checkpoints": checkpoints,
         "build_secs": round(time.time() - t_total, 3),
+        "phase_secs": phase_secs,
     }
     _atomic_write_json(manifest_path, manifest)
     return IndexSnapshot(spark, out_dir)
+
+
+def write_segnorms(docmap_df: DataFrame, out_path: str) -> None:
+    """Pack each segment's norm bytes (docid order) into one binary row."""
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docid")
+        blob = (pdf["norm"].to_numpy(np.int64) & 0xFF).astype(
+            np.uint8).tobytes()
+        return pd.DataFrame({"segment": [int(key[0])],
+                             "max_doc": [len(pdf)],
+                             "norms": [blob]})
+
+    (docmap_df.select("segment", "docid", "norm").groupBy("segment")
+     .applyInPandas(pack, schema="segment int, max_doc long, norms binary")
+     .write.mode("overwrite").parquet(out_path))
 
 
 def _dir_bytes(d: str) -> int:

@@ -131,27 +131,73 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
     term_start = np.nonzero(new_term)[0]
     term_end = np.concatenate([term_start[1:], [len(post_term)]])
     term_codes_present = post_term[term_start]
+    n_terms = len(term_start)
+    term_df = term_end - term_start
+
+    # --- batched single-block fast path (the long tail of the vocabulary):
+    # doc deltas + freqs for ALL postings varbyte-encoded in ONE vectorized
+    # pass; a tail term's single block is then a pure byte-slice. Segmented
+    # reductions give per-term max/min freq + min norm so uniform-frequency
+    # terms (the overwhelming majority) also get their impact frontier
+    # without a per-term numpy call. ---
+    dd = np.empty(len(post_doc), dtype=np.uint64)
+    if len(post_doc):
+        dd[1:] = (post_doc[1:] - post_doc[:-1]).astype(np.uint64)
+        dd[term_start] = (post_doc[term_start] + 1).astype(np.uint64)
+    doc_buf = codec.vint_encode(dd)
+    doc_off = np.zeros(len(dd) + 1, dtype=np.int64)
+    doc_off[1:] = np.cumsum(_vint_lengths(dd))
+    f0 = (freqs - 1).astype(np.uint64)
+    freq_buf = codec.vint_encode(f0)
+    freq_off = np.zeros(len(f0) + 1, dtype=np.int64)
+    freq_off[1:] = np.cumsum(_vint_lengths(f0))
+    fmax = np.maximum.reduceat(freqs, term_start) if n_terms else freqs
+    fmin = np.minimum.reduceat(freqs, term_start) if n_terms else freqs
+    nmin = np.minimum.reduceat(post_norm.astype(np.int64), term_start) \
+        if n_terms else post_norm
+    max_doc_of_term = post_doc[term_end - 1]
+    ttf = np.add.reduceat(freqs, term_start) if n_terms else freqs
+    VB = bytes([codec.TAG_VARBYTE])
 
     rows = {n: [] for n, _ in POSTINGS_COLS}
     mv = memoryview(pos_data_all) if with_positions else None
-    for ti, (s, e) in enumerate(zip(term_start, term_end)):
-        docids = post_doc[s:e]
-        tfs = freqs[s:e]
-        blocks, ns, max_docs = codec.encode_doc_blocks(docids)
-        fblocks = codec.encode_freq_blocks(tfs)
-        impf, impn = [], []
-        tnorms = post_norm[s:e]
-        for bs in range(0, len(docids), codec.BLOCK_SIZE):
-            be = min(bs + codec.BLOCK_SIZE, len(docids))
-            ff, nn = codec.impacts_frontier(tfs[bs:be], tnorms[bs:be])
-            impf.append(ff.astype(np.int32))
-            impn.append(nn.astype(np.int32))
+    mv_doc = memoryview(doc_buf)
+    mv_freq = memoryview(freq_buf)
+    BS = codec.BLOCK_SIZE
+    for ti in range(n_terms):
+        s, e = term_start[ti], term_end[ti]
+        df = e - s
+        if df <= BS:
+            blocks = [VB + bytes(mv_doc[doc_off[s]:doc_off[e]])]
+            fblocks = [VB + bytes(mv_freq[freq_off[s]:freq_off[e]])]
+            ns = np.array([df], dtype=np.int32)
+            max_docs = max_doc_of_term[ti:ti + 1]
+            if fmax[ti] == fmin[ti]:
+                impf = [np.array([fmax[ti]], dtype=np.int32)]
+                impn = [np.array([nmin[ti]], dtype=np.int32)]
+            else:
+                ff, nn = codec.impacts_frontier(freqs[s:e], post_norm[s:e])
+                impf, impn = [ff.astype(np.int32)], [nn.astype(np.int32)]
+        else:
+            docids = post_doc[s:e]
+            tfs = freqs[s:e]
+            blocks, ns, max_docs = codec.encode_doc_blocks(docids)
+            fblocks = codec.encode_freq_blocks(tfs)
+            ns = np.asarray(ns, dtype=np.int32)
+            max_docs = np.asarray(max_docs, dtype=np.int64)
+            impf, impn = [], []
+            tnorms = post_norm[s:e]
+            for bs in range(0, df, BS):
+                be = min(bs + BS, df)
+                ff, nn = codec.impacts_frontier(tfs[bs:be], tnorms[bs:be])
+                impf.append(ff.astype(np.int32))
+                impn.append(nn.astype(np.int32))
         rows["term"].append(tuniq[term_codes_present[ti]])
         rows["segment"].append(segment)
-        rows["doc_freq"].append(len(docids))
-        rows["total_term_freq"].append(int(tfs.sum()))
-        rows["block_max_docs"].append(np.asarray(max_docs, dtype=np.int64))
-        rows["block_ns"].append(np.asarray(ns, dtype=np.int32))
+        rows["doc_freq"].append(df)
+        rows["total_term_freq"].append(ttf[ti])
+        rows["block_max_docs"].append(max_docs)
+        rows["block_ns"].append(ns)
         rows["block_docs"].append(blocks)
         rows["block_freqs"].append(fblocks)
         rows["imp_freqs"].append(impf)

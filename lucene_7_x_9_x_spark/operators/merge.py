@@ -1,0 +1,221 @@
+"""Segment merge — the SegmentMerger / TieredMergePolicy analogue.
+
+Semantics (SURVEY.md §2.4): concatenate N source segments into M merged
+segments, remapping docids by per-segment docBase offsets exactly like
+Lucene's SegmentMerger (solr-8.4.0/lucene/core/src/java/org/apache/lucene/
+index/SegmentMerger.java:106-173). Because rebased docid ranges are
+disjoint and ordered, per-term merge is concatenation in segment order — no
+k-way heap needed (Lucene needs one only because of deletions,
+MultiPostingsEnum/DocIDMerger).
+
+Scale design: rebasing is DECODE-FREE except for each row's first block
+(the first stored delta absorbs the docBase shift; all other deltas are
+docid differences and unchanged), so merging a posting row is O(metadata),
+not O(doc_freq). Skewed terms (north rule) are handled by a salted
+two-stage shuffle: stage 1 groups by (term, new_segment, salt) and
+concatenates bounded subsets; stage 2 concatenates the pre-merged partials
+— concat is associative, so salted == unsalted bit-for-bit, and no task
+ever materializes more than ceil(G/salt) segments of a hot term
+(TieredMergePolicy caps per-merge inputs the same way,
+solr-8.4.0/.../index/TieredMergePolicy.java:88-101).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+from ..functions import codec
+from ..index import MANIFEST, IndexSnapshot, _atomic_write_json
+from .build import POSTINGS_COLS
+
+
+def _rebase_row_arrays(row: dict, base: int) -> dict:
+    """Shift one postings row's docids by +base without decoding (except
+    the first block, whose first delta absorbs the shift)."""
+    if base == 0 or len(row["block_ns"]) == 0:
+        return row
+    b0 = codec.decode_block(bytes(row["block_docs"][0]),
+                            int(row["block_ns"][0]))
+    b0 = b0.astype(np.uint64)
+    b0[0] += np.uint64(base)
+    blocks = list(row["block_docs"])
+    blocks[0] = codec.encode_block(b0)
+    row["block_docs"] = blocks
+    row["block_max_docs"] = (np.asarray(row["block_max_docs"], np.int64)
+                             + base)
+    return row
+
+
+def _concat_rows(rows: list[dict], term, new_segment: int) -> dict:
+    """Concatenate already-rebased rows. Invariant: a standalone row's first
+    delta is relative to base -1; after concatenation, block j decodes
+    against block j-1's max_doc, so each subsequent row's first delta is
+    re-anchored to the previous row's last max_doc (O(1 block) work)."""
+    block_docs = list(rows[0]["block_docs"])
+    prev_last = int(np.asarray(rows[0]["block_max_docs"], np.int64)[-1]) \
+        if len(rows[0]["block_ns"]) else -1
+    for r in rows[1:]:
+        if len(r["block_ns"]) == 0:
+            continue
+        b0 = codec.decode_block(bytes(r["block_docs"][0]),
+                                int(r["block_ns"][0])).astype(np.int64)
+        first = b0[0] - 1  # delta was relative to -1
+        b0[0] = first - prev_last
+        rb = list(r["block_docs"])
+        rb[0] = codec.encode_block(b0.astype(np.uint64))
+        block_docs.extend(rb)
+        prev_last = int(np.asarray(r["block_max_docs"], np.int64)[-1])
+    out = {
+        "term": term, "segment": new_segment,
+        "doc_freq": int(sum(r["doc_freq"] for r in rows)),
+        "total_term_freq": int(sum(r["total_term_freq"] for r in rows)),
+        "block_max_docs": np.concatenate(
+            [np.asarray(r["block_max_docs"], np.int64) for r in rows]),
+        "block_ns": np.concatenate(
+            [np.asarray(r["block_ns"], np.int32) for r in rows]),
+        "block_docs": block_docs,
+        "block_freqs": [b for r in rows for b in r["block_freqs"]],
+        "imp_freqs": [x for r in rows for x in r["imp_freqs"]],
+        "imp_norms": [x for r in rows for x in r["imp_norms"]],
+    }
+    if rows[0].get("pos_data") is not None:
+        offs, data, shift = [], [], 0
+        for r in rows:
+            o = np.asarray(r["pos_offsets"], np.int64)
+            offs.append(o[:-1] + shift)
+            data.append(bytes(r["pos_data"]))
+            shift += o[-1]
+        out["pos_offsets"] = np.concatenate(offs + [np.array([shift])])
+        out["pos_data"] = b"".join(data)
+    else:
+        out["pos_offsets"] = None
+        out["pos_data"] = None
+    return out
+
+
+def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
+                target_segments: int, salt: int = 1) -> IndexSnapshot:
+    """Merge the index's segments down to target_segments."""
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    dm = index.docmap()
+    sizes = {r["segment"]: r["cnt"] for r in
+             dm.groupBy("segment").agg(F.count("*").alias("cnt")).collect()}
+    old_segs = sorted(sizes)
+    groups = np.array_split(np.array(old_segs), target_segments)
+    seg_map, base_map, rank_map = {}, {}, {}
+    for new_seg, grp in enumerate(groups):
+        base = 0
+        for rank, s in enumerate(grp.tolist()):
+            seg_map[s] = new_seg
+            base_map[s] = base
+            rank_map[s] = rank
+            base += sizes[s]
+
+    smap = F.create_map(*[F.lit(x) for kv in seg_map.items() for x in kv])
+    bmap = F.create_map(*[F.lit(x) for kv in base_map.items() for x in kv])
+
+    # ---- docmap: pure column arithmetic, one shuffle-free pass ----------
+    new_dm = (dm.withColumn("new_segment", smap[F.col("segment")])
+              .withColumn("new_docid", F.col("docid") + bmap[F.col("segment")])
+              .drop("segment", "docid")
+              .withColumnRenamed("new_segment", "segment")
+              .withColumnRenamed("new_docid", "docid"))
+
+    # ---- postings: rebase (narrow) then salted grouped concat -----------
+    post = (index.postings()
+            .withColumn("old_segment", F.col("segment"))
+            .withColumn("base", bmap[F.col("segment")])
+            .withColumn("segment", smap[F.col("segment")]))
+
+    pcols = [n for n, _ in POSTINGS_COLS]
+    schema = ", ".join(f"{n} {t}" for n, t in POSTINGS_COLS)
+
+    def do_merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("old_segment")
+        merged = {c: [] for c in pcols}
+        for term, g in pdf.groupby("term", sort=False):
+            rows = []
+            for rec in g.to_dict("records"):
+                rows.append(_rebase_row_arrays(rec, int(rec["base"])))
+            m = _concat_rows(rows, term, int(key[0]))
+            for c in pcols:
+                merged[c].append(m[c])
+        out = pd.DataFrame(merged)
+        if len(out):
+            out["segment"] = out["segment"].astype(np.int32)
+        return out
+
+    if salt > 1:
+        # stage 1: bounded partial merges over CONTIGUOUS ranks within each
+        # merge group (so stage-2 concat in old_segment order keeps docids
+        # ascending); no task sees more than ceil(group/salt) segments of
+        # any term
+        max_grp = max(len(g) for g in groups) or 1
+        span = -(-max_grp // salt)
+        saltmap = F.create_map(*[F.lit(x) for s, r in rank_map.items()
+                                 for x in (s, r // span)])
+        stage1 = (post.withColumn("salt", saltmap[F.col("old_segment")])
+                  .groupBy("segment", "term", "salt"))
+
+        def partial(key, pdf):
+            pdf = pdf.sort_values("old_segment")
+            merged = {c: [] for c in pcols + ["old_segment", "base"]}
+            for term, g in pdf.groupby("term", sort=False):
+                rows = [_rebase_row_arrays(r, int(r["base"]))
+                        for r in g.to_dict("records")]
+                m = _concat_rows(rows, term, int(key[0]))
+                for c in pcols:
+                    merged[c].append(m[c])
+                merged["old_segment"].append(int(g["old_segment"].min()))
+                merged["base"].append(0)  # already rebased
+            out = pd.DataFrame(merged)
+            if len(out):
+                out["segment"] = out["segment"].astype(np.int32)
+            return out
+
+        schema1 = schema + ", old_segment int, base long"
+        pre = stage1.applyInPandas(partial, schema=schema1)
+        merged_post = pre.groupBy("segment").applyInPandas(
+            do_merge, schema=schema)
+    else:
+        merged_post = (post.groupBy("segment")
+                       .applyInPandas(do_merge, schema=schema))
+
+    # ---- write in the index layout --------------------------------------
+    batch_dir = os.path.join(out_dir, "batch_0")
+    (merged_post.repartition("segment")
+     .sortWithinPartitions("segment", "term")
+     .write.mode("overwrite").parquet(os.path.join(batch_dir,
+                                                   "kind=postings")))
+    (new_dm.repartition("segment").sortWithinPartitions("segment", "docid")
+     .write.mode("overwrite").parquet(os.path.join(batch_dir, "kind=docmap")))
+    # terms + stats are global -> unchanged; copy terms table
+    index.terms().write.mode("overwrite").parquet(
+        os.path.join(out_dir, "terms"))
+    from ..index import write_segnorms
+    write_segnorms(
+        spark.read.parquet(os.path.join(batch_dir, "kind=docmap")),
+        os.path.join(out_dir, "segnorms"))
+
+    manifest = dict(index.manifest)
+    manifest.update({
+        "run_id": uuid.uuid4().hex[:12],
+        "batches": ["batch_0"],
+        "num_segments": target_segments,
+        "merged_from": {"source": index.root, "segments": len(old_segs),
+                        "salt": salt, "secs": round(time.time() - t0, 3)},
+        "checkpoints": index.manifest.get("checkpoints", []) + [{
+            "stage": "merge", "status": "done",
+            "segments_in": len(old_segs), "segments_out": target_segments,
+            "salt": salt, "secs": round(time.time() - t0, 3)}],
+    })
+    _atomic_write_json(os.path.join(out_dir, MANIFEST), manifest)
+    return IndexSnapshot(spark, out_dir)

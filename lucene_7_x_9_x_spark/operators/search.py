@@ -92,7 +92,7 @@ class SparkSegmentReader:
 
     def positions(self, term):
         r = self._rows.get(term)
-        if r is None or r.pos_data is None:
+        if r is None or getattr(r, "pos_data", None) is None:
             return None
         p = self.postings(term)
         if p is None:

@@ -38,6 +38,7 @@ class Searcher:
         self.max_expansions = max_expansions
         self._ctx = RewriteContext(expand_terms=self._expand,
                                    max_expansions=max_expansions)
+        self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
 
     # ---------------- driver-side rewrite/expansion over the terms table
     def _expand(self, q) -> list | None:
@@ -70,13 +71,18 @@ class Searcher:
     # ---------------- stats gathering (once per query)
     def _global_stats(self, terms: set) -> ex.SegmentStats:
         dfs, ttfs = {}, {}
-        if terms:
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
             rows = (self.index.terms()
-                    .where(F.col("term").isin(list(terms)))
-                    .collect())
-            for r in rows:
-                dfs[r.term] = int(r.doc_freq)
-                ttfs[r.term] = int(r.total_term_freq)
+                    .where(F.col("term").isin(missing)).collect())
+            found = {r.term: (int(r.doc_freq), int(r.total_term_freq))
+                     for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t, (0, 0))
+        for t in terms:
+            df_, ttf = self._stats_cache[t]
+            if df_ > 0:
+                dfs[t], ttfs[t] = df_, ttf
         s = self.index.stats
         return ex.SegmentStats(
             doc_count=s["doc_count"],
@@ -90,33 +96,53 @@ class Searcher:
             post = post.where(F.col("term").isin(list(terms)))
         else:  # match-all style queries need no postings
             post = post.where(F.lit(False))
-        dm = self.index.docmap().select("segment", "docid", "norm")
-        return post.groupBy("segment").cogroup(dm.groupBy("segment"))
+        # column pruning: the positions column (the .pos file analogue) is
+        # only read when the query actually needs positions (SURVEY.md
+        # §3.3.4 lazy-positions); docmap-only union columns never are
+        cols = ["term", "segment", "doc_freq", "total_term_freq",
+                "block_max_docs", "block_ns", "block_docs", "block_freqs",
+                "imp_freqs", "imp_norms"]
+        if _needs_positions(query):
+            cols += ["pos_offsets", "pos_data"]
+        post = post.select(*cols)
+        # norms come from the tiny per-segment blob table (1 row/segment),
+        # NOT the docmap — a query never shuffles per-doc rows
+        sn = self.index.segnorms()
+        return post.groupBy("segment").cogroup(sn.groupBy("segment"))
 
-    def _run(self, query, k: int | None, mode: str) -> DataFrame:
+    def _run(self, query, k: int | None, mode: str,
+             after: tuple | None = None) -> DataFrame:
         query = self.rewrite(query)
         terms = Q.scoring_terms(query) | _filter_terms(query)
         stats = self._global_stats(terms)
         plan = classify_blockmax(query) if mode in ("auto", "blockmax") else None
-        use_blockmax = plan is not None and k is not None and mode != "complete"
-        k1, b = self.k1, self.b
+        use_blockmax = (plan is not None and k is not None
+                        and mode != "complete" and after is None)
 
-        def kernel(key, post_pdf: pd.DataFrame, dm_pdf: pd.DataFrame
+        def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
             seg = int(key[0])
-            if len(dm_pdf) == 0:
+            if len(sn_pdf) == 0:
                 return pd.DataFrame({"segment": [], "docid": [], "score": []})
-            dm_sorted = dm_pdf.sort_values("docid")
-            norms = (dm_sorted["norm"].to_numpy(np.int64) & 0xFF).astype(np.uint8)
-            reader = SparkSegmentReader(post_pdf, norms, len(dm_pdf))
+            norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
+            reader = SparkSegmentReader(post_pdf, norms,
+                                        int(sn_pdf["max_doc"].iloc[0]))
             if use_blockmax:
                 d, s, _ = blockmax_topk(reader, stats, plan, k)
             else:
                 m = ex.evaluate(reader, stats, query)
+                d, s = m.docids, m.scores
+                if after is not None:
+                    # searchAfter cursor (IndexSearcher.java:388-422):
+                    # keep docs strictly after (score, segment, docid)
+                    a_s, a_seg, a_doc = (np.float32(after[0]), after[1],
+                                         after[2])
+                    keep = (s < a_s) | ((s == a_s) & (
+                        (seg > a_seg) | ((seg == a_seg) & (d > a_doc))))
+                    d, s = d[keep], s[keep]
                 if k is not None:
-                    d, s = ex.top_k(m, k)
-                else:
-                    d, s = m.docids, m.scores
+                    m2 = ex.Matches(d, s)
+                    d, s = ex.top_k(m2, k)
             return pd.DataFrame({
                 "segment": np.full(len(d), seg, dtype=np.int32),
                 "docid": d, "score": s.astype(np.float32)})
@@ -126,10 +152,14 @@ class Searcher:
 
     # ---------------- public API
     def search(self, query, k: int = 10, mode: str = "auto",
-               with_ids: bool = True) -> DataFrame:
+               with_ids: bool = True, after: tuple | None = None
+               ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(rank, segment, docid, score [, id
-        cols]) with (score desc, segment asc, docid asc) order."""
-        res = (self._run(query, k, mode)
+        cols]) with (score desc, segment asc, docid asc) order.
+
+        after=(score, segment, docid) pages past a previous result row
+        (searchAfter, IndexSearcher.java:388-422)."""
+        res = (self._run(query, k, mode, after=after)
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         res = res.withColumn("rank", F.row_number().over(w))
@@ -148,7 +178,65 @@ class Searcher:
         return self._run(query, None, "complete")
 
     def count(self, query) -> int:
+        """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
+
+    def rescore(self, first_pass: DataFrame, query2, weight: float = 1.0,
+                k: int = 10) -> DataFrame:
+        """QueryRescorer analogue (solr-8.4.0/.../search/QueryRescorer.java):
+        combined = first_pass_score + weight * second_query_score over only
+        the first-pass docs (docs not matching query2 keep their score)."""
+        rows = first_pass.select("segment", "docid", "score").collect()
+        wanted: dict = {}
+        for r in rows:
+            wanted.setdefault(int(r.segment), {})[int(r.docid)] = \
+                np.float32(r.score)
+        query2 = self.rewrite(query2)
+        terms = Q.scoring_terms(query2) | _filter_terms(query2)
+        stats = self._global_stats(terms)
+        w32 = np.float32(weight)
+
+        def kernel(key, post_pdf, sn_pdf):
+            seg = int(key[0])
+            seg_docs = wanted.get(seg, {})
+            if not seg_docs or len(sn_pdf) == 0:
+                return pd.DataFrame({"segment": [], "docid": [], "score": []})
+            norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
+            reader = SparkSegmentReader(post_pdf, norms,
+                                        int(sn_pdf["max_doc"].iloc[0]))
+            m = ex.evaluate(reader, stats, query2)
+            d = np.array(sorted(seg_docs), dtype=np.int64)
+            base = np.array([seg_docs[x] for x in sorted(seg_docs)],
+                            dtype=np.float32)
+            pos = np.searchsorted(m.docids, d)
+            ok = pos < len(m.docids)
+            ok[ok] = m.docids[pos[ok]] == d[ok]
+            add = np.zeros(len(d), dtype=np.float32)
+            add[ok] = m.scores[pos[ok]]
+            comb = (base.astype(np.float64)
+                    + (w32 * add).astype(np.float64)).astype(np.float32)
+            return pd.DataFrame({
+                "segment": np.full(len(d), seg, dtype=np.int32),
+                "docid": d, "score": comb})
+
+        res = (self._kernel_frame(query2, terms)
+               .applyInPandas(kernel,
+                              schema="segment int, docid long, score float")
+               .orderBy(F.desc("score"), "segment", "docid").limit(k))
+        w = Window.orderBy(F.desc("score"), "segment", "docid")
+        return res.withColumn("rank", F.row_number().over(w))
+
+
+def _needs_positions(q) -> bool:
+    if isinstance(q, Q.PhraseQuery):
+        return True
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return _needs_positions(q.query)
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return any(_needs_positions(s) for s in q.queries)
+    if isinstance(q, Q.BooleanQuery):
+        return any(_needs_positions(c.query) for c in q.clauses)
+    return False
 
 
 def _filter_terms(q) -> set:

@@ -1,0 +1,150 @@
+"""Incremental index maintenance — the NRT-reader / openIfChanged analogue
+(SURVEY.md §2.9): new corpus files become new segments appended under a new
+snapshot; readers only ever see complete manifests (two-phase commit,
+solr-8.4.0/lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:3408).
+
+Structured Streaming drives discovery: ``readStream`` over the corpus
+directory with ``availableNow`` + ``foreachBatch`` appends each micro-batch
+as a segment batch, then finalize() refreshes global terms/stats — the
+Spark-idiomatic form of Lucene's flush-new-segment + commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.analysis import AnalyzerConfig
+from ..index import MANIFEST, IndexSnapshot, _atomic_write_json, _dir_bytes
+from ..operators.build import POSTINGS_COLS, invert_segment, postings_schema_ddl
+
+
+def append_batch(spark: SparkSession, corpus_batch: DataFrame,
+                 index_dir: str, *, segments_in_batch: int | None = None
+                 ) -> None:
+    """Append one corpus micro-batch as new segments (no re-finalize)."""
+    idx = IndexSnapshot(spark, index_dir)
+    cfg = idx.analyzer
+    id_cols = idx.id_cols
+    id_fields = idx.id_fields
+    text_col = idx.manifest["text_col"]
+    seg_base = idx.manifest["num_segments"]
+    with_positions = idx.manifest["with_positions"]
+    n_seg = segments_in_batch or max(
+        spark.sparkContext.defaultParallelism // 4, 1)
+
+    seg_col = (F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
+                      F.lit(n_seg)).cast("int") + F.lit(seg_base))
+    prepared = corpus_batch.select(
+        *id_cols, F.col(text_col).alias("__text__"),
+        F.sha2(F.col(text_col), 256).alias("content_sha256"),
+        seg_col.alias("segment"))
+
+    combined_ddl = (
+        "kind string, " + postings_schema_ddl() + ", docid long, "
+        + ", ".join(f"{n} {t}" for n, t in id_fields)
+        + ", dl long, norm int, content_sha256_out string")
+
+    def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        postings, docmap = invert_segment(
+            pdf, segment=seg, id_cols=id_cols, text_col="__text__",
+            cfg=cfg, with_positions=with_positions)
+        postings.insert(0, "kind", "postings")
+        dm = pd.DataFrame({"kind": "docmap", "term": None,
+                           "segment": docmap["segment"],
+                           "doc_freq": None, "total_term_freq": None})
+        for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
+                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data"]:
+            dm[c] = None
+        dm["docid"] = docmap["docid"]
+        for n, _ in id_fields:
+            dm[n] = docmap[n]
+        dm["dl"] = docmap["dl"]
+        dm["norm"] = docmap["norm"]
+        dm["content_sha256_out"] = docmap["content_sha256"]
+        for col in ["docid", "dl", "norm", "content_sha256_out"]:
+            postings[col] = None
+        for n, _ in id_fields:
+            postings[n] = None
+        cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
+                + [n for n, _ in id_fields]
+                + ["dl", "norm", "content_sha256_out"])
+        return pd.concat([postings[cols], dm[cols]], ignore_index=True)
+
+    batch_name = f"batch_inc_{len(idx.manifest['batches'])}"
+    out = (prepared.groupBy("segment")
+           .applyInPandas(build_combined, schema=combined_ddl))
+    (out.repartition("segment").sortWithinPartitions("segment", "term")
+     .write.mode("overwrite").partitionBy("kind")
+     .parquet(os.path.join(index_dir, batch_name)))
+
+    m = dict(idx.manifest)
+    m["batches"] = m["batches"] + [batch_name]
+    m["num_segments"] = seg_base + n_seg
+    m["run_id"] = uuid.uuid4().hex[:12]
+    m.setdefault("checkpoints", []).append({
+        "stage": "append", "batch": batch_name, "status": "done",
+        "bytes_compressed": _dir_bytes(os.path.join(index_dir, batch_name))})
+    _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
+
+
+def finalize(spark: SparkSession, index_dir: str) -> IndexSnapshot:
+    """Recompute global terms/stats after appends (snapshot refresh)."""
+    idx = IndexSnapshot(spark, index_dir)
+    post = idx.postings()
+    terms = (post.groupBy("term")
+             .agg(F.sum("doc_freq").alias("doc_freq"),
+                  F.sum("total_term_freq").alias("total_term_freq")))
+    tmp_terms = os.path.join(index_dir, "terms_new")
+    terms.repartitionByRange(max(idx.manifest["num_segments"] // 4, 1),
+                             "term") \
+        .sortWithinPartitions("term").write.mode("overwrite").parquet(
+        tmp_terms)
+    dm = idx.docmap()
+    srow = dm.agg(F.count("*").alias("max_doc"),
+                  F.sum(F.when(F.col("dl") > 0, 1).otherwise(0))
+                  .alias("doc_count"),
+                  F.sum("dl").alias("sum_ttf")).collect()[0]
+    tstats = terms.agg(F.sum("doc_freq").alias("sdf"),
+                       F.count("*").alias("n")).collect()[0]
+    import shutil
+    final_terms = os.path.join(index_dir, "terms")
+    shutil.rmtree(final_terms, ignore_errors=True)
+    os.replace(tmp_terms, final_terms)
+    from ..index import write_segnorms
+    write_segnorms(dm, os.path.join(index_dir, "segnorms"))
+    m = dict(idx.manifest)
+    m["stats"] = {"max_doc": srow["max_doc"],
+                  "doc_count": int(srow["doc_count"] or 0),
+                  "sum_total_term_freq": int(srow["sum_ttf"] or 0),
+                  "sum_doc_freq": int(tstats["sdf"] or 0),
+                  "n_terms": tstats["n"]}
+    _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
+    return IndexSnapshot(spark, index_dir)
+
+
+def run_incremental(spark: SparkSession, corpus_glob: str, index_dir: str,
+                    corpus_schema: str, checkpoint_dir: str) -> IndexSnapshot:
+    """availableNow Structured Streaming pass: index all not-yet-processed
+    corpus files, then refresh the snapshot. Re-running after new files
+    arrive indexes only the new ones (stream checkpoint = Lucene's
+    segments_N generation tracking)."""
+    stream = (spark.readStream.schema(corpus_schema)
+              .parquet(corpus_glob))
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        append_batch(spark, batch_df, index_dir)
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return finalize(spark, index_dir)
