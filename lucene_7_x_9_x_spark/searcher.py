@@ -119,6 +119,15 @@ class Searcher:
         use_blockmax = (plan is not None and k is not None
                         and mode != "complete" and after is None)
 
+        # an all-absent term set means the postings scan is empty; a
+        # zero-batch nested-schema side crashes pyspark's Arrow reader
+        # (pyspark 4.1 arrow_to_pandas segfault), and we can answer without
+        # the kernel anyway unless a MatchAll clause is involved
+        empty_postings = all(stats.doc_freqs.get(t, 0) == 0 for t in terms)
+        if empty_postings and not _contains_matchall(query):
+            return self.index.spark.createDataFrame(
+                [], "segment int, docid long, score float")
+
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
             seg = int(key[0])
@@ -147,6 +156,13 @@ class Searcher:
                 "segment": np.full(len(d), seg, dtype=np.int32),
                 "docid": d, "score": s.astype(np.float32)})
 
+        if empty_postings:  # MatchAll-containing query: norms-only kernel
+            def kernel_sn(key, sn_pdf: pd.DataFrame) -> pd.DataFrame:
+                return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
+            return (self.index.segnorms().groupBy("segment")
+                    .applyInPandas(kernel_sn,
+                                   schema="segment int, docid long,"
+                                          " score float"))
         return self._kernel_frame(query, terms).applyInPandas(
             kernel, schema="segment int, docid long, score float")
 
@@ -195,6 +211,13 @@ class Searcher:
         terms = Q.scoring_terms(query2) | _filter_terms(query2)
         stats = self._global_stats(terms)
         w32 = np.float32(weight)
+        if all(stats.doc_freqs.get(t, 0) == 0 for t in terms) \
+                and not _contains_matchall(query2):
+            # second query matches nothing: combined == first-pass scores
+            res0 = (first_pass.select("segment", "docid", "score")
+                    .orderBy(F.desc("score"), "segment", "docid").limit(k))
+            w0 = Window.orderBy(F.desc("score"), "segment", "docid")
+            return res0.withColumn("rank", F.row_number().over(w0))
 
         def kernel(key, post_pdf, sn_pdf):
             seg = int(key[0])
@@ -225,6 +248,18 @@ class Searcher:
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         return res.withColumn("rank", F.row_number().over(w))
+
+
+def _contains_matchall(q) -> bool:
+    if isinstance(q, Q.MatchAllDocsQuery):
+        return True
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return _contains_matchall(q.query)
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return any(_contains_matchall(s) for s in q.queries)
+    if isinstance(q, Q.BooleanQuery):
+        return any(_contains_matchall(c.query) for c in q.clauses)
+    return False
 
 
 def _needs_positions(q) -> bool:
