@@ -291,6 +291,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "fp")
 
+    def sort_by_field(spark, sf):
+        # TopFieldCollector analogue: top-k by a stored field, native
+        # Catalyst TakeOrderedAndProject (SURVEY.md §2.7)
+        from pyspark.sql import Window
+        top = (_docs(spark, sf)
+               .select(F.col("doc_id").cast("long"),
+                       F.col("n_chars").cast("long"))
+               .orderBy(F.desc("n_chars"), "doc_id").limit(10))
+        w = Window.orderBy(F.desc("n_chars"), "doc_id")
+        return top.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+
+    def events_windowed(spark, sf):
+        # tumbling-window aggregation over the events stream table — the
+        # batch form of the Structured Streaming windowed-agg surface
+        # (SURVEY.md §2.9); watermarked streaming variant in
+        # streaming/incremental.py
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").cast("long").alias("cnt"),
+                     F.sum(F.col("value").cast("decimal(20,2)"))
+                     .cast("decimal(20,2)").cast("string").alias("sum_value"))
+                .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("win_start"), "event_type", "cnt",
+                        "sum_value"))
+
     def multimodal_features(spark, sf):
         from lucene_7_x_9_x_spark.pipeline.multimodal import extract_features
         media = _docs(spark, sf).select(
@@ -330,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality_q,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
+        "sort_by_field": sort_by_field,
+        "events_windowed": events_windowed,
         "multimodal_features": multimodal_features,
     }
 
@@ -523,6 +551,18 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                      list_sort(list_transform(list_distinct(ts),
                                               t -> md5(t)))[1:4], '|') AS fp
             FROM (SELECT doc_id, {TOKS} AS ts FROM documents)""",
+        "sort_by_field": """
+            SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                     AS BIGINT) AS rank,
+                   doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "events_windowed": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(20,2)))
+                        AS DECIMAL(20,2)) AS VARCHAR) AS sum_value
+            FROM events GROUP BY 1, 2""",
         "multimodal_features": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
                      AS n_bytes,
