@@ -34,8 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.analysis import AnalyzerConfig
-from .operators.build import (POSTINGS_COLS, docmap_schema_ddl,
-                              invert_segment, postings_schema_ddl)
+from .operators.build import (POSTINGS_COLS, invert_segment,
+                              postings_schema_ddl)
 
 MANIFEST = "manifest.json"
 
@@ -103,7 +103,6 @@ def build_index(
     analyzer: AnalyzerConfig | None = None,
     with_positions: bool = True,
     resume: bool = False,
-    verify_sha: bool = True,
     segment_by: str = "hash",
 ) -> IndexSnapshot:
     """One-shot (optionally batched + resumable) index build.

@@ -44,12 +44,6 @@ POSTINGS_COLS = [
 ]
 
 
-def docmap_schema_ddl(id_fields: list[tuple[str, str]]) -> str:
-    cols = [("segment", "int"), ("docid", "long")] + id_fields + [
-        ("dl", "long"), ("norm", "int"), ("content_sha256", "string")]
-    return ", ".join(f"{n} {t}" for n, t in cols)
-
-
 def postings_schema_ddl() -> str:
     return ", ".join(f"{n} {t}" for n, t in POSTINGS_COLS)
 

@@ -197,6 +197,49 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def explain(self, query, segment: int, docid: int) -> list[dict]:
+        """Score explanation for one doc — the Weight.explain / Explanation
+        analogue (solr-8.4.0/.../search/similarities/BM25Similarity.java
+        explainTF/explainConstantFactors): per scoring term, its tf, df,
+        idf, norm-decoded dl, weight, and float32 contribution."""
+        query = self.rewrite(query)
+        terms = sorted(Q.scoring_terms(query))
+        stats = self._global_stats(set(terms))
+        rows = (self.index.postings()
+                .where((F.col("term").isin(terms))
+                       & (F.col("segment") == segment))
+                .toPandas())
+        sn = (self.index.segnorms().where(F.col("segment") == segment)
+              .collect())
+        if not sn:
+            return []
+        norms = np.frombuffer(bytes(sn[0]["norms"]), np.uint8)
+        reader = SparkSegmentReader(rows, norms, int(sn[0]["max_doc"]))
+        from .functions import bm25
+        from .functions.smallfloat import byte4_to_int
+        out = []
+        for t in terms:
+            p = reader.postings(t)
+            if p is None:
+                continue
+            d, f = p
+            i = np.searchsorted(d, docid)
+            if i >= len(d) or d[i] != docid:
+                continue
+            w = stats.idf(t)
+            contrib = bm25.score_term(
+                f[i:i + 1], norms[docid:docid + 1], w, stats.cache)[0]
+            out.append({
+                "term": t, "tf": int(f[i]),
+                "doc_freq": stats.doc_freqs.get(t, 0),
+                "idf": float(w),
+                "dl_quantized": int(byte4_to_int(
+                    np.array([norms[docid]]))[0]),
+                "avgdl": float(stats.avgdl),
+                "score": float(contrib),
+            })
+        return out
+
     def rescore(self, first_pass: DataFrame, query2, weight: float = 1.0,
                 k: int = 10) -> DataFrame:
         """QueryRescorer analogue (solr-8.4.0/.../search/QueryRescorer.java):
