@@ -106,8 +106,14 @@ class Searcher:
             cols += ["pos_offsets", "pos_data"]
         post = post.select(*cols)
         # norms come from the tiny per-segment blob table (1 row/segment),
-        # NOT the docmap — a query never shuffles per-doc rows
-        sn = self.index.segnorms()
+        # NOT the docmap — a query never shuffles per-doc rows. The blob
+        # side is semi-joined down to segments that actually hold matching
+        # postings: segments without postings can't produce hits, and a
+        # cogroup shuffle partition whose postings side has zero Arrow
+        # batches segfaults pyspark's reader (same bug as the global-empty
+        # guard in _run)
+        sn = (self.index.segnorms()
+              .join(post.select("segment").distinct(), "segment"))
         return post.groupBy("segment").cogroup(sn.groupBy("segment"))
 
     def _run(self, query, k: int | None, mode: str,
