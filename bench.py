@@ -107,6 +107,23 @@ def main():
         PhraseQuery(["the", "fast"]), 10).collect())
     timed("term_count", lambda: searcher.count(TermQuery("filter")))
 
+    # query throughput: 32 queries fused into one job (search_many)
+    import numpy as np
+    rng = np.random.RandomState(7)
+    vocab = [r["term"] for r in
+             s_syn.index.terms().orderBy(F.desc("doc_freq"))
+             .limit(60).collect()]
+    batch = {}
+    for i in range(32):
+        ts = [vocab[rng.randint(len(vocab))] for _ in range(3)]
+        batch[f"q{i}"] = BooleanQuery(
+            [(Occur.SHOULD, TermQuery(t)) for t in ts])
+    t0 = time.time()
+    n_res = s_syn.search_many(batch, k=10).count()
+    q["batch_32_queries"] = round(time.time() - t0, 3)
+    extra["batched_qps"] = round(32 / q["batch_32_queries"], 1)
+    extra["batch_result_rows"] = n_res
+
     # ---- pipeline ops ---------------------------------------------------
     timed("dedup_exact", lambda: dedup.exact_dup_groups(
         docs, "doc_id", "text").count())

@@ -203,6 +203,76 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def search_many(self, queries: dict, k: int = 10) -> DataFrame:
+        """Batched top-k for MANY queries in ONE Spark job — the query-
+        throughput path: per-query driver/scheduling overhead is amortized
+        across the batch (a capability the reference gets from running
+        inside one JVM; we get it by fusing kernels). Returns
+        DataFrame(qid, rank, segment, docid, score).
+
+        queries: {qid: Query}. Each query is rewritten and classified
+        independently; block-max is used where eligible."""
+        rewritten = {qid: self.rewrite(q) for qid, q in queries.items()}
+        all_terms = set()
+        for q in rewritten.values():
+            all_terms |= Q.scoring_terms(q) | _filter_terms(q)
+        stats = self._global_stats(all_terms)
+        if all(stats.doc_freqs.get(t, 0) == 0 for t in all_terms):
+            # whole batch would leave the postings scan empty (see the
+            # zero-batch Arrow guard in _run); term-based queries can't hit
+            return self.index.spark.createDataFrame(
+                [], "qid string, rank int, segment int, docid long,"
+                    " score float")
+        plans = {qid: classify_blockmax(q) for qid, q in rewritten.items()}
+        needs_pos = any(_needs_positions(q) for q in rewritten.values())
+
+        post = self.index.postings()
+        if all_terms:
+            post = post.where(F.col("term").isin(list(all_terms)))
+        else:
+            post = post.where(F.lit(False))
+        cols = ["term", "segment", "doc_freq", "total_term_freq",
+                "block_max_docs", "block_ns", "block_docs", "block_freqs",
+                "imp_freqs", "imp_norms"]
+        if needs_pos:
+            cols += ["pos_offsets", "pos_data"]
+        post = post.select(*cols)
+        sn = (self.index.segnorms()
+              .join(post.select("segment").distinct(), "segment"))
+
+        def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
+                   ) -> pd.DataFrame:
+            seg = int(key[0])
+            out = []
+            if len(sn_pdf) == 0:
+                return pd.DataFrame({"qid": [], "segment": [], "docid": [],
+                                     "score": []})
+            norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
+            reader = SparkSegmentReader(post_pdf, norms,
+                                        int(sn_pdf["max_doc"].iloc[0]))
+            for qid, q in rewritten.items():
+                plan = plans[qid]
+                if plan is not None:
+                    d, s_, _ = blockmax_topk(reader, stats, plan, k)
+                else:
+                    d, s_ = ex.top_k(ex.evaluate(reader, stats, q), k)
+                out.append(pd.DataFrame({
+                    "qid": qid,
+                    "segment": np.full(len(d), seg, dtype=np.int32),
+                    "docid": d, "score": s_.astype(np.float32)}))
+            return pd.concat(out, ignore_index=True) if out else \
+                pd.DataFrame({"qid": [], "segment": [], "docid": [],
+                              "score": []})
+
+        res = (post.groupBy("segment").cogroup(sn.groupBy("segment"))
+               .applyInPandas(kernel, schema="qid string, segment int,"
+                                             " docid long, score float"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), "segment",
+                                              "docid")
+        return (res.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "rank", "segment", "docid", "score"))
+
     def explain(self, query, segment: int, docid: int) -> list[dict]:
         """Score explanation for one doc — the Weight.explain / Explanation
         analogue (solr-8.4.0/.../search/similarities/BM25Similarity.java
