@@ -174,15 +174,30 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
             return np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0
         filt_terms.append(t)
 
-    # per-term per-block upper bounds from stored impact frontiers
+    # per-term per-block upper bounds from stored impact frontiers —
+    # all of a term's frontier pairs scored in ONE vectorized call, then
+    # per-block maxima via a segmented reduce (the MaxScoreCache fill,
+    # amortized across blocks)
     term_ends, term_ubs = [], []
     total_blocks = 0
     for term, w, r, _ in scoring:
         ends = np.asarray(r.block_max_docs, dtype=np.int64)
-        ub = np.array([bm25.max_score_for_block(
-            np.asarray(ff, dtype=np.int64), np.asarray(nn, dtype=np.int64),
-            w, stats.cache) for ff, nn in zip(r.imp_freqs, r.imp_norms)],
-            dtype=np.float64)
+        lens = np.fromiter((len(x) for x in r.imp_freqs), dtype=np.int64,
+                           count=len(r.imp_freqs))
+        if len(lens) and (lens > 0).all():
+            all_f = np.concatenate([np.asarray(x, dtype=np.int64)
+                                    for x in r.imp_freqs])
+            all_n = np.concatenate([np.asarray(x, dtype=np.int64)
+                                    for x in r.imp_norms])
+            sc = bm25.score_term(all_f, all_n, w, stats.cache)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ub = np.maximum.reduceat(sc.astype(np.float64), starts)
+        else:  # defensive: empty frontier block (shouldn't occur)
+            ub = np.array([bm25.max_score_for_block(
+                np.asarray(ff, dtype=np.int64),
+                np.asarray(nn, dtype=np.int64), w, stats.cache)
+                for ff, nn in zip(r.imp_freqs, r.imp_norms)],
+                dtype=np.float64)
         term_ends.append(ends)
         term_ubs.append(ub)
         total_blocks += len(ends)
