@@ -55,7 +55,13 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
     cfg = cfg or AnalyzerConfig()
     toks = content.fillna("").str.lower().str.findall(cfg.token_regex)
     if cfg.max_token_length:
-        toks = toks.map(lambda ts: _split_oversize(ts, cfg.max_token_length))
+        # vectorized pre-mask: only docs that can contain an oversize token
+        # pay the per-token split scan (rare in practice)
+        might = content.fillna("").str.contains(
+            "[a-z0-9_A-Z]{%d,}" % (cfg.max_token_length + 1), regex=True)
+        if might.any():
+            toks = toks.where(~might, toks[might].map(
+                lambda ts: _split_oversize(ts, cfg.max_token_length)))
     if cfg.stopwords:
         sw = cfg.stopwords
         # keep original positions: represent holes by filtering (term,pos)
