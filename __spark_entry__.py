@@ -362,6 +362,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_lsh_sql(shingle: str, num_hashes: int = 32, bands: int = 8,
+                     threshold: float = 0.5) -> str:
+    """DuckDB replica of pipeline.dedup.minhash_lsh_pairs: md5-derived
+    31-bit shingle hashes, affine min-hash signatures, banded md5 bucket
+    join, exact Jaccard verification. Constants come from the same
+    _hash_params as the engine, so signatures match bit-for-bit."""
+    from lucene_7_x_9_x_spark.pipeline.dedup import _MERSENNE, _hash_params
+    a, b = _hash_params(num_hashes)
+    r = num_hashes // bands
+    min_cols = ", ".join(
+        f"min((h * {a[i]} + {b[i]}) % {_MERSENNE}) AS m{i}"
+        for i in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, ('0x' || substring(md5("
+        + " || ',' || ".join(f"m{j}::VARCHAR"
+                             for j in range(i * r, i * r + r))
+        + "), 1, 15))::BIGINT AS bh FROM sig"
+        for i in range(bands))
+    jac = ("len(list_intersect(a.sh, b.sh)) * 1.0 / (len(a.sh) + len(b.sh)"
+           " - len(list_intersect(a.sh, b.sh)))")
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+sgl AS (SELECT doc_id, {shingle} AS sh FROM toks),
+hs AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 8))::BIGINT
+                        % {_MERSENNE} AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM sgl)),
+sig AS (SELECT doc_id, {min_cols} FROM hs GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+              AND l.doc_id < r.doc_id
+         GROUP BY 1, 2)
+SELECT c.id_a, c.id_b
+FROM cand c JOIN sgl a ON a.doc_id = c.id_a JOIN sgl b ON b.doc_id = c.id_b
+WHERE {jac} >= {threshold}"""
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    """DuckDB replica of pipeline.dedup.simhash64 (md5-derived 60-bit token
+    hash, tf-signed bit votes)."""
+    v_cols = ", ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN tf ELSE -tf END) AS v{i}"
+        for i in range(bits))
+    sim = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      FROM tf),
+v AS (SELECT doc_id, {v_cols} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v"""
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, k: int = 10,
+                 seed: int = 42) -> str:
+    """DuckDB replica of pipeline.similarity.cosine_topk_lsh (multi-probe
+    hamming<=1). Plane constants are the engine's own RandomState(seed)
+    draws inlined via repr (round-trips to the identical double); every dot
+    product is written as a left-associated sum so IEEE-754 rounding matches
+    Spark's sequential F.aggregate fold at sign boundaries."""
+    import numpy as np
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+    def dot(vec: str, j: int) -> str:
+        return " + ".join(f"({vec}[{i + 1}]::DOUBLE * {float(c)!r})"
+                          for i, c in enumerate(planes[j]))
+
+    def bucket(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(vec, j)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes))
+
+    probes = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_planes)])
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({bucket('qv')}) AS qbits FROM q),
+b AS (SELECT vec_id, embedding, ({bucket('embedding')}) AS bucket
+      FROM embeddings WHERE vec_id <> 0),
+cand AS (SELECT b.vec_id, b.embedding FROM b, qb
+         WHERE xor(b.bucket, qb.qbits) IN ({probes}))
+SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(
+         c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, c.vec_id) AS BIGINT)
+         AS rank, c.vec_id
+FROM cand c, q
+ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+         c.vec_id
+LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     shingle = ("list_distinct(list_transform(range(1, len(ts) - 1), "
                "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))")
@@ -496,14 +588,23 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
             FROM (SELECT doc_id, sha256(text) AS sha,
                          count(*) OVER (PARTITION BY sha256(text)) AS cnt
                   FROM documents)""",
+        # stop-shingle cap (df <= 1000) mirrors the engine's default
+        # max_shingle_df skew guard
         "dedup_jaccard": f"""
-            WITH s AS (SELECT doc_id, {shingle} AS sh
-                       FROM (SELECT doc_id, {TOKS} AS ts FROM documents))
+            WITH ex AS (SELECT doc_id, unnest({shingle}) AS sg
+                        FROM (SELECT doc_id, {TOKS} AS ts FROM documents)),
+            s AS (SELECT doc_id, list(sg) AS sh FROM ex
+                  WHERE sg IN (SELECT sg FROM ex GROUP BY sg
+                               HAVING count(*) <= 1000)
+                  GROUP BY doc_id)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                   >= 0.5""",
+        "dedup_minhash_lsh": _minhash_lsh_sql(shingle),
+        "dedup_simhash": _simhash_sql(),
+        "ann_lsh_top10": _ann_lsh_sql(),
         "ann_top10": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0)
@@ -568,6 +669,4 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                      AS n_bytes,
                    sha256(text) AS sha256
             FROM documents""",
-        # dedup_minhash_lsh, dedup_simhash, ann_lsh_top10: probabilistic /
-        # hash-function-specific -> rows-only check (documented weaker gate)
     }

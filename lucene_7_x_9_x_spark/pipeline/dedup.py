@@ -49,7 +49,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join
     (scalable: candidate generation is |pairs sharing a shingle|, never a
     cross join). Returns (id_a, id_b) with id_a < id_b and
@@ -58,7 +58,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     max_shingle_df drops shingles shared by more than that many docs (stop-
     shingle cap — the skew guard for 100 TB runs; exactness then holds for
     pairs that share at least one sub-cap shingle, which a threshold >= 0.5
-    implies unless every common shingle is a stop-shingle)."""
+    implies unless every common shingle is a stop-shingle). It defaults ON:
+    one hot shingle otherwise makes the candidate join quadratic in its
+    doc frequency. Pass None to disable (exact mode for small corpora)."""
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").count()
@@ -85,6 +87,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 _MERSENNE = (1 << 31) - 1  # 31-bit prime: a*h stays well inside int64
 
 
+def md5_hash31(col):
+    """31-bit hash of a string column derived from md5 hex — chosen over
+    xxhash64 because every SQL engine has md5, so DuckDB/Trino oracles can
+    reproduce signatures bit-for-bit (same model as textstats.fingerprint).
+    Spark's conv(hex,16,10) of 8 hex chars < 2^32 fits a long exactly."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(_MERSENNE))
+
+
+def md5_hash60(col):
+    """60-bit positive hash (15 md5 hex chars): the widest md5 prefix that
+    stays clear of long sign/overflow in both Spark ANSI mode and SQL
+    oracles."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _hash_params(num_hashes: int, seed: int = 42):
     """Deterministic affine hash params (a*x+b) mod p."""
     import numpy as np
@@ -97,13 +116,12 @@ def _hash_params(num_hashes: int, seed: int = 42):
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 32, seed: int = 42
                        ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures over shingle xxhash64s.
-    One explode + one groupBy; the per-hash mins are computed as JVM
-    aggregate expressions (no Python)."""
+    """(id, sig: array<long>) MinHash signatures over md5-derived 31-bit
+    shingle hashes. One explode + one groupBy; the per-hash mins are
+    computed as JVM aggregate expressions (no Python)."""
     a, b = _hash_params(num_hashes, seed)
     sh = shingles(df, id_col, text_col, n).select(
-        F.col(id_col),
-        F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h"))
+        F.col(id_col), md5_hash31(F.col("shingle")).alias("h"))
     aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
                          F.lit(_MERSENNE))).alias(f"m{i}")
             for i in range(num_hashes)]
@@ -127,7 +145,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda i: F.struct(
                 i.alias("band"),
-                F.xxhash64(F.concat_ws(
+                md5_hash60(F.concat_ws(
                     ",", F.transform(
                         F.slice("sig", i * rows_per_band + 1, rows_per_band),
                         lambda v: v.cast("string")))).alias("bh"))
@@ -160,23 +178,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+SIMHASH_BITS = 60  # md5-prefix hash width (see md5_hash60)
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over analyzer tokens (tf-weighted bit votes), fully
-    JVM-side: per (doc, token) xxhash64 -> per-bit +-tf votes -> sign."""
+    """SimHash over analyzer tokens (tf-weighted bit votes), fully
+    JVM-side. 60 effective bits from an md5-derived token hash (oracle-
+    reproducible in any SQL engine; bits 60-63 are always 0).
+
+    Shuffle volume is exactly the (doc, token) tf frame: the per-bit votes
+    are folded into one groupBy with 60 conditional-sum aggregate
+    expressions — never an explode of one row per bit."""
     tf = (df.select(F.col(id_col), F.explode(tokens_col(text_col))
                     .alias("tok"))
           .groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-          .withColumn("h", F.xxhash64("tok")))
-    bits = tf.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            "transform(sequence(0, 63), i -> struct("
-            " i as bit,"
-            " CASE WHEN (shiftright(h, i) & 1) = 1 THEN tf"
-            "      ELSE -tf END as vote))")).alias("bv")
-    ).select(id_col, "bv.bit", "bv.vote")
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return (votes.groupBy(id_col)
-            .agg(F.sum(F.expr(
-                "CASE WHEN v > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
-                 .alias("simhash")))
+          .withColumn("h", md5_hash60(F.col("tok"))))
+    votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(1) == 1,
+                          F.col("tf")).otherwise(-F.col("tf")))
+             .alias(f"v{i}") for i in range(SIMHASH_BITS)]
+    v = tf.groupBy(id_col).agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return v.select(F.col(id_col), sim.cast("long").alias("simhash"))

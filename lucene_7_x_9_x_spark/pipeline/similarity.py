@@ -72,8 +72,17 @@ def cosine_topk_lsh(df: DataFrame, query_vec: list[float], dim: int,
     LSH). Same output shape as the brute-force baseline."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, dim))
+    # sequential left-fold, NOT np.dot: matches bit-for-bit the IEEE-754
+    # evaluation order of both the Spark F.aggregate fold used for corpus
+    # vectors and a left-associated SQL sum, so query and corpus bucketing
+    # agree across engines even at sign boundaries
+    def _seqdot(p, v):
+        acc = 0.0
+        for x, y in zip(p, v):
+            acc = acc + float(x) * float(y)
+        return acc
     qbits = sum((1 << j) for j in range(n_planes)
-                if float(np.dot(planes[j], query_vec)) > 0)
+                if _seqdot(planes[j], query_vec) > 0)
     probes = {qbits}
     if probe_hamming >= 1:
         for j in range(n_planes):
