@@ -53,12 +53,15 @@ def _split_oversize(tokens: list[str], max_len: int) -> list[str]:
 def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd.Series:
     """Series[str] -> Series[list[str]] of lowercase tokens in order."""
     cfg = cfg or AnalyzerConfig()
-    toks = content.fillna("").str.lower().str.findall(cfg.token_regex)
+    lowered = content.fillna("").str.lower()
+    toks = lowered.str.findall(cfg.token_regex)
     if cfg.max_token_length:
         # vectorized pre-mask: only docs that can contain an oversize token
-        # pay the per-token split scan (rare in practice)
-        might = content.fillna("").str.contains(
-            "[a-z0-9_A-Z]{%d,}" % (cfg.max_token_length + 1), regex=True)
+        # pay the per-token split scan (rare in practice). Runs on the SAME
+        # lowercased text findall sees, so characters that only become
+        # word-chars after lower() (e.g. U+212A -> 'k') can't slip past it
+        might = lowered.str.contains(
+            "[a-z0-9_]{%d,}" % (cfg.max_token_length + 1), regex=True)
         if might.any():
             toks = toks.where(~might, toks[might].map(
                 lambda ts: _split_oversize(ts, cfg.max_token_length)))

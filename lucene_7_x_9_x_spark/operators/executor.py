@@ -182,44 +182,91 @@ def evaluate(reader, stats: SegmentStats, q: Query,
                     "(rewrite() it against the terms dictionary first)")
 
 
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask: which elements of a are present in SORTED array b.
+    One searchsorted — no per-element Python, no np.isin sort."""
+    pos = np.searchsorted(b, a)
+    ok = pos < len(b)
+    ok[ok] = b[pos[ok]] == a[ok]
+    return ok
+
+
+def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat indices concatenating ranges [starts[j], starts[j]+counts[j])."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    bases = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])),
+                      counts)
+    return bases + np.arange(total, dtype=np.int64)
+
+
+def _flat_positions(reader, term):
+    """(docids, counts, flat_pos) for a term: every doc's position list in
+    one flat int64 array. Uses the reader's vectorized flat decoder when
+    present (SparkSegmentReader), else flattens the per-doc list protocol
+    (in-memory oracle reader)."""
+    fp = getattr(reader, "flat_positions", None)
+    if fp is not None:
+        return fp(term)
+    pp = reader.positions(term)
+    if pp is None:
+        return None
+    d, plist = pp
+    counts = np.fromiter((len(x) for x in plist), np.int64, len(plist))
+    flat = (np.concatenate([np.asarray(x, dtype=np.int64) for x in plist])
+            if counts.sum() else np.zeros(0, np.int64))
+    return d, counts, flat
+
+
+_POS_SHIFT = 32  # (candidate-doc rank << 32) | position: positions < 2^31
+
+
 def _phrase_match(reader, q: PhraseQuery):
     """Exact phrase (slop=0): docs where terms appear at consecutive
-    positions; freq = number of phrase occurrences.
+    positions; freq = number of phrase occurrences — fully vectorized over
+    the whole segment (the ExactPhraseMatcher.java:117 advance loop becomes
+    one searchsorted intersection per term over flat (doc, pos) keys).
     Sloppy (slop>0): window-tolerant match; freq approximated as number of
     minimal windows (sloppyFreq weighting inventoried, not replicated)."""
-    plists = []
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    flats = []
     for t in q.terms:
-        pp = reader.positions(t)
-        if pp is None:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        plists.append(pp)
-    # candidate docs: intersection
-    cand = plists[0][0]
-    for d, _ in plists[1:]:
-        cand = cand[np.isin(cand, d, assume_unique=True)]
-    out_d, out_f = [], []
-    # positions arrays are per-doc; index lookup per candidate doc
-    maps = [dict(zip(d.tolist(), pos_list)) for d, pos_list in plists]
-    for doc in cand.tolist():
-        base = np.asarray(maps[0][doc], dtype=np.int64)
-        ok = base
-        for i in range(1, len(maps)):
-            nxt = np.asarray(maps[i][doc], dtype=np.int64)
-            if q.slop == 0:
-                ok = ok[np.isin(ok + i, nxt)]
-            else:
-                # any position within i..i+slop ahead
-                hit = np.zeros(len(ok), dtype=bool)
-                for s in range(q.slop + 1):
-                    hit |= np.isin(ok + i + s, nxt)
-                ok = ok[hit]
-            if len(ok) == 0:
-                break
-        if len(ok):
-            out_d.append(doc)
-            out_f.append(len(ok))
-    return (np.asarray(out_d, dtype=np.int64),
-            np.asarray(out_f, dtype=np.int64))
+        got = _flat_positions(reader, t)
+        if got is None:
+            return empty
+        flats.append(got)
+    # candidate docs: sorted intersection of the terms' docid sets
+    cand = flats[0][0]
+    for d, _, _ in flats[1:]:
+        cand = cand[_in_sorted(cand, d)]
+    if len(cand) == 0:
+        return empty
+    # per term: restrict flat positions to candidate docs, key by
+    # (doc rank, position) packed into one int64 so one intersection
+    # handles every doc at once
+    keys = []
+    for d, counts, flat in flats:
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        take = _gather_ranges(starts[idx], counts[idx])
+        doc_rank = np.repeat(np.arange(len(cand), dtype=np.int64),
+                             counts[idx])
+        keys.append((doc_rank << _POS_SHIFT) | flat[take])
+    ok = keys[0]
+    for i in range(1, len(keys)):
+        if q.slop == 0:
+            ok = ok[_in_sorted(ok + i, keys[i])]
+        else:
+            hit = np.zeros(len(ok), dtype=bool)
+            for s in range(q.slop + 1):
+                hit |= _in_sorted(ok + i + s, keys[i])
+            ok = ok[hit]
+        if len(ok) == 0:
+            return empty
+    freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(cand))
+    m = freqs > 0
+    return cand[m], freqs[m].astype(np.int64)
 
 
 def _evaluate_boolean(reader, stats, q: BooleanQuery, boost, needs_scores):

@@ -90,18 +90,45 @@ class SparkSegmentReader:
         self._full_cache[term] = out
         return out
 
-    def positions(self, term):
+    def flat_positions(self, term):
+        """(docids, counts, flat_pos): ALL docs' positions decoded in one
+        vectorized pass. Each doc's slice of the .pos blob is independent
+        delta-varbyte (first delta from 0) and varints are self-terminating,
+        so one vint_decode over the whole blob yields every delta; a
+        segmented cumsum (reset at doc starts, boundaries = freqs) restores
+        absolute positions. No per-doc Python — the scale path the
+        ExactPhraseMatcher capability needs on high-df terms."""
+        key = ("__flatpos__", term)
+        got = self._full_cache.get(key)
+        if got is not None:
+            return got
         r = self._rows.get(term)
         if r is None or getattr(r, "pos_data", None) is None:
             return None
         p = self.postings(term)
         if p is None:
             return None
-        docids = p[0]
+        docids, freqs = p
         offs = np.asarray(r.pos_offsets, dtype=np.int64)
         data = bytes(r.pos_data)
-        return docids, [codec.decode_positions(data[offs[j]:offs[j + 1]])
-                        for j in range(len(docids))]
+        deltas = codec.vint_decode(
+            data[offs[0]:offs[-1]]).astype(np.int64)
+        counts = freqs.astype(np.int64)
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bases = np.where(starts > 0, cs[starts - 1], 0)
+        flat = cs - np.repeat(bases, counts)
+        out = (docids, counts, flat)
+        self._full_cache[key] = out
+        return out
+
+    def positions(self, term):
+        fp = self.flat_positions(term)
+        if fp is None:
+            return None
+        docids, counts, flat = fp
+        bounds = np.cumsum(counts)[:-1]
+        return docids, np.split(flat, bounds)
 
     def norms(self):
         return self._norms

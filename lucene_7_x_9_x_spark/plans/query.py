@@ -205,15 +205,21 @@ def _rewrite_once(q: Query, ctx) -> Query:
     # BooleanQuery.java rewrite region (~:235-335), behaviorally:
     if len(clauses) == 0:
         return MatchNoDocsQuery()
-    # 1-clause simplifications
-    if len(clauses) == 1 and q.minimum_should_match <= 1:
+    # 1-clause simplifications. minimum_should_match constrains SHOULD
+    # clauses only: a lone SHOULD absorbs msm <= 1, but a lone MUST/FILTER/
+    # MUST_NOT with msm >= 1 has no SHOULD clause to satisfy it and matches
+    # nothing (the msm > |SHOULD| rule below)
+    if len(clauses) == 1:
         c = clauses[0]
-        if c.occur in (Occur.MUST, Occur.SHOULD):
+        if c.occur == Occur.SHOULD and q.minimum_should_match <= 1:
             return c.query
-        if c.occur == Occur.FILTER:
-            return BoostQuery(ConstantScoreQuery(c.query), 0.0)
-        if c.occur == Occur.MUST_NOT:
-            return MatchNoDocsQuery()
+        if q.minimum_should_match == 0:
+            if c.occur == Occur.MUST:
+                return c.query
+            if c.occur == Occur.FILTER:
+                return BoostQuery(ConstantScoreQuery(c.query), 0.0)
+            if c.occur == Occur.MUST_NOT:
+                return MatchNoDocsQuery()
     # drop MatchNone SHOULD/ MUST_NOT MatchNone; MatchAll MUST_NOT -> none
     out = []
     for c in clauses:
@@ -243,6 +249,11 @@ def _rewrite_once(q: Query, ctx) -> Query:
     clauses = [c for c in clauses
                if not (c.occur == Occur.FILTER and c.query in must_only)]
     if not clauses:
+        return MatchNoDocsQuery()
+    # msm demands more SHOULD matches than SHOULD clauses exist -> nothing
+    # can satisfy it (matches _evaluate_boolean's empty result)
+    n_should = sum(1 for c in clauses if c.occur == Occur.SHOULD)
+    if q.minimum_should_match > n_should:
         return MatchNoDocsQuery()
     return BooleanQuery(tuple(clauses), q.minimum_should_match)
 

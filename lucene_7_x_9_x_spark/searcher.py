@@ -213,16 +213,37 @@ class Searcher:
         queries: {qid: Query}. Each query is rewritten and classified
         independently; block-max is used where eligible."""
         rewritten = {qid: self.rewrite(q) for qid, q in queries.items()}
+        # MatchAll-containing queries can hit docs in segments that hold
+        # NONE of the batch's terms, which the postings-driven cogroup below
+        # (and its segnorms semi-join) would silently drop — route them
+        # through the single-query path, which has a segnorms-only kernel
+        extra = []
+        for qid in [i for i, q in rewritten.items() if _contains_matchall(q)]:
+            r = (self._run(rewritten.pop(qid), k, "auto")
+                 .orderBy(F.desc("score"), "segment", "docid").limit(k))
+            w0 = Window.orderBy(F.desc("score"), "segment", "docid")
+            extra.append(
+                r.withColumn("rank", F.row_number().over(w0))
+                 .select(F.lit(qid).alias("qid"), "rank", "segment",
+                         "docid", "score"))
+
+        def _with_extra(batched: DataFrame) -> DataFrame:
+            for e in extra:
+                batched = batched.unionByName(e)
+            return batched
+
+        empty = self.index.spark.createDataFrame(
+            [], "qid string, rank int, segment int, docid long, score float")
+        if not rewritten:
+            return _with_extra(empty)
         all_terms = set()
         for q in rewritten.values():
             all_terms |= Q.scoring_terms(q) | _filter_terms(q)
         stats = self._global_stats(all_terms)
         if all(stats.doc_freqs.get(t, 0) == 0 for t in all_terms):
-            # whole batch would leave the postings scan empty (see the
+            # rest of the batch would leave the postings scan empty (see the
             # zero-batch Arrow guard in _run); term-based queries can't hit
-            return self.index.spark.createDataFrame(
-                [], "qid string, rank int, segment int, docid long,"
-                    " score float")
+            return _with_extra(empty)
         plans = {qid: classify_blockmax(q) for qid, q in rewritten.items()}
         needs_pos = any(_needs_positions(q) for q in rewritten.values())
 
@@ -269,9 +290,10 @@ class Searcher:
                                              " docid long, score float"))
         w = Window.partitionBy("qid").orderBy(F.desc("score"), "segment",
                                               "docid")
-        return (res.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select("qid", "rank", "segment", "docid", "score"))
+        return _with_extra(
+            res.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "segment", "docid", "score"))
 
     def explain(self, query, segment: int, docid: int) -> list[dict]:
         """Score explanation for one doc — the Weight.explain / Explanation
@@ -281,6 +303,10 @@ class Searcher:
         query = self.rewrite(query)
         terms = sorted(Q.scoring_terms(query))
         stats = self._global_stats(set(terms))
+        # per-leaf effective boosts: a boosted clause's contribution is
+        # weight = F32(F32(boost) * idf), so the reported rows sum to the
+        # actual hit score for boosted queries too
+        leaves = _scoring_leaves(query) or [(t, 1.0) for t in terms]
         rows = (self.index.postings()
                 .where((F.col("term").isin(terms))
                        & (F.col("segment") == segment))
@@ -291,10 +317,9 @@ class Searcher:
             return []
         norms = np.frombuffer(bytes(sn[0]["norms"]), np.uint8)
         reader = SparkSegmentReader(rows, norms, int(sn[0]["max_doc"]))
-        from .functions import bm25
         from .functions.smallfloat import byte4_to_int
         out = []
-        for t in terms:
+        for t, boost in leaves:
             p = reader.postings(t)
             if p is None:
                 continue
@@ -302,11 +327,12 @@ class Searcher:
             i = np.searchsorted(d, docid)
             if i >= len(d) or d[i] != docid:
                 continue
-            w = stats.idf(t)
+            w = bm25.F32(bm25.F32(boost) * stats.idf(t))
             contrib = bm25.score_term(
                 f[i:i + 1], norms[docid:docid + 1], w, stats.cache)[0]
             out.append({
                 "term": t, "tf": int(f[i]),
+                "boost": float(boost),
                 "doc_freq": stats.doc_freqs.get(t, 0),
                 "idf": float(w),
                 "dl_quantized": int(byte4_to_int(
@@ -367,6 +393,27 @@ class Searcher:
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         return res.withColumn("rank", F.row_number().over(w))
+
+
+def _scoring_leaves(q, boost: float = 1.0) -> list:
+    """[(term, effective_boost)] for sum-combining scoring leaves (term
+    clauses under Boolean MUST/SHOULD and Boost wrappers). Returns [] for
+    shapes whose scores don't sum per-term (dismax, phrase, synonym) — the
+    caller falls back to unboosted per-term reporting for those."""
+    if isinstance(q, Q.TermQuery):
+        return [(q.term, boost * q.boost)]
+    if isinstance(q, Q.BoostQuery):
+        return _scoring_leaves(q.query, boost * q.boost)
+    if isinstance(q, Q.BooleanQuery):
+        out = []
+        for c in q.clauses:
+            if c.occur in (Q.Occur.MUST, Q.Occur.SHOULD):
+                sub = _scoring_leaves(c.query, boost)
+                if not sub and Q.scoring_terms(c.query):
+                    return []  # non-summing scoring clause: fall back whole
+                out += sub
+        return out
+    return []
 
 
 def _contains_matchall(q) -> bool:

@@ -35,14 +35,26 @@ def run_windowed_counts(spark: SparkSession, events_glob: str,
                         window: str = "1 hour",
                         watermark: str = "10 minutes") -> DataFrame:
     """availableNow streaming pass: aggregate all currently-available event
-    files into tumbling windows; results land in an in-memory sink table
-    named ``query_name`` (swap for a Kafka/parquet sink in production).
-    Returns the sink contents as a DataFrame."""
+    files into tumbling windows. Runs in ``update`` output mode so the
+    watermark actually finalizes and evicts window state (in ``complete``
+    mode the watermark is inert and state grows without bound); each
+    micro-batch's updated windows are upserted keyed by (window, key) — the
+    same discipline as a MERGE into a Delta/parquet sink in production.
+    Returns the upserted windows as a DataFrame."""
     stream = spark.readStream.schema(schema).parquet(events_glob)
     agg = windowed_aggregate(stream, window=window, watermark=watermark)
-    q = (agg.writeStream.outputMode("complete")
-         .format("memory").queryName(query_name)
+    store: dict = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # windows are already aggregated, so a batch carries at most one row
+        # per updated (window, key) — bounded by active windows, not events
+        for r in batch_df.collect():
+            store[(r.win_start, r[2])] = r
+
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(upsert)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(query_name)
+    rows = list(store.values())
+    return spark.createDataFrame(rows, schema=agg.schema)
