@@ -31,7 +31,8 @@ QDL = ("CAST(CASE WHEN dl < 24 THEN dl WHEN dl - 24 < 8 THEN dl "
        "AS BIGINT)")
 
 
-def _bm25_sql(terms: list[str], k: int, conjunctive: bool) -> str:
+def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
+              cond: str | None = None) -> str:
     tf_cols = ", ".join(
         f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
         for i, t in enumerate(terms))
@@ -46,7 +47,8 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool) -> str:
         for i in range(len(terms)))
     nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
                         for i in range(len(terms)))
-    cond = f"nmatch = {len(terms)}" if conjunctive else "nmatch >= 1"
+    if cond is None:
+        cond = f"nmatch = {len(terms)}" if conjunctive else "nmatch >= 1"
     return f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
 dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
@@ -55,7 +57,8 @@ stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
 q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
 tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
 dfs AS (SELECT {df_cols} FROM tf),
-scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+scored AS (SELECT doc_id, {", ".join(f"tf_{i}" for i in range(len(terms)))},
+           {score_terms} AS score, {nmatch} AS nmatch
            FROM tf, stats s, dfs d)
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank, doc_id
@@ -165,6 +168,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def term_set(spark, sf):
         return _match_ids(spark, sf, Q.TermInSetQuery(["merge", "stream"]))
+
+    def fuzzy(spark, sf):
+        # transposition counts as ONE edit (FuzzyQuery.java:35,85):
+        # 'fitler' -> 'filter' is Damerau distance 1, Levenshtein 2
+        return _match_ids(spark, sf, Q.FuzzyQuery("fitler", max_edits=1))
+
+    def numeric_range(spark, sf):
+        # PointRangeQuery analogue over the stored dl doc-values column
+        s = _get_searcher(spark, sf)
+        return (s.numeric_range_docs(40, 60)
+                .select(F.col("doc_id").cast("long"),
+                        F.col("dl").cast("long")))
+
+    def parse_query_topk(spark, sf):
+        from lucene_7_x_9_x_spark.plans.parser import parse
+        # classic-parser semantics: AND retro-upgrades 'group' to MUST,
+        # 'query' is MUST, OR leaves 'window' SHOULD
+        return _topk_ids(spark, sf, parse("group AND query OR window"), 10)
+
+    def parse_query_matches(spark, sf):
+        from lucene_7_x_9_x_spark.plans.parser import parse
+        return _match_ids(
+            spark, sf, parse('filter AND (join OR "the fast") -window'))
 
     def bm25_top10(spark, sf):
         return _topk_ids(spark, sf, Q.BooleanQuery(
@@ -337,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard": wildcard,
         "term_range": term_range,
         "term_set": term_set,
+        "fuzzy": fuzzy,
+        "numeric_range": numeric_range,
+        "parse_query_topk": parse_query_topk,
+        "parse_query_matches": parse_query_matches,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
@@ -486,6 +516,22 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(ts, t -> t >= 'scan' AND t <= 'sort')) > 0"),
         "term_set": _contains_sql(
             "list_contains(ts, 'merge') OR list_contains(ts, 'stream')"),
+        # unrestricted Damerau == OSA at distance <= 1, so DuckDB's
+        # damerau_levenshtein is an exact oracle for max_edits=1
+        "fuzzy": _contains_sql(
+            "len(list_filter(ts, t -> damerau_levenshtein(t, 'fitler') <= 1))"
+            " > 0"),
+        "numeric_range": f"""
+            SELECT doc_id, CAST(dl AS BIGINT) AS dl
+            FROM (SELECT doc_id, len({TOKS}) AS dl FROM documents)
+            WHERE dl BETWEEN 40 AND 60""",
+        "parse_query_topk": _bm25_sql(["group", "query", "window"], 10,
+                                      False, cond="tf_0 > 0 AND tf_1 > 0"),
+        "parse_query_matches": _contains_sql(
+            "list_contains(ts, 'filter') AND (list_contains(ts, 'join') OR "
+            "len(list_filter(range(1, len(ts)), "
+            "i -> ts[i] = 'the' AND ts[i+1] = 'fast')) > 0) "
+            "AND NOT list_contains(ts, 'window')"),
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
         # synonym pseudo-term: docFreq = max over terms, freq = sum

@@ -104,8 +104,14 @@ class TermRangeQuery(Query):
 
 @dataclass(frozen=True)
 class FuzzyQuery(Query):
+    """Damerau edit-distance expansion. transpositions=True counts an
+    adjacent-character swap as ONE edit (the reference default,
+    solr-8.4.0/.../search/FuzzyQuery.java:35,85); prefix_length requires
+    that many leading characters to match exactly (FuzzyQuery.java:46)."""
     term: str
     max_edits: int = 2
+    transpositions: bool = True
+    prefix_length: int = 0
 
 
 @dataclass(frozen=True)

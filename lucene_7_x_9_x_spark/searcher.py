@@ -42,13 +42,23 @@ class Searcher:
 
     # ---------------- driver-side rewrite/expansion over the terms table
     def _expand(self, q) -> list | None:
+        import re as _re
         t = self.index.terms()
         c = F.col("term")
         if isinstance(q, Q.PrefixQuery):
             t = t.where(c.startswith(q.prefix))
         elif isinstance(q, Q.WildcardQuery):
+            # literal-prefix pre-filter: the sorted terms parquet prunes on
+            # startswith (the FST prefix walk analogue), so the rlike scan
+            # only touches the matching dictionary range
+            lit = _re.split(r"[*?]", q.pattern, maxsplit=1)[0]
+            if lit:
+                t = t.where(c.startswith(lit))
             t = t.where(c.rlike(q.to_regex()))
         elif isinstance(q, Q.RegexpQuery):
+            lit = _re.match(r"[^.*+?()\[\]{}|\\^$]*", q.pattern).group(0)
+            if lit:
+                t = t.where(c.startswith(lit))
             t = t.where(c.rlike("^(?:" + q.pattern + ")$"))
         elif isinstance(q, Q.TermRangeQuery):
             if q.lower is not None:
@@ -56,9 +66,24 @@ class Searcher:
             if q.upper is not None:
                 t = t.where(c <= q.upper if q.include_upper else c < q.upper)
         elif isinstance(q, Q.FuzzyQuery):
+            if q.prefix_length > 0:
+                t = t.where(c.startswith(q.term[:q.prefix_length]))
             t = t.where((F.length(c) >= len(q.term) - q.max_edits)
-                        & (F.length(c) <= len(q.term) + q.max_edits)
-                        & (F.levenshtein(c, F.lit(q.term)) <= q.max_edits))
+                        & (F.length(c) <= len(q.term) + q.max_edits))
+            if q.transpositions:
+                # Damerau(OSA) <= Levenshtein <= 2*Damerau: prune JVM-side
+                # at 2*max_edits, verify the (small) candidate list with
+                # exact OSA distance driver-side — a transposition costs
+                # one edit, as the reference default does
+                # (solr-8.4.0/.../search/FuzzyQuery.java:35,85)
+                t = t.where(F.levenshtein(c, F.lit(q.term))
+                            <= 2 * q.max_edits)
+                rows = (t.select("term").orderBy("term")
+                        .limit(4 * self.max_expansions).collect())
+                keep = [r.term for r in rows
+                        if _osa_distance(r.term, q.term) <= q.max_edits]
+                return keep[:self.max_expansions]
+            t = t.where(F.levenshtein(c, F.lit(q.term)) <= q.max_edits)
         else:
             return None
         rows = (t.select("term").orderBy("term")
@@ -198,6 +223,23 @@ class Searcher:
     def matches(self, query) -> DataFrame:
         """All matching docs: DataFrame(segment, docid, score)."""
         return self._run(query, None, "complete")
+
+    def numeric_range_docs(self, lower, upper, col: str = "dl",
+                           include_lower: bool = True,
+                           include_upper: bool = True) -> DataFrame:
+        """PointRangeQuery / numeric-DocValues range analogue
+        (solr-8.4.0/.../search/PointRangeQuery.java capability, SURVEY §2.8):
+        a range predicate over a stored per-doc numeric column of the
+        docmap. The predicate pushes down to the parquet scan, so row-group
+        stats prune non-matching ranges — the BKD tree's role re-expressed
+        as columnar min/max pruning. Returns (segment, docid, <col>)."""
+        dm = self.index.docmap()
+        c = F.col(col)
+        if lower is not None:
+            dm = dm.where(c >= lower if include_lower else c > lower)
+        if upper is not None:
+            dm = dm.where(c <= upper if include_upper else c < upper)
+        return dm.select("segment", "docid", *self.index.id_cols, col)
 
     def count(self, query) -> int:
         """TotalHitCountCollector analogue (exact count)."""
@@ -393,6 +435,27 @@ class Searcher:
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         return res.withColumn("rank", F.row_number().over(w))
+
+
+def _osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment (restricted Damerau-Levenshtein) distance:
+    insert / delete / substitute / adjacent-transposition each cost 1 — the
+    reference's transpositions=true edit model
+    (solr-8.4.0/.../util/automaton/LevenshteinAutomata.java:46-52). Runs
+    only on the pruned candidate term list, never per posting."""
+    la, lb = len(a), len(b)
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
 
 
 def _scoring_leaves(q, boost: float = 1.0) -> list:

@@ -1,0 +1,89 @@
+"""Classic query-string parser: grammar/addClause semantics
+(QueryParserBase.java:374-420) and fuzzy OSA distance."""
+
+import pytest
+
+from lucene_7_x_9_x_spark.plans import query as Q
+from lucene_7_x_9_x_spark.plans.parser import QueryParseError, parse
+from lucene_7_x_9_x_spark.searcher import _osa_distance
+
+
+def clause_list(q):
+    assert isinstance(q, Q.BooleanQuery)
+    return [(c.occur, c.query) for c in q.clauses]
+
+
+def test_default_or_plain_terms():
+    q = parse("filter join")
+    assert clause_list(q) == [(Q.Occur.SHOULD, Q.TermQuery("filter")),
+                              (Q.Occur.SHOULD, Q.TermQuery("join"))]
+
+
+def test_and_upgrades_previous():
+    q = parse("group AND query OR window")
+    assert clause_list(q) == [(Q.Occur.MUST, Q.TermQuery("group")),
+                              (Q.Occur.MUST, Q.TermQuery("query")),
+                              (Q.Occur.SHOULD, Q.TermQuery("window"))]
+
+
+def test_modifiers_and_group():
+    q = parse('filter AND (join OR "the fast") -window')
+    cl = clause_list(q)
+    assert cl[0] == (Q.Occur.MUST, Q.TermQuery("filter"))
+    assert cl[1][0] == Q.Occur.MUST
+    inner = clause_list(cl[1][1])
+    assert inner == [(Q.Occur.SHOULD, Q.TermQuery("join")),
+                     (Q.Occur.SHOULD, Q.PhraseQuery(["the", "fast"]))]
+    assert cl[2] == (Q.Occur.MUST_NOT, Q.TermQuery("window"))
+
+
+def test_and_not_prohibited_stays():
+    # '-a AND b': AND must NOT upgrade the prohibited clause
+    cl = clause_list(parse("-scan AND sort"))
+    assert cl == [(Q.Occur.MUST_NOT, Q.TermQuery("scan")),
+                  (Q.Occur.MUST, Q.TermQuery("sort"))]
+
+
+def test_default_and_operator():
+    cl = clause_list(parse("filter join OR window",
+                           default_operator="AND"))
+    assert cl == [(Q.Occur.MUST, Q.TermQuery("filter")),
+                  (Q.Occur.SHOULD, Q.TermQuery("join")),
+                  (Q.Occur.SHOULD, Q.TermQuery("window"))]
+
+
+def test_phrase_slop_boost_fuzzy_wildcard_range():
+    assert parse('"a b c"~2') == Q.PhraseQuery(["a", "b", "c"], slop=2)
+    assert parse("filter^2") == Q.TermQuery("filter", boost=2.0)
+    b = parse('(filter join)^3')
+    assert isinstance(b, Q.BoostQuery) and b.boost == 3.0
+    assert parse("roam~1") == Q.FuzzyQuery("roam", max_edits=1)
+    assert parse("roam~") == Q.FuzzyQuery("roam", max_edits=2)
+    assert parse("quer*") == Q.PrefixQuery("quer")
+    assert parse("st*am") == Q.WildcardQuery("st*am")
+    assert parse("[scan TO sort]") == Q.TermRangeQuery("scan", "sort")
+    assert parse("{scan TO sort}") == Q.TermRangeQuery(
+        "scan", "sort", include_lower=False, include_upper=False)
+
+
+def test_single_should_unwraps_and_analyzer_drop():
+    assert parse("Filter") == Q.TermQuery("filter")
+    # pure punctuation analyzes away -> MatchNone
+    assert parse('"..."') == Q.MatchNoDocsQuery()
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse("(a OR b")
+    with pytest.raises(QueryParseError):
+        parse("a)")
+    with pytest.raises(QueryParseError):
+        parse("-")
+
+
+def test_osa_distance():
+    assert _osa_distance("fitler", "filter") == 1  # transposition = 1 edit
+    assert _osa_distance("roam", "foam") == 1
+    assert _osa_distance("abc", "abc") == 0
+    assert _osa_distance("ab", "") == 2
+    assert _osa_distance("ca", "abc") == 3  # OSA (unrestricted DL gives 2)
