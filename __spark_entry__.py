@@ -229,13 +229,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _get_searcher(spark, sf)
         dm = s.index.docmap()
         # engine-stored dl and norm byte; decode norm byte -> quantized dl
-        from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
-        import pandas as pd
-        import numpy as np
-        pdf = dm.select("doc_id", "dl", "norm").toPandas()
-        pdf["qdl"] = byte4_to_int(pdf["norm"].to_numpy(np.int64))
-        out = pdf[["doc_id", "dl", "qdl"]].astype("int64")
-        return spark.createDataFrame(out)
+        # with a vectorized pandas UDF (distributed — never materializes
+        # the docmap on the driver)
+        from pyspark.sql.functions import pandas_udf
+
+        def _qdl(n):
+            import numpy as np
+            import pandas as pd
+            from lucene_7_x_9_x_spark.functions.smallfloat import \
+                byte4_to_int
+            return pd.Series(byte4_to_int(n.to_numpy(np.int64)))
+
+        qdl_of_norm = pandas_udf(_qdl, "long")
+
+        return dm.select(F.col("doc_id").cast("long"),
+                         F.col("dl").cast("long"),
+                         qdl_of_norm("norm").alias("qdl"))
 
     def term_stats(spark, sf):
         s = _get_searcher(spark, sf)

@@ -222,13 +222,103 @@ def _flat_positions(reader, term):
 _POS_SHIFT = 32  # (candidate-doc rank << 32) | position: positions < 2^31
 
 
+def _sloppy_freq_doc(pos_arrays: list, slop: int) -> np.float32:
+    """One doc's sloppy phrase freq: float32 sum of sloppyWeight =
+    1/(1+matchLength) over the minimal windows found by the PhraseQueue
+    walk — a behavior transcription of SloppyPhraseMatcher.nextMatch
+    (solr-8.4.0/.../search/SloppyPhraseMatcher.java:164-196, sloppyWeight
+    :158-160) and PhraseScorer.score's float32 accumulation
+    (PhraseScorer.java:74-81). pos_arrays[k] = ascending positions of
+    phrase term k (terms distinct); pp.position = pos - k. Returns 0 when
+    no window has matchLength <= slop."""
+    import heapq
+    F = np.float32
+    n = len(pos_arrays)
+    position, idx = [0] * n, [0] * n
+    end = -(1 << 60)
+    heap = []
+    for k in range(n):
+        position[k] = int(pos_arrays[k][0]) - k
+        if position[k] > end:
+            end = position[k]
+        heap.append((position[k], k))  # PhraseQueue order: (position, offset)
+    heapq.heapify(heap)
+    freq = None
+    positioned = True
+    while positioned:
+        pos0, k = heapq.heappop(heap)
+        match_length = end - pos0
+        nxt = heap[0][0]
+        matched = False
+        while True:
+            idx[k] += 1
+            if idx[k] >= len(pos_arrays[k]):  # pp exhausted
+                positioned = False
+                matched = match_length <= slop
+                break
+            p = int(pos_arrays[k][idx[k]]) - k
+            position[k] = p
+            if p > end:
+                end = p
+            if p > nxt:  # done minimizing the current match length
+                heapq.heappush(heap, (p, k))
+                if match_length <= slop:
+                    matched = True
+                    break
+                pos0, k = heapq.heappop(heap)
+                nxt = heap[0][0]
+                match_length = end - pos0
+            else:
+                ml2 = end - p
+                if ml2 < match_length:
+                    match_length = ml2
+        if matched:
+            w = F(F(1.0) / (F(1.0) + F(match_length)))
+            freq = w if freq is None else F(freq + w)
+    return F(0.0) if freq is None else freq
+
+
+def _sloppy_match(flats: list, cand: np.ndarray, slop: int, terms):
+    """Sloppy path: per-candidate-doc PhraseQueue walk (the slow path —
+    sloppy phrases are inherently per-window sequential; the exact path
+    below stays fully vectorized). Phrases with REPEATED terms keep the
+    forward-window approximation (Lucene's repeater collision machinery,
+    SloppyPhraseMatcher.java:273-311, is inventoried, not replicated)."""
+    n = len(flats)
+    slices = []
+    for d, counts, flat in flats:
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        slices.append((starts[idx], counts[idx], flat))
+    repeats = len(set(terms)) < len(terms)
+    out_d: list = []
+    out_f: list = []
+    for j in range(len(cand)):
+        pls = [flat[s[j]:s[j] + c[j]] for (s, c, flat) in slices]
+        if repeats:
+            ok = pls[0]
+            for i in range(1, n):
+                hit = np.zeros(len(ok), dtype=bool)
+                for sh in range(slop + 1):
+                    hit |= _in_sorted(ok + i + sh, pls[i])
+                ok = ok[hit]
+            f = np.float32(len(ok))
+        else:
+            f = _sloppy_freq_doc(pls, slop)
+        if f > 0:
+            out_d.append(int(cand[j]))
+            out_f.append(f)
+    return (np.asarray(out_d, dtype=np.int64),
+            np.asarray(out_f, dtype=np.float32))
+
+
 def _phrase_match(reader, q: PhraseQuery):
     """Exact phrase (slop=0): docs where terms appear at consecutive
     positions; freq = number of phrase occurrences — fully vectorized over
     the whole segment (the ExactPhraseMatcher.java:117 advance loop becomes
     one searchsorted intersection per term over flat (doc, pos) keys).
-    Sloppy (slop>0): window-tolerant match; freq approximated as number of
-    minimal windows (sloppyFreq weighting inventoried, not replicated)."""
+    Sloppy (slop>0): Lucene-faithful minimal-window matching with
+    sloppyFreq weighting (see _sloppy_freq_doc)."""
     empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     flats = []
     for t in q.terms:
@@ -242,6 +332,8 @@ def _phrase_match(reader, q: PhraseQuery):
         cand = cand[_in_sorted(cand, d)]
     if len(cand) == 0:
         return empty
+    if q.slop > 0 and len(q.terms) > 1:
+        return _sloppy_match(flats, cand, q.slop, q.terms)
     # per term: restrict flat positions to candidate docs, key by
     # (doc rank, position) packed into one int64 so one intersection
     # handles every doc at once
@@ -255,13 +347,7 @@ def _phrase_match(reader, q: PhraseQuery):
         keys.append((doc_rank << _POS_SHIFT) | flat[take])
     ok = keys[0]
     for i in range(1, len(keys)):
-        if q.slop == 0:
-            ok = ok[_in_sorted(ok + i, keys[i])]
-        else:
-            hit = np.zeros(len(ok), dtype=bool)
-            for s in range(q.slop + 1):
-                hit |= _in_sorted(ok + i + s, keys[i])
-            ok = ok[hit]
+        ok = ok[_in_sorted(ok + i, keys[i])]
         if len(ok) == 0:
             return empty
     freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(cand))

@@ -101,8 +101,16 @@ def _concat_rows(rows: list[dict], term, new_segment: int) -> dict:
 
 
 def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
-                target_segments: int, salt: int = 1) -> IndexSnapshot:
-    """Merge the index's segments down to target_segments."""
+                target_segments: int, salt: int = 1,
+                term_buckets: int = 64) -> IndexSnapshot:
+    """Merge the index's segments down to target_segments.
+
+    Memory bound: the concat stages never hold a whole merged segment in
+    one task — the final concat groups by (segment, hash(term) %
+    term_buckets), so a task's working set is ~1/term_buckets of a segment
+    (plus at most one full hot term's row, which is intrinsic to the row
+    format); the salted stage additionally bounds per-term fan-in to
+    ceil(sources/salt)."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     dm = index.docmap()
@@ -153,6 +161,7 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
             out["segment"] = out["segment"].astype(np.int32)
         return out
 
+    tb = F.pmod(F.xxhash64("term"), F.lit(term_buckets))
     if salt > 1:
         # stage 1: bounded partial merges over CONTIGUOUS ranks within each
         # merge group (so stage-2 concat in old_segment order keeps docids
@@ -183,15 +192,18 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
 
         schema1 = schema + ", old_segment int, base long"
         pre = stage1.applyInPandas(partial, schema=schema1)
-        merged_post = pre.groupBy("segment").applyInPandas(
-            do_merge, schema=schema)
+        merged_post = (pre.withColumn("tb", tb).groupBy("segment", "tb")
+                       .applyInPandas(do_merge, schema=schema))
     else:
-        merged_post = (post.groupBy("segment")
+        merged_post = (post.withColumn("tb", tb).groupBy("segment", "tb")
                        .applyInPandas(do_merge, schema=schema))
 
     # ---- write in the index layout --------------------------------------
+    # range-partition by (segment, term): parallel writers per segment,
+    # each file sorted by term so row-group stats still prune term lookups
     batch_dir = os.path.join(out_dir, "batch_0")
-    (merged_post.repartition("segment")
+    n_write = max(target_segments * 4, 16)
+    (merged_post.repartitionByRange(n_write, "segment", "term")
      .sortWithinPartitions("segment", "term")
      .write.mode("overwrite").parquet(os.path.join(batch_dir,
                                                    "kind=postings")))

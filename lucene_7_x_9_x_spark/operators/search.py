@@ -47,7 +47,37 @@ class SparkSegmentReader:
         self._max_doc = max_doc
         self._block_cache: dict = {}
         self._full_cache: dict = {}
+        self._blockx_cache: dict = {}
         self.blocks_decoded = 0
+
+    def block_max_x(self, term: str, cache: np.ndarray) -> np.ndarray | None:
+        """Per-block max of x = float32(freq) * cache[norm] over the stored
+        impact frontier. score(f, n) = w - w/(1 + x) is weakly monotone in x
+        under float32 rounding, so the block score upper bound for ANY
+        weight w > 0 is w - w/(1 + max_x) — bit-identical to maximizing the
+        scored pairs. Cached per term: in search_many one frontier reduction
+        serves every query in the batch (the index-time MaxScoreCache
+        strengthening of SURVEY §2.6, realized as a per-(segment, cache)
+        memo). Returns None if any block's frontier is empty (defensive)."""
+        got = self._blockx_cache.get(term)
+        if got is not None and got[0] is cache:
+            return got[1]
+        r = self._rows.get(term)
+        if r is None:
+            return None
+        lens = np.fromiter((len(x) for x in r.imp_freqs), dtype=np.int64,
+                           count=len(r.imp_freqs))
+        if len(lens) == 0 or not (lens > 0).all():
+            return None
+        all_f = np.concatenate([np.asarray(x, dtype=np.int64)
+                                for x in r.imp_freqs])
+        all_n = np.concatenate([np.asarray(x, dtype=np.int64)
+                                for x in r.imp_norms])
+        x = all_f.astype(np.float32) * cache[all_n & 0xFF]
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        bx = np.maximum.reduceat(x, starts).astype(np.float32)
+        self._blockx_cache[term] = (cache, bx)
+        return bx
 
     def row(self, term):
         return self._rows.get(term)
@@ -201,24 +231,21 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
             return np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0
         filt_terms.append(t)
 
-    # per-term per-block upper bounds from stored impact frontiers —
-    # all of a term's frontier pairs scored in ONE vectorized call, then
-    # per-block maxima via a segmented reduce (the MaxScoreCache fill,
-    # amortized across blocks)
+    # per-term per-block upper bounds from stored impact frontiers. The
+    # frontier reduction (max of x = f32(freq) * cache[norm] per block) is
+    # weight-independent and cached on the reader, so in search_many it runs
+    # ONCE per term per segment for the whole batch; applying the weight is
+    # one vectorized op per block. Monotonicity of w - w/(1+x) in x under
+    # float32 rounding makes this bit-identical to maximizing scored pairs
+    # (the MaxScoreCache fill, amortized across blocks AND queries)
+    one = np.float32(1.0)
     term_ends, term_ubs = [], []
     total_blocks = 0
     for term, w, r, _ in scoring:
         ends = np.asarray(r.block_max_docs, dtype=np.int64)
-        lens = np.fromiter((len(x) for x in r.imp_freqs), dtype=np.int64,
-                           count=len(r.imp_freqs))
-        if len(lens) and (lens > 0).all():
-            all_f = np.concatenate([np.asarray(x, dtype=np.int64)
-                                    for x in r.imp_freqs])
-            all_n = np.concatenate([np.asarray(x, dtype=np.int64)
-                                    for x in r.imp_norms])
-            sc = bm25.score_term(all_f, all_n, w, stats.cache)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            ub = np.maximum.reduceat(sc.astype(np.float64), starts)
+        bx = reader.block_max_x(term, stats.cache)
+        if bx is not None:
+            ub = (w - w / (one + bx)).astype(np.float64)
         else:  # defensive: empty frontier block (shouldn't occur)
             ub = np.array([bm25.max_score_for_block(
                 np.asarray(ff, dtype=np.int64),

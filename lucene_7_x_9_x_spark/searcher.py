@@ -385,11 +385,20 @@ class Searcher:
         return out
 
     def rescore(self, first_pass: DataFrame, query2, weight: float = 1.0,
-                k: int = 10) -> DataFrame:
+                k: int = 10, max_docs: int = 10_000) -> DataFrame:
         """QueryRescorer analogue (solr-8.4.0/.../search/QueryRescorer.java):
         combined = first_pass_score + weight * second_query_score over only
-        the first-pass docs (docs not matching query2 keep their score)."""
-        rows = first_pass.select("segment", "docid", "score").collect()
+        the first-pass docs (docs not matching query2 keep their score).
+
+        first_pass is expected to be a top-N result; max_docs bounds the
+        driver-side collect (QueryRescorer rescores topN hits, never a full
+        match set — pass a larger max_docs deliberately if needed)."""
+        rows = (first_pass.select("segment", "docid", "score")
+                .limit(max_docs + 1).collect())
+        if len(rows) > max_docs:
+            raise ValueError(
+                f"rescore() input exceeds max_docs={max_docs}; rescoring is "
+                "a top-N operation — limit the first pass or raise max_docs")
         wanted: dict = {}
         for r in rows:
             wanted.setdefault(int(r.segment), {})[int(r.docid)] = \

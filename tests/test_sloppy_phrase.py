@@ -1,0 +1,66 @@
+"""Sloppy-phrase parity: sloppyFreq = sum of 1/(1+matchLength) over minimal
+windows (SloppyPhraseMatcher.java:158-196, PhraseScorer.java:74-81),
+float32-exact, including reordered matches the reference semantics allow."""
+
+import numpy as np
+import pandas as pd
+
+from lucene_7_x_9_x_spark import oracle
+from lucene_7_x_9_x_spark.functions import bm25
+from lucene_7_x_9_x_spark.operators.executor import _sloppy_freq_doc
+from lucene_7_x_9_x_spark.plans.query import PhraseQuery
+
+F32 = np.float32
+
+
+def freq(doc_positions, slop):
+    return _sloppy_freq_doc([np.asarray(p, np.int64)
+                             for p in doc_positions], slop)
+
+
+def test_sloppy_freq_hand_examples():
+    # "a c b": a@0, b@2 -> pp(a)=0, pp(b)=1, matchLength 1 -> 1/(1+1)
+    assert freq([[0], [2]], 1) == F32(0.5)
+    # "b a": a@1, b@0 -> pp(a)=1, pp(b)=-1, matchLength 2: reordered match
+    # needs slop >= 2 (the forward-window approximation missed these)
+    assert freq([[1], [0]], 1) == F32(0.0)
+    assert freq([[1], [0]], 2) == F32(F32(1.0) / F32(3.0))
+    # "a b a b": two exact occurrences -> weight 1.0 each
+    assert freq([[0, 2], [1, 3]], 0) == F32(2.0)
+    assert freq([[0, 2], [1, 3]], 3) == F32(2.0)
+    # exact adjacency has matchLength 0 regardless of slop
+    assert freq([[5], [6]], 4) == F32(1.0)
+    # three terms spread: "a x b y c": a@0 b@2 c@4 -> pps 0,1,2; pop a(0):
+    # ml = 2-0 = 2 -> matches at slop 2, not 1
+    assert freq([[0], [2], [4]], 1) == F32(0.0)
+    assert freq([[0], [2], [4]], 2) == F32(F32(1.0) / F32(3.0))
+
+
+def test_sloppy_freq_accumulates_float32():
+    # two windows with matchLengths 0 and 1: freq = f32(1.0 + 0.5)
+    # "a b ... a x b": a@[0,10], b@[1,12]
+    got = freq([[0, 10], [1, 12]], 1)
+    assert got == F32(F32(1.0) + F32(0.5))
+
+
+def test_engine_scores_with_sloppy_freq():
+    docs = [["q", "x", "e"],      # q@0, e@2 -> ml 1 -> freq 0.5
+            ["q", "e"],           # exact   -> freq 1.0
+            ["e", "q"]]           # reorder -> ml 2 -> no match at slop 1
+    eng = oracle.OracleEngine(*oracle.index_token_lists(docs))
+    m = eng.matches(PhraseQuery(["q", "e"], slop=1))
+    assert m.docids.tolist() == [0, 1]
+    stats = eng.stats
+    idf_sum = F32(float(np.sum(np.array(
+        [stats.idf("q"), stats.idf("e")], dtype=np.float32,
+    ).astype(np.float64))))
+    norms = eng.reader.norms()
+    for docid, f in [(0, F32(0.5)), (1, F32(1.0))]:
+        want = bm25.score_term(np.array([f], np.float32),
+                               norms[docid:docid + 1], idf_sum,
+                               stats.cache)[0]
+        got = m.scores[list(m.docids).index(docid)]
+        assert F32(got) == want, (docid, got, want)
+    # reordered match appears at slop 2
+    m2 = eng.matches(PhraseQuery(["q", "e"], slop=2))
+    assert m2.docids.tolist() == [0, 1, 2]
