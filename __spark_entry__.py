@@ -66,6 +66,38 @@ FROM scored WHERE {cond}
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _classic_sql(terms: list[str], k: int) -> str:
+    """ClassicSimilarity (TF-IDF) disjunctive top-k oracle: per-term score
+    sqrt(tf) * (ln((docCount+1)/(df+1)) + 1) / sqrt(qdl), summed
+    (ClassicSimilarity.java:39-63, TFIDFSimilarity.java:519-560)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"sqrt(tf_{i}) * (ln((s.doc_count + 1) / CAST(d.df_{i} + 1 AS DOUBLE))"
+        f" + 1.0) / sqrt(qdl) ELSE 0 END)"
+        for i in range(len(terms)))
+    nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                        for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
+dfs AS (SELECT {df_cols} FROM tf),
+scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+           FROM tf, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _contains_sql(pred: str) -> str:
     return (f"SELECT doc_id FROM (SELECT doc_id, {TOKS} AS ts FROM documents)"
             f" WHERE {pred}")
@@ -83,13 +115,14 @@ def _emb(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _get_searcher(spark: SparkSession, sf_dir: str):
+def _get_searcher(spark: SparkSession, sf_dir: str,
+                  similarity: str = "bm25"):
     from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
     from lucene_7_x_9_x_spark.searcher import Searcher
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), similarity)
     if key in _INDEXES:
         return _INDEXES[key]
-    out = os.path.join(_CACHE_ROOT, os.path.basename(key))
+    out = os.path.join(_CACHE_ROOT, os.path.basename(key[0]))
     if not os.path.exists(os.path.join(out, "manifest.json")):
         # range-partition by doc_id so that (segment asc, docid asc) ==
         # doc_id asc globally: the engine's tie-break order then matches
@@ -98,7 +131,7 @@ def _get_searcher(spark: SparkSession, sf_dir: str):
                 .repartitionByRange(8, F.col("doc_id")))
         build_index(spark, docs, out, id_cols=["doc_id"],
                     text_col="text", segment_by="input")
-    s = Searcher(IndexSnapshot(spark, out))
+    s = Searcher(IndexSnapshot(spark, out), similarity=similarity)
     _INDEXES[key] = s
     return s
 
@@ -203,6 +236,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_synonym_top10(spark, sf):
         return _topk_ids(spark, sf, Q.SynonymQuery(["merge", "stream"]), 10)
+
+    def classic_top10(spark, sf):
+        # pluggable similarity: ClassicSimilarity (TF-IDF) over the same
+        # index/norm bytes (IndexSearcher.setSimilarity analogue)
+        s = _get_searcher(spark, sf, similarity="classic")
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
+             (O.SHOULD, T("window"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
 
     def bm25_dismax_top10(spark, sf):
         return _topk_ids(spark, sf, Q.DisjunctionMaxQuery(
@@ -326,6 +369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "fp")
 
+    def highlight(spark, sf):
+        from lucene_7_x_9_x_spark.functions.highlight import \
+            highlight_snippets
+        return (highlight_snippets(_docs(spark, sf), ["filter", "join"])
+                .select(F.col("doc_id").cast("long"), "snippet"))
+
     def sort_by_field(spark, sf):
         # TopFieldCollector analogue: top-k by a stored field, native
         # Catalyst TakeOrderedAndProject (SURVEY.md §2.7)
@@ -379,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
+        "classic_top10": classic_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
         "facet_lang": facet_lang,
@@ -395,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality_q,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
+        "highlight": highlight,
         "sort_by_field": sort_by_field,
         "events_windowed": events_windowed,
         "multimodal_features": multimodal_features,
@@ -542,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
             "i -> ts[i] = 'the' AND ts[i+1] = 'fast')) > 0) "
             "AND NOT list_contains(ts, 'window')"),
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
+        "classic_top10": _classic_sql(["filter", "join", "window"], 10),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
         # synonym pseudo-term: docFreq = max over terms, freq = sum
         # (SynonymQuery.java:233-252)
@@ -707,6 +759,18 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                      list_sort(list_transform(list_distinct(ts),
                                               t -> md5(t)))[1:4], '|') AS fp
             FROM (SELECT doc_id, {TOKS} AS ts FROM documents)""",
+        "highlight": """
+            SELECT doc_id,
+                   regexp_replace(
+                     substr(text, greatest(1, least(
+                       CASE WHEN strpos(lower(text), 'filter') > 0
+                            THEN strpos(lower(text), 'filter') END,
+                       CASE WHEN strpos(lower(text), 'join') > 0
+                            THEN strpos(lower(text), 'join') END) - 20), 80),
+                     '(?i)(filter|join)', '<b>\\1</b>', 'g') AS snippet
+            FROM documents
+            WHERE strpos(lower(text), 'filter') > 0
+               OR strpos(lower(text), 'join') > 0""",
         "sort_by_field": """
             SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
                      AS BIGINT) AS rank,

@@ -1,0 +1,49 @@
+"""Pluggable similarities beyond BM25 (SURVEY §2.7).
+
+ClassicSimilarity — the reference's TF-IDF model, float32-exact behavior
+transcription of:
+  solr-8.4.0/lucene/core/src/java/org/apache/lucene/search/similarities/
+    ClassicSimilarity.java:39-63
+      lengthNorm(numTerms) = (float)(1.0 / sqrt(numTerms))
+      tf(freq)             = (float) sqrt(freq)
+      idf(df, docCount)    = (float)(log((docCount+1)/(double)(df+1)) + 1.0)
+  TFIDFSimilarity.java:519-560
+      normTable[i] = lengthNorm(byte4ToInt(i)) for i >= 1;
+      normTable[0] = 1f / normTable[255]
+      score(freq, norm) = (tf(freq) * queryWeight) * normTable[norm & 0xFF]
+      with queryWeight = boost * idf (float32 product)
+
+The norm byte is the same SmallFloat.intToByte4(dl) the index already
+stores (TFIDFSimilarity.computeNorm == BM25Similarity.computeNorm), so one
+index serves both similarities.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+F32 = np.float32
+
+
+class ClassicSimilarity:
+    name = "classic"
+
+    def __init__(self):
+        nt = np.empty(256, dtype=np.float32)
+        # LENGTH_TABLE[i] = byte4ToInt(i); lengthNorm in double, cast f32
+        nt[1:] = (1.0 / np.sqrt(LENGTH_TABLE[1:].astype(np.float64))
+                  ).astype(np.float32)
+        nt[0] = F32(1.0) / nt[255]
+        self.norm_table = nt
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return F32(np.log((doc_count + 1) / float(doc_freq + 1)) + 1.0)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight: np.float32) -> np.ndarray:
+        tf = np.sqrt(np.asarray(freqs, dtype=np.float64)).astype(np.float32)
+        raw = tf * weight  # float32 product, then normalize for field
+        nv = self.norm_table[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        return (raw * nv).astype(np.float32)

@@ -83,6 +83,15 @@ class IndexSnapshot:
         per-leaf norms file of Lucene, SURVEY.md §2.2 norms writer)."""
         return self.spark.read.parquet(os.path.join(self.root, "segnorms"))
 
+    def deletes(self) -> DataFrame | None:
+        """Tombstoned (segment, docid) rows committed by operators.deletes
+        (the liveDocs analogue), or None if this snapshot has none."""
+        dirs = self.manifest.get("deletes", [])
+        if not dirs:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dirs])
+
     @property
     def stats(self) -> dict:
         return self.manifest["stats"]

@@ -33,24 +33,50 @@ from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
 class SegmentStats:
     """Collection + term statistics. Collection stats are GLOBAL (across all
     segments), term stats too — Lucene gathers them once per query at the
-    IndexSearcher level (IndexSearcher.java:790,803)."""
+    IndexSearcher level (IndexSearcher.java:790,803).
+
+    similarity: "bm25" (default) or "classic" (TF-IDF,
+    functions/similarities.py). Block-max pruning is BM25-specific; other
+    similarities run the exhaustive path."""
 
     def __init__(self, doc_count: int, sum_total_term_freq: int,
                  doc_freqs: dict, total_term_freqs: dict,
-                 k1: float = bm25.DEFAULT_K1, b: float = bm25.DEFAULT_B):
+                 k1: float = bm25.DEFAULT_K1, b: float = bm25.DEFAULT_B,
+                 similarity: str = "bm25"):
         self.doc_count = doc_count
         self.sum_total_term_freq = sum_total_term_freq
         self.doc_freqs = doc_freqs
         self.total_term_freqs = total_term_freqs
         self.k1, self.b = k1, b
+        self.similarity = similarity
         self.avgdl = bm25.avgdl(sum_total_term_freq, max(doc_count, 1))
         self.cache = bm25.norm_inverse_cache(k1, b, self.avgdl)
+        if similarity == "classic":
+            from ..functions.similarities import ClassicSimilarity
+            self._sim = ClassicSimilarity()
+        elif similarity == "bm25":
+            self._sim = None
+        else:
+            raise ValueError(f"unknown similarity {similarity!r}")
+
+    @property
+    def is_bm25(self) -> bool:
+        return self._sim is None
 
     def idf(self, term: str) -> np.float32:
         df = self.doc_freqs.get(term, 0)
         if df == 0:
             return F32(0.0)
+        if self._sim is not None:
+            return self._sim.idf(df, self.doc_count)
         return bm25.idf(df, self.doc_count)
+
+    def score_arr(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+                  weight: np.float32) -> np.ndarray:
+        """Similarity-dispatched vectorized SimScorer.score."""
+        if self._sim is not None:
+            return self._sim.score(freqs, norm_bytes, weight)
+        return bm25.score_term(freqs, norm_bytes, weight, self.cache)
 
 
 class Matches:
@@ -114,8 +140,7 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         if not needs_scores:
             return Matches(docids)
         weight = F32(b32 * F32(q.boost)) * stats.idf(q.term)
-        scores = bm25.score_term(freqs, reader.norms()[docids], weight,
-                                 stats.cache)
+        scores = stats.score_arr(freqs, reader.norms()[docids], weight)
         return Matches(docids, scores)
 
     if isinstance(q, SynonymQuery):
@@ -133,8 +158,10 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         df = max((stats.doc_freqs.get(t, 0) for t in q.terms), default=0)
         if df == 0:
             return Matches(docids)
-        w = F32(b32 * F32(q.boost)) * bm25.idf(df, stats.doc_count)
-        scores = bm25.score_term(freqs, reader.norms()[docids], w, stats.cache)
+        w = F32(b32 * F32(q.boost)) * (
+            stats._sim.idf(df, stats.doc_count) if stats._sim is not None
+            else bm25.idf(df, stats.doc_count))
+        scores = stats.score_arr(freqs, reader.norms()[docids], w)
         return Matches(docids, scores)
 
     if isinstance(q, TermInSetQuery):
@@ -155,7 +182,7 @@ def evaluate(reader, stats: SegmentStats, q: Query,
             [stats.idf(t) for t in q.terms], dtype=np.float32,
         ).astype(np.float64)))
         w = F32(b32 * F32(q.boost)) * F32(idf_sum)
-        scores = bm25.score_term(freqs, reader.norms()[docids], w, stats.cache)
+        scores = stats.score_arr(freqs, reader.norms()[docids], w)
         return Matches(docids, scores)
 
     if isinstance(q, DisjunctionMaxQuery):

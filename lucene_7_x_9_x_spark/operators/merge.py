@@ -217,7 +217,21 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
         spark.read.parquet(os.path.join(batch_dir, "kind=docmap")),
         os.path.join(out_dir, "segnorms"))
 
+    # tombstones rebase exactly like docmap rows (merge concatenates, it
+    # does not compact): remap them into the merged coordinate space
+    dels = index.deletes()
+    new_deletes: list[str] = []
+    if dels is not None:
+        nd = (dels.withColumn("new_segment", smap[F.col("segment")])
+              .withColumn("new_docid", F.col("docid") + bmap[F.col("segment")])
+              .select(F.col("new_segment").alias("segment"),
+                      F.col("new_docid").alias("docid")))
+        name = os.path.join("deletes", "del_merged")
+        nd.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        new_deletes = [name]
+
     manifest = dict(index.manifest)
+    manifest["deletes"] = new_deletes
     manifest.update({
         "run_id": uuid.uuid4().hex[:12],
         "batches": ["batch_0"],

@@ -208,9 +208,12 @@ def classify_blockmax(q) -> dict | None:
 
 
 def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
-                  plan: dict, k: int, chunk_intervals: int = 32):
+                  plan: dict, k: int, chunk_intervals: int = 32,
+                  deleted: np.ndarray | None = None):
     """Vectorized block-max top-k, rank-identical to exhaustive evaluation.
-    Returns (docids, scores, frac_blocks_decoded)."""
+    deleted: sorted unique docids tombstoned in this segment (liveDocs);
+    they are excluded like a MUST_NOT set, before top-k, so k semantics are
+    exact. Returns (docids, scores, frac_blocks_decoded)."""
     norms = reader.norms()
     n_must_req = len(plan["must"])
     scoring = []  # (term, weight, row, is_must)
@@ -281,6 +284,8 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
         p = reader.postings(t)
         if p is not None:
             must_not_sets.append(p[0])
+    if deleted is not None and len(deleted):
+        must_not_sets.append(deleted)
 
     msm = max(plan["msm"], 0)
     top_d = np.zeros(0, np.int64)

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 
 from .functions.analysis import AnalyzerConfig, tokenize_to_flat
+from .functions.editdist import levenshtein_le, osa_distance
 from .functions.smallfloat import int_to_byte4
 from .operators.executor import Matches, SegmentStats, evaluate, top_k
 from .plans.query import Query, RewriteContext, rewrite as rewrite_query
@@ -46,7 +47,8 @@ class InMemoryReader:
         return sorted(self._postings.keys())
 
 
-def index_token_lists(token_lists: list[list[str]]):
+def index_token_lists(token_lists: list[list[str]],
+                      similarity: str = "bm25"):
     """Build an InMemoryReader + SegmentStats from explicit per-doc token
     lists (docid = list index) — the shape of the reference's golden tests
     (LT/search/TestWANDScorer.java:88-101)."""
@@ -72,12 +74,13 @@ def index_token_lists(token_lists: list[list[str]]):
     stats = SegmentStats(
         doc_count=int((dl > 0).sum()),
         sum_total_term_freq=int(dl.sum()),
-        doc_freqs=doc_freqs, total_term_freqs=ttfs)
+        doc_freqs=doc_freqs, total_term_freqs=ttfs, similarity=similarity)
     return InMemoryReader(postings, norms, len(token_lists), positions), stats
 
 
 def index_corpus(df: pd.DataFrame, text_col: str = "content",
-                 cfg: AnalyzerConfig | None = None):
+                 cfg: AnalyzerConfig | None = None,
+                 similarity: str = "bm25"):
     """Tokenize a corpus DataFrame (docid = positional order) and index it."""
     row_idx, pos, flat, dl = tokenize_to_flat(df[text_col], cfg)
     norms = int_to_byte4(dl)
@@ -96,7 +99,7 @@ def index_corpus(df: pd.DataFrame, text_col: str = "content",
     stats = SegmentStats(
         doc_count=int((dl > 0).sum()),
         sum_total_term_freq=int(dl.sum()),
-        doc_freqs=doc_freqs, total_term_freqs=ttfs)
+        doc_freqs=doc_freqs, total_term_freqs=ttfs, similarity=similarity)
     return InMemoryReader(postings, norms, len(df), positions), stats
 
 
@@ -127,7 +130,12 @@ class OracleEngine:
                         or (q.include_upper and t == q.upper))]
         elif isinstance(q, Q.FuzzyQuery):
             sel = [t for t in terms
-                   if _edit_distance_le(t, q.term, q.max_edits)]
+                   if (q.prefix_length == 0
+                       or t.startswith(q.term[:q.prefix_length]))
+                   and abs(len(t) - len(q.term)) <= q.max_edits
+                   and ((osa_distance(t, q.term) <= q.max_edits)
+                        if q.transpositions
+                        else levenshtein_le(t, q.term, q.max_edits))]
         else:
             return None
         return sel[: self._rewrite_ctx.max_expansions]
@@ -150,16 +158,3 @@ class OracleEngine:
                             needs_scores=False).docids)
 
 
-def _edit_distance_le(a: str, b: str, k: int) -> bool:
-    if abs(len(a) - len(b)) > k:
-        return False
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (ca != cb))
-        if min(cur) > k:
-            return False
-        prev = cur
-    return prev[-1] <= k

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .functions import bm25
+from .functions.editdist import osa_distance as _osa_distance
 from .index import IndexSnapshot
 from .operators import executor as ex
 from .operators.search import (SparkSegmentReader, blockmax_topk,
@@ -32,13 +33,46 @@ from .plans.query import RewriteContext, rewrite as rewrite_query
 
 class Searcher:
     def __init__(self, index: IndexSnapshot, k1: float = bm25.DEFAULT_K1,
-                 b: float = bm25.DEFAULT_B, max_expansions: int = 1024):
+                 b: float = bm25.DEFAULT_B, max_expansions: int = 1024,
+                 similarity: str = "bm25"):
+        """similarity: "bm25" (default) or "classic" (TF-IDF; the
+        IndexSearcher.setSimilarity plug point, SURVEY §2.7). The stored
+        norm byte serves both models (same computeNorm). Block-max pruning
+        applies to BM25 only; classic queries run exhaustive + top-k."""
         self.index = index
         self.k1, self.b = k1, b
+        self.similarity = similarity
         self.max_expansions = max_expansions
         self._ctx = RewriteContext(expand_terms=self._expand,
                                    max_expansions=max_expansions)
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
+        self._deletes_cache: object = False  # False = not loaded yet
+
+    def _deleted_by_segment(self, max_driver_rows: int = 5_000_000
+                            ) -> dict | None:
+        """Tombstoned docids per segment (liveDocs analogue), shipped to the
+        kernels as per-segment sorted arrays. Deletes are expected sparse
+        between rewrites; the driver cap guards the collect — beyond it,
+        rebuild/compact the index without the deleted docs (update_docs +
+        build), or raise the cap deliberately."""
+        if self._deletes_cache is not False:
+            return self._deletes_cache
+        df = self.index.deletes()
+        if df is None:
+            self._deletes_cache = None
+            return None
+        rows = df.limit(max_driver_rows + 1).collect()
+        if len(rows) > max_driver_rows:
+            raise ValueError(
+                f"more than {max_driver_rows} tombstones; merge the index "
+                "to apply deletes physically or raise max_driver_rows")
+        by_seg: dict = {}
+        for r in rows:
+            by_seg.setdefault(int(r.segment), []).append(int(r.docid))
+        self._deletes_cache = {
+            s: np.unique(np.asarray(d, dtype=np.int64))
+            for s, d in by_seg.items()}
+        return self._deletes_cache
 
     # ---------------- driver-side rewrite/expansion over the terms table
     def _expand(self, q) -> list | None:
@@ -112,7 +146,8 @@ class Searcher:
         return ex.SegmentStats(
             doc_count=s["doc_count"],
             sum_total_term_freq=s["sum_total_term_freq"],
-            doc_freqs=dfs, total_term_freqs=ttfs, k1=self.k1, b=self.b)
+            doc_freqs=dfs, total_term_freqs=ttfs, k1=self.k1, b=self.b,
+            similarity=self.similarity)
 
     # ---------------- kernels
     def _kernel_frame(self, query, terms: set) -> DataFrame:
@@ -146,7 +181,8 @@ class Searcher:
         query = self.rewrite(query)
         terms = Q.scoring_terms(query) | _filter_terms(query)
         stats = self._global_stats(terms)
-        plan = classify_blockmax(query) if mode in ("auto", "blockmax") else None
+        plan = (classify_blockmax(query)
+                if mode in ("auto", "blockmax") and stats.is_bm25 else None)
         use_blockmax = (plan is not None and k is not None
                         and mode != "complete" and after is None)
 
@@ -159,6 +195,8 @@ class Searcher:
             return self.index.spark.createDataFrame(
                 [], "segment int, docid long, score float")
 
+        deleted = self._deleted_by_segment()
+
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
             seg = int(key[0])
@@ -167,11 +205,15 @@ class Searcher:
             norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
             reader = SparkSegmentReader(post_pdf, norms,
                                         int(sn_pdf["max_doc"].iloc[0]))
+            dele = deleted.get(seg) if deleted else None
             if use_blockmax:
-                d, s, _ = blockmax_topk(reader, stats, plan, k)
+                d, s, _ = blockmax_topk(reader, stats, plan, k, deleted=dele)
             else:
                 m = ex.evaluate(reader, stats, query)
                 d, s = m.docids, m.scores
+                if dele is not None:
+                    keep = ~np.isin(d, dele, assume_unique=True)
+                    d, s = d[keep], s[keep]
                 if after is not None:
                     # searchAfter cursor (IndexSearcher.java:388-422):
                     # keep docs strictly after (score, segment, docid)
@@ -234,6 +276,9 @@ class Searcher:
         stats prune non-matching ranges — the BKD tree's role re-expressed
         as columnar min/max pruning. Returns (segment, docid, <col>)."""
         dm = self.index.docmap()
+        dels = self.index.deletes()
+        if dels is not None:
+            dm = dm.join(dels, ["segment", "docid"], "left_anti")
         c = F.col(col)
         if lower is not None:
             dm = dm.where(c >= lower if include_lower else c > lower)
@@ -286,7 +331,8 @@ class Searcher:
             # rest of the batch would leave the postings scan empty (see the
             # zero-batch Arrow guard in _run); term-based queries can't hit
             return _with_extra(empty)
-        plans = {qid: classify_blockmax(q) for qid, q in rewritten.items()}
+        plans = ({qid: classify_blockmax(q) for qid, q in rewritten.items()}
+                 if stats.is_bm25 else {qid: None for qid in rewritten})
         needs_pos = any(_needs_positions(q) for q in rewritten.values())
 
         post = self.index.postings()
@@ -303,6 +349,8 @@ class Searcher:
         sn = (self.index.segnorms()
               .join(post.select("segment").distinct(), "segment"))
 
+        deleted = self._deleted_by_segment()
+
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
             seg = int(key[0])
@@ -313,12 +361,18 @@ class Searcher:
             norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
             reader = SparkSegmentReader(post_pdf, norms,
                                         int(sn_pdf["max_doc"].iloc[0]))
+            dele = deleted.get(seg) if deleted else None
             for qid, q in rewritten.items():
                 plan = plans[qid]
                 if plan is not None:
-                    d, s_, _ = blockmax_topk(reader, stats, plan, k)
+                    d, s_, _ = blockmax_topk(reader, stats, plan, k,
+                                             deleted=dele)
                 else:
-                    d, s_ = ex.top_k(ex.evaluate(reader, stats, q), k)
+                    m = ex.evaluate(reader, stats, q)
+                    if dele is not None:
+                        keep = ~np.isin(m.docids, dele, assume_unique=True)
+                        m = ex.Matches(m.docids[keep], m.scores[keep])
+                    d, s_ = ex.top_k(m, k)
                 out.append(pd.DataFrame({
                     "qid": qid,
                     "segment": np.full(len(d), seg, dtype=np.int32),
@@ -370,8 +424,8 @@ class Searcher:
             if i >= len(d) or d[i] != docid:
                 continue
             w = bm25.F32(bm25.F32(boost) * stats.idf(t))
-            contrib = bm25.score_term(
-                f[i:i + 1], norms[docid:docid + 1], w, stats.cache)[0]
+            contrib = stats.score_arr(
+                f[i:i + 1], norms[docid:docid + 1], w)[0]
             out.append({
                 "term": t, "tf": int(f[i]),
                 "boost": float(boost),
@@ -444,27 +498,6 @@ class Searcher:
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         return res.withColumn("rank", F.row_number().over(w))
-
-
-def _osa_distance(a: str, b: str) -> int:
-    """Optimal-string-alignment (restricted Damerau-Levenshtein) distance:
-    insert / delete / substitute / adjacent-transposition each cost 1 — the
-    reference's transpositions=true edit model
-    (solr-8.4.0/.../util/automaton/LevenshteinAutomata.java:46-52). Runs
-    only on the pruned candidate term list, never per posting."""
-    la, lb = len(a), len(b)
-    prev2: list[int] | None = None
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        for j in range(1, lb + 1):
-            cost = 0 if a[i - 1] == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
-                    and a[i - 2] == b[j - 1]):
-                cur[j] = min(cur[j], prev2[j - 2] + 1)
-        prev2, prev = prev, cur
-    return prev[lb]
 
 
 def _scoring_leaves(q, boost: float = 1.0) -> list:
