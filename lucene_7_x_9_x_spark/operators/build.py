@@ -153,59 +153,108 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
     ttf = np.add.reduceat(freqs, term_start) if n_terms else freqs
     VB = bytes([codec.TAG_VARBYTE])
 
-    rows = {n: [] for n, _ in POSTINGS_COLS}
+    # --- assemble per-term rows. The tail (df <= BLOCK_SIZE, the
+    # overwhelming majority of the vocabulary) is built with bulk list
+    # comprehensions over plain-int lists — no per-term numpy allocations
+    # or list.append chains; this is the per-task memory-traffic hot spot
+    # that bounds multi-core scaling of the build. Nested plain lists are
+    # handed to Arrow as-is (same array<...> columns). Big terms (rare)
+    # keep the explicit multi-block encode loop. ---
     mv = memoryview(pos_data_all) if with_positions else None
     mv_doc = memoryview(doc_buf)
     mv_freq = memoryview(freq_buf)
     BS = codec.BLOCK_SIZE
-    for ti in range(n_terms):
+
+    def _fill(col: list, idx: list, values: list) -> None:
+        for i, v in zip(idx, values):
+            col[i] = v
+
+    col_bdocs: list = [None] * n_terms
+    col_bfreqs: list = [None] * n_terms
+    col_ns: list = [None] * n_terms
+    col_maxd: list = [None] * n_terms
+    col_impf: list = [None] * n_terms
+    col_impn: list = [None] * n_terms
+
+    is_tail = term_df <= BS
+    tail = np.nonzero(is_tail)[0]
+    if len(tail):
+        tail_l = tail.tolist()
+        ds = doc_off[term_start[tail]].tolist()
+        de = doc_off[term_end[tail]].tolist()
+        fs = freq_off[term_start[tail]].tolist()
+        fe = freq_off[term_end[tail]].tolist()
+        _fill(col_bdocs, tail_l,
+              [[VB + bytes(mv_doc[a:b])] for a, b in zip(ds, de)])
+        _fill(col_bfreqs, tail_l,
+              [[VB + bytes(mv_freq[a:b])] for a, b in zip(fs, fe)])
+        _fill(col_ns, tail_l, [[d] for d in term_df[tail].tolist()])
+        _fill(col_maxd, tail_l,
+              [[m] for m in max_doc_of_term[tail].tolist()])
+        uni = tail[fmax[tail] == fmin[tail]]
+        _fill(col_impf, uni.tolist(), [[[f]] for f in fmax[uni].tolist()])
+        _fill(col_impn, uni.tolist(), [[[n]] for n in nmin[uni].tolist()])
+        for ti in tail[fmax[tail] != fmin[tail]].tolist():
+            s, e = term_start[ti], term_end[ti]
+            ff, nn = codec.impacts_frontier(freqs[s:e], post_norm[s:e])
+            col_impf[ti] = [ff.astype(np.int32)]
+            col_impn[ti] = [nn.astype(np.int32)]
+
+    for ti in np.nonzero(~is_tail)[0].tolist():
         s, e = term_start[ti], term_end[ti]
         df = e - s
-        if df <= BS:
-            blocks = [VB + bytes(mv_doc[doc_off[s]:doc_off[e]])]
-            fblocks = [VB + bytes(mv_freq[freq_off[s]:freq_off[e]])]
-            ns = np.array([df], dtype=np.int32)
-            max_docs = max_doc_of_term[ti:ti + 1]
-            if fmax[ti] == fmin[ti]:
-                impf = [np.array([fmax[ti]], dtype=np.int32)]
-                impn = [np.array([nmin[ti]], dtype=np.int32)]
-            else:
-                ff, nn = codec.impacts_frontier(freqs[s:e], post_norm[s:e])
-                impf, impn = [ff.astype(np.int32)], [nn.astype(np.int32)]
-        else:
-            docids = post_doc[s:e]
-            tfs = freqs[s:e]
-            blocks, ns, max_docs = codec.encode_doc_blocks(docids)
-            fblocks = codec.encode_freq_blocks(tfs)
-            ns = np.asarray(ns, dtype=np.int32)
-            max_docs = np.asarray(max_docs, dtype=np.int64)
-            impf, impn = [], []
-            tnorms = post_norm[s:e]
-            for bs in range(0, df, BS):
-                be = min(bs + BS, df)
-                ff, nn = codec.impacts_frontier(tfs[bs:be], tnorms[bs:be])
-                impf.append(ff.astype(np.int32))
-                impn.append(nn.astype(np.int32))
-        rows["term"].append(tuniq[term_codes_present[ti]])
-        rows["segment"].append(segment)
-        rows["doc_freq"].append(df)
-        rows["total_term_freq"].append(ttf[ti])
-        rows["block_max_docs"].append(max_docs)
-        rows["block_ns"].append(ns)
-        rows["block_docs"].append(blocks)
-        rows["block_freqs"].append(fblocks)
-        rows["imp_freqs"].append(impf)
-        rows["imp_norms"].append(impn)
-        if with_positions:
-            offs = post_pos_offsets[s:e + 1].astype(np.int64)
-            rows["pos_offsets"].append(offs - offs[0])
-            rows["pos_data"].append(bytes(mv[offs[0]:offs[-1]]))
-        else:
-            rows["pos_offsets"].append(None)
-            rows["pos_data"].append(None)
+        docids = post_doc[s:e]
+        tfs = freqs[s:e]
+        blocks, ns, max_docs = codec.encode_doc_blocks(docids)
+        col_bdocs[ti] = blocks
+        col_bfreqs[ti] = codec.encode_freq_blocks(tfs)
+        col_ns[ti] = np.asarray(ns, dtype=np.int32)
+        col_maxd[ti] = np.asarray(max_docs, dtype=np.int64)
+        impf, impn = [], []
+        tnorms = post_norm[s:e]
+        for bs in range(0, df, BS):
+            be = min(bs + BS, df)
+            ff, nn = codec.impacts_frontier(tfs[bs:be], tnorms[bs:be])
+            impf.append(ff.astype(np.int32))
+            impn.append(nn.astype(np.int32))
+        col_impf[ti] = impf
+        col_impn[ti] = impn
 
-    postings = pd.DataFrame(rows)
-    postings["segment"] = postings["segment"].astype(np.int32)
+    if with_positions:
+        po = post_pos_offsets
+        ps = po[term_start].tolist()
+        pe = po[term_end].tolist()
+        # per-term offsets rebased to 0; the slice bounds come from the
+        # first token of the first/one-past-last posting
+        starts_l = term_start.tolist()
+        ends_l = term_end.tolist()
+        col_poff: list = [po[s:e + 1] - po[s]
+                          for s, e in zip(starts_l, ends_l)]
+        col_pdat: list = [bytes(mv[a:b]) for a, b in zip(ps, pe)]
+    else:
+        col_poff = [None] * n_terms
+        col_pdat = [None] * n_terms
+
+    def S(col: list) -> pd.Series:
+        # Series (always 1-D) keeps list elements as objects; a DataFrame
+        # dict value that is a plain list of equal-length lists would be
+        # np.array-ified into a 2-D block and rejected
+        return pd.Series(col, dtype=object)
+
+    postings = pd.DataFrame({
+        "term": np.asarray(tuniq, dtype=object)[term_codes_present],
+        "segment": np.full(n_terms, segment, dtype=np.int32),
+        "doc_freq": term_df,
+        "total_term_freq": ttf,
+        "block_max_docs": S(col_maxd),
+        "block_ns": S(col_ns),
+        "block_docs": S(col_bdocs),
+        "block_freqs": S(col_bfreqs),
+        "imp_freqs": S(col_impf),
+        "imp_norms": S(col_impn),
+        "pos_offsets": S(col_poff),
+        "pos_data": S(col_pdat),
+    })
     return postings, docmap
 
 
