@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wildcard(spark, sf):
         return _match_ids(spark, sf, Q.WildcardQuery("st*am"))
 
+    def regexp(spark, sf):
+        return _match_ids(spark, sf, Q.RegexpQuery("st(r?)eam|qu.ry"))
+
     def term_range(spark, sf):
         return _match_ids(spark, sf, Q.TermRangeQuery("scan", "sort"))
 
@@ -419,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase": phrase,
         "prefix": prefix,
         "wildcard": wildcard,
+        "regexp": regexp,
         "term_range": term_range,
         "term_set": term_set,
         "fuzzy": fuzzy,
@@ -572,6 +576,9 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(ts, t -> t LIKE 'quer%')) > 0"),
         "wildcard": _contains_sql(
             "len(list_filter(ts, t -> regexp_matches(t, '^st.*am$'))) > 0"),
+        "regexp": _contains_sql(
+            "len(list_filter(ts, t -> regexp_matches(t,"
+            " '^(?:st(r?)eam|qu.ry)$'))) > 0"),
         "term_range": _contains_sql(
             "len(list_filter(ts, t -> t >= 'scan' AND t <= 'sort')) > 0"),
         "term_set": _contains_sql(

@@ -90,8 +90,14 @@ class Searcher:
                 t = t.where(c.startswith(lit))
             t = t.where(c.rlike(q.to_regex()))
         elif isinstance(q, Q.RegexpQuery):
+            # literal-prefix pruning is only sound when the prefix binds the
+            # WHOLE pattern: an alternation anywhere (a|b) or a quantifier
+            # on the first literal (a?bc) voids it, so require the pattern
+            # to start with plain literals and contain no '|'
             lit = _re.match(r"[^.*+?()\[\]{}|\\^$]*", q.pattern).group(0)
-            if lit:
+            if lit and "|" not in q.pattern and not (
+                    len(lit) < len(q.pattern)
+                    and q.pattern[len(lit)] in "*?+{"):
                 t = t.where(c.startswith(lit))
             t = t.where(c.rlike("^(?:" + q.pattern + ")$"))
         elif isinstance(q, Q.TermRangeQuery):

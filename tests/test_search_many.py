@@ -49,3 +49,29 @@ def test_search_many_all_absent(spark, many_index):
     got = s.search_many({"a": TermQuery("zzz1"), "b": TermQuery("zzz2")},
                         k=5)
     assert got.count() == 0
+
+
+def test_search_many_with_matchall(spark, many_index):
+    """A MatchAll-containing query in a batch must hit docs in EVERY
+    segment, including segments holding none of the batch's terms — and an
+    all-absent-terms batch with a MatchAll must still return its docs."""
+    from lucene_7_x_9_x_spark.plans.query import MatchAllDocsQuery
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    s = Searcher(many_index)
+    batch = {
+        "q_all": MatchAllDocsQuery(),
+        "q_term": TermQuery("h0"),
+        "q_boolall": BooleanQuery([(Occur.MUST, MatchAllDocsQuery()),
+                                   (Occur.MUST_NOT, TermQuery("h0"))]),
+    }
+    got = s.search_many(batch, k=7).toPandas()
+    for qid, q in batch.items():
+        want = s.search(q, 7, with_ids=False).toPandas()
+        g = got[got.qid == qid].sort_values("rank")
+        assert list(zip(g.segment, g.docid)) == \
+            list(zip(want.segment, want.docid)), qid
+    # batch whose only term is absent + a MatchAll: still k docs
+    got2 = s.search_many({"m": MatchAllDocsQuery(),
+                          "z": TermQuery("zzz_absent")}, k=4).toPandas()
+    assert len(got2[got2.qid == "m"]) == 4
+    assert len(got2[got2.qid == "z"]) == 0
