@@ -34,15 +34,33 @@ from .plans.query import RewriteContext, rewrite as rewrite_query
 class Searcher:
     def __init__(self, index: IndexSnapshot, k1: float = bm25.DEFAULT_K1,
                  b: float = bm25.DEFAULT_B, max_expansions: int = 1024,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25", cache_index: bool = False):
         """similarity: "bm25" (default) or "classic" (TF-IDF; the
         IndexSearcher.setSimilarity plug point, SURVEY §2.7). The stored
         norm byte serves both models (same computeNorm). Block-max pruning
-        applies to BM25 only; classic queries run exhaustive + top-k."""
+        applies to BM25 only; classic queries run exhaustive + top-k.
+
+        cache_index=True is the hot-serving mode (the page-cache-resident
+        index of a dedicated Lucene search node): postings are persisted
+        PRE-PARTITIONED by segment, so every query's cogroup kernel reuses
+        that partitioning with zero exchange — the per-query shuffle (the
+        dominant fixed cost of low-latency search) disappears. Sized for
+        indexes that fit executor storage memory; leave False for
+        scan-per-query over arbitrarily large indexes."""
         self.index = index
         self.k1, self.b = k1, b
         self.similarity = similarity
         self.max_expansions = max_expansions
+        self._post_src = index.postings()
+        self._terms_src = index.terms()
+        if cache_index:
+            n_part = max(index.spark.sparkContext.defaultParallelism,
+                         int(index.manifest.get("num_segments", 1)))
+            n_part = min(n_part, 2 * index.spark.sparkContext
+                         .defaultParallelism)
+            self._post_src = (self._post_src
+                              .repartition(n_part, "segment").persist())
+            self._terms_src = self._terms_src.persist()
         self._ctx = RewriteContext(expand_terms=self._expand,
                                    max_expansions=max_expansions)
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
@@ -77,7 +95,7 @@ class Searcher:
     # ---------------- driver-side rewrite/expansion over the terms table
     def _expand(self, q) -> list | None:
         import re as _re
-        t = self.index.terms()
+        t = self._terms_src
         c = F.col("term")
         if isinstance(q, Q.PrefixQuery):
             t = t.where(c.startswith(q.prefix))
@@ -138,7 +156,7 @@ class Searcher:
         dfs, ttfs = {}, {}
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
-            rows = (self.index.terms()
+            rows = (self._terms_src
                     .where(F.col("term").isin(missing)).collect())
             found = {r.term: (int(r.doc_freq), int(r.total_term_freq))
                      for r in rows}
@@ -157,7 +175,7 @@ class Searcher:
 
     # ---------------- kernels
     def _kernel_frame(self, query, terms: set) -> DataFrame:
-        post = self.index.postings()
+        post = self._post_src
         if terms:
             post = post.where(F.col("term").isin(list(terms)))
         else:  # match-all style queries need no postings
@@ -341,7 +359,7 @@ class Searcher:
                  if stats.is_bm25 else {qid: None for qid in rewritten})
         needs_pos = any(_needs_positions(q) for q in rewritten.values())
 
-        post = self.index.postings()
+        post = self._post_src
         if all_terms:
             post = post.where(F.col("term").isin(list(all_terms)))
         else:
@@ -409,7 +427,7 @@ class Searcher:
         # weight = F32(F32(boost) * idf), so the reported rows sum to the
         # actual hit score for boosted queries too
         leaves = _scoring_leaves(query) or [(t, 1.0) for t in terms]
-        rows = (self.index.postings()
+        rows = (self._post_src
                 .where((F.col("term").isin(terms))
                        & (F.col("segment") == segment))
                 .toPandas())
