@@ -249,54 +249,114 @@ def _flat_positions(reader, term):
 _POS_SHIFT = 32  # (candidate-doc rank << 32) | position: positions < 2^31
 
 
-def _sloppy_freq_doc(pos_arrays: list, slop: int) -> np.float32:
+def _sloppy_freq_doc(pos_arrays: list, slop: int,
+                     rpt_groups: list | None = None) -> np.float32:
     """One doc's sloppy phrase freq: float32 sum of sloppyWeight =
     1/(1+matchLength) over the minimal windows found by the PhraseQueue
     walk — a behavior transcription of SloppyPhraseMatcher.nextMatch
     (solr-8.4.0/.../search/SloppyPhraseMatcher.java:164-196, sloppyWeight
     :158-160) and PhraseScorer.score's float32 accumulation
     (PhraseScorer.java:74-81). pos_arrays[k] = ascending positions of
-    phrase term k (terms distinct); pp.position = pos - k. Returns 0 when
-    no window has matchLength <= slop."""
+    phrase slot k; pp.position = pos - k. rpt_groups lists the slot groups
+    of REPEATED terms (the single-term-repeats case of the reference:
+    groups start offset-sorted and collision-free — rg[j] pre-advanced j
+    steps, SloppyPhraseMatcher.java:414-445 — and a post-advance collision
+    on tpPos = position+offset advances the lesser pp, :274-311). The
+    priority queue is a lazy heap: entries whose snapshot position is stale
+    (a repeater advanced while queued) are re-pushed on pop/peek, which is
+    the re-queue dance of advanceRpts. Returns 0 when no window has
+    matchLength <= slop."""
     import heapq
     F = np.float32
     n = len(pos_arrays)
     position, idx = [0] * n, [0] * n
-    end = -(1 << 60)
-    heap = []
     for k in range(n):
         position[k] = int(pos_arrays[k][0]) - k
-        if position[k] > end:
-            end = position[k]
-        heap.append((position[k], k))  # PhraseQueue order: (position, offset)
+    group_of = [-1] * n
+    if rpt_groups:
+        for gi, g in enumerate(rpt_groups):
+            for slot in g:
+                group_of[slot] = gi
+        # start condition: no collisions — the j-th repeater of a group
+        # starts at the j-th occurrence of the shared positions list
+        for g in rpt_groups:
+            for j in range(1, len(g)):
+                k = g[j]
+                if j >= len(pos_arrays[k]):
+                    return F(0.0)  # fewer occurrences than repeats
+                idx[k] = j
+                position[k] = int(pos_arrays[k][j]) - k
+    end = max(position)
+    heap = [(position[k], k) for k in range(n)]  # order: (position, offset)
     heapq.heapify(heap)
+
+    def advance(k: int) -> bool:
+        nonlocal end
+        idx[k] += 1
+        if idx[k] >= len(pos_arrays[k]):
+            return False
+        p = int(pos_arrays[k][idx[k]]) - k
+        position[k] = p
+        if p > end:
+            end = p
+        return True
+
+    def advance_rpts(k: int) -> bool:
+        if group_of[k] < 0:
+            return True
+        cur = k
+        while True:
+            g = rpt_groups[group_of[cur]]
+            tp = position[cur] + cur
+            other = -1
+            for r in g:
+                if r != cur and position[r] + r == tp:
+                    other = r
+                    break
+            if other < 0:
+                return True
+            a, b = cur, other  # advance the lesser of the colliding two
+            cur = a if (position[a] < position[b]
+                        or (position[a] == position[b] and a < b)) else b
+            if not advance(cur):
+                return False
+
+    def pop_live():
+        while True:
+            pos, k = heapq.heappop(heap)
+            if position[k] == pos:
+                return pos, k
+            heapq.heappush(heap, (position[k], k))
+
+    def top_live():
+        while True:
+            pos, k = heap[0]
+            if position[k] == pos:
+                return pos
+            heapq.heapreplace(heap, (position[k], k))
+
     freq = None
     positioned = True
     while positioned:
-        pos0, k = heapq.heappop(heap)
+        pos0, k = pop_live()
         match_length = end - pos0
-        nxt = heap[0][0]
+        nxt = top_live()
         matched = False
         while True:
-            idx[k] += 1
-            if idx[k] >= len(pos_arrays[k]):  # pp exhausted
-                positioned = False
+            if not advance(k) or (rpt_groups and not advance_rpts(k)):
+                positioned = False  # pps exhausted for this doc
                 matched = match_length <= slop
                 break
-            p = int(pos_arrays[k][idx[k]]) - k
-            position[k] = p
-            if p > end:
-                end = p
-            if p > nxt:  # done minimizing the current match length
-                heapq.heappush(heap, (p, k))
+            if position[k] > nxt:  # done minimizing the current match
+                heapq.heappush(heap, (position[k], k))
                 if match_length <= slop:
                     matched = True
                     break
-                pos0, k = heapq.heappop(heap)
-                nxt = heap[0][0]
+                pos0, k = pop_live()
+                nxt = top_live()
                 match_length = end - pos0
             else:
-                ml2 = end - p
+                ml2 = end - position[k]
                 if ml2 < match_length:
                     match_length = ml2
         if matched:
@@ -308,30 +368,21 @@ def _sloppy_freq_doc(pos_arrays: list, slop: int) -> np.float32:
 def _sloppy_match(flats: list, cand: np.ndarray, slop: int, terms):
     """Sloppy path: per-candidate-doc PhraseQueue walk (the slow path —
     sloppy phrases are inherently per-window sequential; the exact path
-    below stays fully vectorized). Phrases with REPEATED terms keep the
-    forward-window approximation (Lucene's repeater collision machinery,
-    SloppyPhraseMatcher.java:273-311, is inventoried, not replicated)."""
-    n = len(flats)
+    below stays fully vectorized)."""
     slices = []
     for d, counts, flat in flats:
         idx = np.searchsorted(d, cand)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         slices.append((starts[idx], counts[idx], flat))
-    repeats = len(set(terms)) < len(terms)
+    by_term: dict = {}
+    for slot, t in enumerate(terms):
+        by_term.setdefault(t, []).append(slot)
+    rpt_groups = [g for g in by_term.values() if len(g) > 1] or None
     out_d: list = []
     out_f: list = []
     for j in range(len(cand)):
         pls = [flat[s[j]:s[j] + c[j]] for (s, c, flat) in slices]
-        if repeats:
-            ok = pls[0]
-            for i in range(1, n):
-                hit = np.zeros(len(ok), dtype=bool)
-                for sh in range(slop + 1):
-                    hit |= _in_sorted(ok + i + sh, pls[i])
-                ok = ok[hit]
-            f = np.float32(len(ok))
-        else:
-            f = _sloppy_freq_doc(pls, slop)
+        f = _sloppy_freq_doc(pls, slop, rpt_groups)
         if f > 0:
             out_d.append(int(cand[j]))
             out_f.append(f)

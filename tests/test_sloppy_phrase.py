@@ -43,6 +43,34 @@ def test_sloppy_freq_accumulates_float32():
     assert got == F32(F32(1.0) + F32(0.5))
 
 
+def test_sloppy_repeated_terms():
+    # phrase "a b a": slots a@0, b@1, a@2 share a's positions list; the
+    # repeat group starts offset-sorted and pre-advanced (rg[1] one step)
+    def f(a_pos, b_pos, slop):
+        return _sloppy_freq_doc(
+            [np.asarray(a_pos, np.int64), np.asarray(b_pos, np.int64),
+             np.asarray(a_pos, np.int64)], slop, rpt_groups=[[0, 2]])
+
+    # doc "a b a": exact occurrence -> matchLength 0, freq 1.0
+    assert f([0, 2], [1], 0) == F32(1.0)
+    assert f([0, 2], [1], 3) == F32(1.0)
+    # doc "a b c a": second a one step late -> matchLength 1 at slop >= 1
+    assert f([0, 3], [1], 0) == F32(0.0)
+    assert f([0, 3], [1], 1) == F32(0.5)
+    # doc with only one 'a' can never satisfy two repeats
+    assert f([0], [1], 4) == F32(0.0)
+
+
+def test_engine_matches_repeated_term_phrase():
+    docs = [["a", "b", "a"], ["a", "b", "c", "a"], ["a", "b"],
+            ["b", "a", "a"]]
+    eng = oracle.OracleEngine(*oracle.index_token_lists(docs))
+    assert eng.matches(
+        PhraseQuery(["a", "b", "a"], slop=0)).docids.tolist() == [0]
+    assert eng.matches(
+        PhraseQuery(["a", "b", "a"], slop=1)).docids.tolist() == [0, 1]
+
+
 def test_engine_scores_with_sloppy_freq():
     docs = [["q", "x", "e"],      # q@0, e@2 -> ml 1 -> freq 0.5
             ["q", "e"],           # exact   -> freq 1.0
