@@ -372,6 +372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "fp")
 
+    def term_vectors_q(spark, sf):
+        from lucene_7_x_9_x_spark.pipeline.textstats import term_vectors
+        return (term_vectors(_docs(spark, sf), "doc_id", "text")
+                .select(F.col("doc_id").cast("long"), "term", "tf",
+                        "positions"))
+
     def highlight(spark, sf):
         from lucene_7_x_9_x_spark.functions.highlight import \
             highlight_snippets
@@ -449,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": quality_q,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
+        "term_vectors": term_vectors_q,
         "highlight": highlight,
         "sort_by_field": sort_by_field,
         "events_windowed": events_windowed,
@@ -766,6 +773,15 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                      list_sort(list_transform(list_distinct(ts),
                                               t -> md5(t)))[1:4], '|') AS fp
             FROM (SELECT doc_id, {TOKS} AS ts FROM documents)""",
+        "term_vectors": f"""
+            SELECT doc_id, u[1] AS term,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   array_to_string(list_sort(list(u[2])), ',')
+                     AS positions
+            FROM (SELECT doc_id,
+                         unnest(list_zip(ts, range(len(ts)))) AS u
+                  FROM (SELECT doc_id, {TOKS} AS ts FROM documents))
+            GROUP BY doc_id, u[1]""",
         "highlight": """
             SELECT doc_id,
                    regexp_replace(

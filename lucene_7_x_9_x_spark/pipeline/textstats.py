@@ -67,6 +67,21 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return tmp.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def term_vectors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc term vectors — the reference's term-vectors storage
+    (solr-8.4.0/.../index/TermVectorsWriter.java capability, SURVEY §2.8)
+    re-expressed as a derived DataFrame: (id, term, tf, positions) with
+    0-based positions joined by ','. Pure JVM expressions; at scale this is
+    one explode + one (id, term) hash aggregation."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+    return (toks.groupBy(id_col, "term")
+            .agg(F.count("*").cast("long").alias("tf"),
+                 F.concat_ws(",", F.sort_array(F.collect_list(
+                     F.col("pos").cast("long")))).alias("positions")))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str,
                 n_mins: int = 4) -> DataFrame:
     """Deterministic document fingerprint: the n_mins smallest md5s of the

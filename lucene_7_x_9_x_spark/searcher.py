@@ -31,6 +31,38 @@ from .plans import query as Q
 from .plans.query import RewriteContext, rewrite as rewrite_query
 
 
+class LRUQueryCache:
+    """Filter-cache analogue of the reference's LRUQueryCache
+    (solr-8.4.0/.../search/LRUQueryCache.java capability): maps a rewritten
+    query to its PERSISTED (segment, docid) match-set DataFrame; least
+    recently used entries are evicted and unpersisted. Spark's persisted
+    DataFrame takes the role of the per-leaf cached DocIdSet — reusable by
+    any subsequent join/filter without re-running the kernel."""
+
+    def __init__(self, max_entries: int = 32):
+        from collections import OrderedDict
+        self._entries: "OrderedDict" = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        got = self._entries.get(key)
+        if got is not None:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return got
+        self.misses += 1
+        return None
+
+    def put(self, key, df) -> None:
+        self._entries[key] = df
+        self._entries.move_to_end(key)
+        while len(self._entries) > self.max_entries:
+            _, old = self._entries.popitem(last=False)
+            old.unpersist()
+
+
 class Searcher:
     def __init__(self, index: IndexSnapshot, k1: float = bm25.DEFAULT_K1,
                  b: float = bm25.DEFAULT_B, max_expansions: int = 1024,
@@ -65,6 +97,7 @@ class Searcher:
                                    max_expansions=max_expansions)
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
         self._deletes_cache: object = False  # False = not loaded yet
+        self.query_cache = LRUQueryCache()
 
     def _deleted_by_segment(self, max_driver_rows: int = 5_000_000
                             ) -> dict | None:
@@ -289,6 +322,21 @@ class Searcher:
     def matches(self, query) -> DataFrame:
         """All matching docs: DataFrame(segment, docid, score)."""
         return self._run(query, None, "complete")
+
+    def cached_matches(self, query) -> DataFrame:
+        """Filter-context matches through the LRU query cache: the first
+        call evaluates and persists the (segment, docid) set; repeats reuse
+        it without re-running the kernel (Query objects are frozen
+        dataclasses, so the rewritten tree is the cache key)."""
+        rq = self.rewrite(query)
+        key = (rq, self.similarity)
+        got = self.query_cache.get(key)
+        if got is not None:
+            return got
+        df = self._run(rq, None, "complete").select("segment",
+                                                    "docid").persist()
+        self.query_cache.put(key, df)
+        return df
 
     def numeric_range_docs(self, lower, upper, col: str = "dl",
                            include_lower: bool = True,
