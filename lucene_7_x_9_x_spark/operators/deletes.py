@@ -21,11 +21,16 @@ at flush). This module mirrors that contract:
 from __future__ import annotations
 
 import os
+import time
 import uuid
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import codec
 from ..index import MANIFEST, IndexSnapshot, _atomic_write_json
+from ..operators.build import POSTINGS_COLS, postings_schema_ddl
 
 
 def delete_by_ids(spark: SparkSession, index_dir: str,
@@ -48,6 +53,145 @@ def delete_by_ids(spark: SparkSession, index_dir: str,
         {"stage": "delete", "batch": name, "status": "done", "rows": n})
     _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
     return n
+
+
+def compact_index(spark: SparkSession, index: IndexSnapshot,
+                  out_dir: str) -> IndexSnapshot:
+    """Apply tombstones PHYSICALLY — the role SegmentMerger plays for
+    Lucene's liveDocs (deleted docs dropped, docids renumbered densely,
+    postings/norms/stats rewritten; solr-8.4.0/.../index/SegmentMerger.java
+    with MergeState.DocMap). Segments keep their ids; within a segment the
+    kept docs are renumbered by rank: new_id = old_id - |deleted < old_id|.
+
+    Per-segment work runs in one cogroup kernel: doc blocks are decoded,
+    filtered, and re-encoded; freq blocks likewise; impact frontiers are
+    recomputed from the surviving (freq, norm) pairs; position payloads
+    need NO re-encoding (per-doc slices are independent — kept slices are
+    concatenated and re-offset). Global terms/stats are re-finalized, so
+    docFreq no longer counts deleted docs — exactly the post-merge
+    semantics of the reference."""
+    from ..streaming.incremental import finalize
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    dels = index.deletes()
+    if dels is None:
+        raise ValueError("index has no tombstones to compact")
+    del_by_seg: dict = {}
+    for r in dels.collect():
+        del_by_seg.setdefault(int(r.segment), []).append(int(r.docid))
+    del_by_seg = {s: np.unique(np.asarray(v, np.int64))
+                  for s, v in del_by_seg.items()}
+
+    # ---- docmap: drop tombstoned rows, renumber densely ----------------
+    dm = index.docmap().join(dels, ["segment", "docid"], "left_anti")
+    other_cols = [c for c in dm.columns if c not in ("segment", "docid")]
+    from pyspark.sql import Window
+    w = Window.partitionBy("segment").orderBy("docid")
+    new_dm = (dm.withColumn("new_docid",
+                            F.row_number().over(w).cast("long") - 1)
+              .select("segment", F.col("new_docid").alias("docid"),
+                      *other_cols))
+
+    # ---- postings: decode -> filter -> renumber -> re-encode -----------
+    schema = postings_schema_ddl()
+    pcols = [n for n, _ in POSTINGS_COLS]
+
+    def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
+               ) -> pd.DataFrame:
+        seg = int(key[0])
+        deleted = del_by_seg.get(seg)
+        if deleted is None or len(sn_pdf) == 0:
+            return post_pdf[pcols]  # untouched segment passes through
+        norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
+        out = {c: [] for c in pcols}
+        for r in post_pdf.itertuples():
+            ds, fs = [], []
+            base = -1
+            for j in range(len(r.block_ns)):
+                n = int(r.block_ns[j])
+                d = codec.decode_doc_block(bytes(r.block_docs[j]), n, base)
+                fs.append(codec.decode_freq_block(bytes(r.block_freqs[j]),
+                                                  n))
+                base = int(r.block_max_docs[j])
+                ds.append(d)
+            docids = np.concatenate(ds) if ds else np.zeros(0, np.int64)
+            freqs = np.concatenate(fs) if fs else np.zeros(0, np.int64)
+            keep = ~np.isin(docids, deleted, assume_unique=True)
+            if not keep.any():
+                continue  # term vanished from this segment
+            kept_old = docids[keep]
+            kept_f = freqs[keep]
+            kept_norm = norms[kept_old]
+            new_ids = kept_old - np.searchsorted(deleted, kept_old)
+            blocks, ns, max_docs = codec.encode_doc_blocks(new_ids)
+            fblocks = codec.encode_freq_blocks(kept_f)
+            impf, impn = [], []
+            BS = codec.BLOCK_SIZE
+            for bs in range(0, len(new_ids), BS):
+                be = min(bs + BS, len(new_ids))
+                ff, nn = codec.impacts_frontier(kept_f[bs:be],
+                                                kept_norm[bs:be])
+                impf.append(ff.astype(np.int32))
+                impn.append(nn.astype(np.int32))
+            out["term"].append(r.term)
+            out["segment"].append(seg)
+            out["doc_freq"].append(len(new_ids))
+            out["total_term_freq"].append(int(kept_f.sum()))
+            out["block_max_docs"].append(np.asarray(max_docs, np.int64))
+            out["block_ns"].append(np.asarray(ns, np.int32))
+            out["block_docs"].append(blocks)
+            out["block_freqs"].append(fblocks)
+            out["imp_freqs"].append(impf)
+            out["imp_norms"].append(impn)
+            if getattr(r, "pos_data", None) is not None:
+                offs = np.asarray(r.pos_offsets, np.int64)
+                data = bytes(r.pos_data)
+                parts = [data[offs[i]:offs[i + 1]]
+                         for i in np.nonzero(keep)[0]]
+                lens = np.fromiter((len(p) for p in parts), np.int64,
+                                   len(parts))
+                out["pos_offsets"].append(
+                    np.concatenate(([0], np.cumsum(lens))))
+                out["pos_data"].append(b"".join(parts))
+            else:
+                out["pos_offsets"].append(None)
+                out["pos_data"].append(None)
+        res = pd.DataFrame({c: pd.Series(v, dtype=object)
+                            for c, v in out.items()})
+        if len(res):
+            res["segment"] = res["segment"].astype(np.int32)
+            res["doc_freq"] = res["doc_freq"].astype(np.int64)
+            res["total_term_freq"] = res["total_term_freq"].astype(np.int64)
+        return res
+
+    post = index.postings()
+    sn = index.segnorms()
+    new_post = (post.groupBy("segment").cogroup(sn.groupBy("segment"))
+                .applyInPandas(kernel, schema=schema))
+
+    batch_dir = os.path.join(out_dir, "batch_0")
+    (new_post.repartitionByRange(
+        max(int(index.manifest.get("num_segments", 8)), 8),
+        "segment", "term")
+     .sortWithinPartitions("segment", "term")
+     .write.mode("overwrite").parquet(os.path.join(batch_dir,
+                                                   "kind=postings")))
+    (new_dm.repartition("segment").sortWithinPartitions("segment", "docid")
+     .write.mode("overwrite").parquet(os.path.join(batch_dir,
+                                                   "kind=docmap")))
+    manifest = dict(index.manifest)
+    manifest.update({
+        "run_id": uuid.uuid4().hex[:12],
+        "batches": ["batch_0"],
+        "deletes": [],
+        "checkpoints": index.manifest.get("checkpoints", []) + [{
+            "stage": "compact", "status": "done",
+            "tombstones": int(sum(len(v) for v in del_by_seg.values())),
+            "secs": round(time.time() - t0, 3)}],
+    })
+    _atomic_write_json(os.path.join(out_dir, MANIFEST), manifest)
+    # terms dictionary + stats + segnorms all change: re-finalize
+    return finalize(spark, out_dir)
 
 
 def update_docs(spark: SparkSession, index_dir: str, new_docs: DataFrame,

@@ -7,7 +7,8 @@ import pandas as pd
 
 from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
 from lucene_7_x_9_x_spark.operators.deletes import delete_by_ids, update_docs
-from lucene_7_x_9_x_spark.plans.query import TermQuery
+from lucene_7_x_9_x_spark.plans.query import (BooleanQuery, Occur,
+                                              TermQuery)
 from tests.test_search import _random_corpus
 
 
@@ -63,6 +64,49 @@ def test_merge_remaps_tombstones(spark, tmp_path):
     sm = Searcher(merged)
     res = sm.search(TermQuery("h1"), 200, with_ids=True).toPandas()
     assert not set(victims) & set(res["id"])
+
+
+def test_compact_applies_deletes_physically(spark, tmp_path):
+    from lucene_7_x_9_x_spark.operators.deletes import compact_index
+    from lucene_7_x_9_x_spark.plans.query import PhraseQuery
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    rng = np.random.RandomState(14)
+    pdf = _random_corpus(rng, n_docs=250)
+    out = str(tmp_path / "i")
+    build_index(spark, spark.createDataFrame(pdf), out,
+                id_cols=["id"], text_col="content", num_segments=3)
+    s0 = Searcher(IndexSnapshot(spark, out))
+    victims = s0.search(TermQuery("h0"), 4, with_ids=True).toPandas()[
+        "id"].tolist()
+    delete_by_ids(spark, out, _ids(spark, victims))
+    live = Searcher(IndexSnapshot(spark, out))  # tombstone view
+    compacted = compact_index(spark, IndexSnapshot(spark, out),
+                              str(tmp_path / "c"))
+    sc = Searcher(compacted)
+    # no tombstones remain; docids are dense per segment
+    assert compacted.deletes() is None
+    dm = compacted.docmap().select("segment", "docid").toPandas()
+    for seg, g in dm.groupby("segment"):
+        assert sorted(g.docid) == list(range(len(g)))
+    # identical result SETS (by stable id) for several query shapes,
+    # identical float32 scores for term queries
+    for q in [TermQuery("h0"), TermQuery("h3"),
+              BooleanQuery([(Occur.MUST, TermQuery("h0")),
+                            (Occur.MUST_NOT, TermQuery("h1"))]),
+              PhraseQuery(["h0", "h1"], slop=1)]:
+        a = (live.matches(q).join(live.index.docmap()
+             .select("segment", "docid", "id"), ["segment", "docid"])
+             .select("id", "score").toPandas())
+        b = (sc.matches(q).join(sc.index.docmap()
+             .select("segment", "docid", "id"), ["segment", "docid"])
+             .select("id", "score").toPandas())
+        assert sorted(a.id) == sorted(b.id), q
+    # stats now exclude deleted docs (docFreq drops post-merge)
+    assert compacted.stats["doc_count"] == s0.index.stats["doc_count"] - 4
+    # integrity: rebuilt postings still answer top-k correctly vs tombstone
+    ta = live.search(TermQuery("h2"), 10, with_ids=True).toPandas()
+    tb = sc.search(TermQuery("h2"), 10, with_ids=True).toPandas()
+    assert ta["id"].tolist() == tb["id"].tolist()
 
 
 def test_update_docs_replaces_content(spark, tmp_path):
