@@ -263,6 +263,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (docs.join(ids, "doc_id").groupBy("lang")
                 .agg(F.count("*").cast("long").alias("cnt")))
 
+    def facet_range(spark, sf):
+        # LongRangeFacetCounts analogue: dl histogram over matching docs
+        from lucene_7_x_9_x_spark.functions.facets import range_facets
+        s = _get_searcher(spark, sf)
+        m = s.matches(T("filter"))
+        return range_facets(m, s.index.docmap(), "dl",
+                            [("short", 0, 20), ("medium", 20, 60),
+                             ("long", 60, 10**9)])
+
     def collection_stats(spark, sf):
         s = _get_searcher(spark, sf)
         st = s.index.stats
@@ -442,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
         "facet_lang": facet_lang,
+        "facet_range": facet_range,
         "collection_stats": collection_stats,
         "norms": norms,
         "term_stats": term_stats,
@@ -686,6 +696,18 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
             SELECT lang, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, lang, {TOKS} AS ts FROM documents)
             WHERE list_contains(ts, 'filter') GROUP BY lang""",
+        "facet_range": f"""
+            WITH m AS (SELECT len({TOKS}) AS dl FROM documents
+                       WHERE list_contains({TOKS}, 'filter'))
+            SELECT 'short' AS range_label,
+                   CAST(count(*) FILTER (WHERE dl >= 0 AND dl < 20)
+                        AS BIGINT) AS cnt FROM m
+            UNION ALL
+            SELECT 'medium', CAST(count(*) FILTER (WHERE dl >= 20 AND
+                        dl < 60) AS BIGINT) FROM m
+            UNION ALL
+            SELECT 'long', CAST(count(*) FILTER (WHERE dl >= 60 AND
+                        dl < 1000000000) AS BIGINT) FROM m""",
         "collection_stats": f"""
             WITH toks AS (SELECT {TOKS} AS ts FROM documents)
             SELECT (SELECT CAST(count(*) FILTER (WHERE len(ts) > 0)

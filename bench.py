@@ -105,7 +105,17 @@ def main():
          (Occur.SHOULD, TermQuery("mutex"))]), 10).collect())
     timed("phrase", lambda: searcher.search(
         PhraseQuery(["the", "fast"]), 10).collect())
+    timed("sloppy_phrase", lambda: searcher.search(
+        PhraseQuery(["the", "fast"], slop=2), 10).collect())
     timed("term_count", lambda: searcher.count(TermQuery("filter")))
+    from lucene_7_x_9_x_spark.plans.parser import parse
+    timed("parsed_query_top10", lambda: searcher.search(
+        parse('group AND query OR window'), 10).collect())
+    cls = Searcher(idx, similarity="classic")
+    timed("classic_top10", lambda: cls.search(BooleanQuery(
+        [(Occur.SHOULD, TermQuery("filter")),
+         (Occur.SHOULD, TermQuery("join")),
+         (Occur.SHOULD, TermQuery("window"))]), 10).collect())
 
     # query throughput: 32 queries fused into one job (search_many)
     import numpy as np
@@ -142,6 +152,11 @@ def main():
         docs, "doc_id", "text").count())
     timed("lang_id", lambda: textstats.lang_id(
         docs, "doc_id", "text").count())
+    timed("term_vectors", lambda: textstats.term_vectors(
+        docs, "doc_id", "text").count())
+    from lucene_7_x_9_x_spark.functions.highlight import highlight_snippets
+    timed("highlight", lambda: highlight_snippets(
+        docs, ["filter", "join"]).count())
 
     total = round(time.time() - t_all, 3)
     result = {

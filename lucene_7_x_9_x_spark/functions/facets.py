@@ -1,0 +1,48 @@
+"""Faceting — the reference facets module's counting capability
+(lucene/facet: FastTaxonomyFacetCounts, LongRangeFacetCounts) re-expressed
+as Catalyst aggregations over the match-joined docmap. No taxonomy
+side-index is needed: the docmap IS the doc->ordinal store, and a groupBy
+is the counting pass.
+
+At scale: the match set is the small side (top-k or a filtered subset) —
+join it broadcast against the docmap so faceting never shuffles per-doc
+rows of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def facet_counts(matches: DataFrame, docmap: DataFrame, field: str,
+                 top_n: int | None = None,
+                 broadcast_matches: bool = True) -> DataFrame:
+    """Counts per `field` value over a match set (segment, docid rows).
+    Ordered (cnt desc, value asc) — the facet top-values contract."""
+    m = matches.select("segment", "docid")
+    if broadcast_matches:
+        m = F.broadcast(m)
+    out = (docmap.join(m, ["segment", "docid"])
+           .groupBy(field).agg(F.count("*").cast("long").alias("cnt"))
+           .orderBy(F.desc("cnt"), field))
+    return out.limit(top_n) if top_n else out
+
+
+def range_facets(matches: DataFrame, docmap: DataFrame, field: str,
+                 ranges: list[tuple[str, float, float]],
+                 broadcast_matches: bool = True) -> DataFrame:
+    """LongRangeFacetCounts analogue: one row per (label, [lo, hi))
+    half-open range. Ranges may overlap (each is counted independently,
+    as in the reference); computed as one aggregation pass + stack."""
+    m = matches.select("segment", "docid")
+    if broadcast_matches:
+        m = F.broadcast(m)
+    j = docmap.join(m, ["segment", "docid"])
+    aggs = [F.sum(F.when((F.col(field) >= lo) & (F.col(field) < hi), 1)
+                  .otherwise(0)).cast("long").alias(f"r{i}")
+            for i, (_, lo, hi) in enumerate(ranges)]
+    row = j.agg(*aggs)
+    stack_args = ", ".join(f"'{label}', r{i}"
+                           for i, (label, _, _) in enumerate(ranges))
+    return row.selectExpr(
+        f"stack({len(ranges)}, {stack_args}) AS (range_label, cnt)")
