@@ -114,13 +114,15 @@ def _hash_params(num_hashes: int, seed: int = 42):
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, num_hashes: int = 32, seed: int = 42
-                       ) -> DataFrame:
+                       n: int = 3, num_hashes: int = 32, seed: int = 42,
+                       shingles_df: DataFrame | None = None) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures over md5-derived 31-bit
     shingle hashes. One explode + one groupBy; the per-hash mins are
-    computed as JVM aggregate expressions (no Python)."""
+    computed as JVM aggregate expressions (no Python). Pass shingles_df to
+    reuse an already-materialized (id, shingle) frame."""
     a, b = _hash_params(num_hashes, seed)
-    sh = shingles(df, id_col, text_col, n).select(
+    sh = (shingles_df if shingles_df is not None
+          else shingles(df, id_col, text_col, n)).select(
         F.col(id_col), md5_hash31(F.col("shingle")).alias("h"))
     aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
                          F.lit(_MERSENNE))).alias(f"m{i}")
@@ -138,7 +140,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     of the candidates with n-gram Jaccard (so output has no false
     positives; recall is the LSH S-curve at `bands`)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # one shingle pass serves both the signatures and the exact verify
+    sh = shingles(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed,
+                             shingles_df=sh)
     banded = sig.select(
         F.col(id_col),
         F.explode(F.transform(
@@ -155,8 +160,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (l.join(r, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    # exact verify candidates
-    sh = shingles(df, id_col, text_col, n)
+    # exact verify candidates (reuses the persisted shingle frame)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"),
                   F.col("shingle").alias("sh_a"))
