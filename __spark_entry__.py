@@ -335,6 +335,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash64(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "simhash")
 
+    def dedup_embedding(spark, sf):
+        from lucene_7_x_9_x_spark.pipeline.dedup import \
+            embedding_neardup_pairs
+        emb = _emb(spark, sf).withColumn(
+            "embedding", F.transform("embedding",
+                                     lambda x: x.cast("double")))
+        return (embedding_neardup_pairs(emb, dim=64)
+                .select(F.col("id_a").cast("long"),
+                        F.col("id_b").cast("long")))
+
     def ann_top10(spark, sf):
         from lucene_7_x_9_x_spark.pipeline.similarity import (
             cosine_topk_bruteforce)
@@ -419,6 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         .alias("win_start"), "event_type", "cnt",
                         "sum_value"))
 
+    def events_sessions(spark, sf):
+        # gap-based sessionization (batch form of the stateful streaming
+        # operator in streaming/sessions.py)
+        from lucene_7_x_9_x_spark.streaming.sessions import sessionize_batch
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return sessionize_batch(ev).select(
+            F.col("user_id").cast("long"), "session_start", "session_end",
+            "n_events")
+
     def multimodal_features(spark, sf):
         from lucene_7_x_9_x_spark.pipeline.multimodal import extract_features
         media = _docs(spark, sf).select(
@@ -459,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": dedup_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
         "ann_top10": ann_top10,
         "ann_lsh_top10": ann_lsh_top10,
         "token_stats": token_stats_q,
@@ -469,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": highlight,
         "sort_by_field": sort_by_field,
         "events_windowed": events_windowed,
+        "events_sessions": events_sessions,
         "multimodal_features": multimodal_features,
     }
 
@@ -563,6 +584,35 @@ FROM cand c, q
 ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
          c.vec_id
 LIMIT {k}"""
+
+
+def _emb_neardup_sql(dim: int = 64, n_planes: int = 6,
+                     threshold: float = 0.4, seed: int = 42) -> str:
+    """DuckDB replica of pipeline.dedup.embedding_neardup_pairs: same
+    hyperplane buckets (planes inlined via repr) and the same left-folded
+    dot/norm arithmetic, so the cosine threshold test matches bit-for-bit."""
+    import numpy as np
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+
+    def dot(vec: str, j: int) -> str:
+        return " + ".join(f"({vec}[{i + 1}]::DOUBLE * {float(c)!r})"
+                          for i, c in enumerate(planes[j]))
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
+    dot_self = " + ".join(
+        f"(embedding[{i + 1}]::DOUBLE * embedding[{i + 1}]::DOUBLE)"
+        for i in range(dim))
+    dot_pair = " + ".join(
+        f"(a.embedding[{i + 1}]::DOUBLE * c.embedding[{i + 1}]::DOUBLE)"
+        for i in range(dim))
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket,
+                  sqrt({dot_self}) AS nrm FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ({dot_pair}) / (a.nrm * c.nrm) >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -747,6 +797,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                   >= 0.5""",
         "dedup_minhash_lsh": _minhash_lsh_sql(shingle),
         "dedup_simhash": _simhash_sql(),
+        "dedup_embedding": _emb_neardup_sql(),
         "ann_lsh_top10": _ann_lsh_sql(),
         "ann_top10": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
@@ -828,6 +879,23 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                    CAST(CAST(sum(CAST(value AS DECIMAL(20,2)))
                         AS DECIMAL(20,2)) AS VARCHAR) AS sum_value
             FROM events GROUP BY 1, 2""",
+        # RANGE cumulative frame makes the session id tie-safe: equal-ts
+        # peer rows share one cumulative value in both engines
+        "events_sessions": """
+            WITH d AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                              THEN 1 ELSE 0 END AS nw
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                    sum(nw) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+                  FROM d)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid""",
         "multimodal_features": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
                      AS n_bytes,

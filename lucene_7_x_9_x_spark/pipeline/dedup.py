@@ -182,6 +182,34 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def embedding_neardup_pairs(df: DataFrame, dim: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.4, n_planes: int = 6,
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
+    (same-bucket candidates — per-plane collision probability 1 - θ/π, so
+    near-identical vectors almost always share a bucket) followed by exact
+    cosine verification of the candidates. Candidate generation is
+    Σ |bucket|² / 2, never a cross join; dot products and norms are
+    sequential left folds so SQL oracles reproduce the threshold test
+    bit-for-bit. Returns (id_a, id_b, cosine is dropped) with id_a < id_b."""
+    from .similarity import _dot, hyperplane_bucket, with_norm
+    b = with_norm(hyperplane_bucket(df, dim, n_planes, seed, vec_col),
+                  vec_col)
+    left = b.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("va"),
+                    F.col("_norm").alias("na"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"),
+                     F.col("_norm").alias("nb"), "bucket")
+    return (left.join(right, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(_dot(F.col("va"), F.col("vb"))
+                   / (F.col("na") * F.col("nb")) >= threshold)
+            .select("id_a", "id_b"))
+
+
 SIMHASH_BITS = 60  # md5-prefix hash width (see md5_hash60)
 
 
