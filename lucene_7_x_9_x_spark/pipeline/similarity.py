@@ -63,6 +63,66 @@ def hyperplane_bucket(df: DataFrame, dim: int, n_planes: int = 8,
     return out.withColumn("bucket", bucket.cast("long"))
 
 
+def ivf_train(df: DataFrame, dim: int, n_centroids: int = 16,
+              n_iters: int = 5, sample_size: int = 2048,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> np.ndarray:
+    """Driver-side Lloyd k-means coarse quantizer (the IVF training step):
+    deterministic sample (lowest ids), init = first n_centroids sample
+    vectors, float64 L2 iterations; an emptied cluster keeps its previous
+    centroid. The sample is tiny relative to the corpus — training cost is
+    O(sample * centroids * iters) on the driver, assignment is the
+    distributed pass."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).collect())
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError("sample smaller than n_centroids")
+    cent = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+def _l2_to_centroid(vec_col: str, centroid: np.ndarray):
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add list_id = argmin_j ||v - c_j||^2 (first minimum on ties), all
+    JVM-side: one left-folded distance expression per centroid, no Python
+    in the row path. At 100 TB this is the single narrow pass that
+    partitions the corpus into posting lists (write partitionBy(list_id)
+    so probes prune at the file level)."""
+    dists = F.array(*[_l2_to_centroid(vec_col, c) for c in centroids])
+    return df.withColumn(
+        "list_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+
+
+def ivf_topk(assigned: DataFrame, centroids: np.ndarray,
+             query_vec: list[float], k: int = 10, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> DataFrame:
+    """IVF search: probe the nprobe lists whose centroids are L2-closest to
+    the query, brute-force cosine within them. Per-query work is
+    |probed lists|, not |corpus|; nprobe = len(centroids) degenerates to
+    exact search."""
+    d2 = ((centroids - np.asarray(query_vec, dtype=np.float64)) ** 2).sum(1)
+    probes = [int(j) for j in np.argsort(d2, kind="stable")[:nprobe]]
+    cand = assigned.where(F.col("list_id").isin(probes))
+    return cosine_topk_bruteforce(cand, query_vec, id_col, vec_col, k)
+
+
 def cosine_topk_lsh(df: DataFrame, query_vec: list[float], dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     k: int = 10, n_planes: int = 8, probe_hamming: int = 1,
