@@ -27,6 +27,36 @@ from .smallfloat import LENGTH_TABLE
 F32 = np.float32
 
 
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed language model, float32-exact transcription of
+    solr-8.4.0/.../similarities/LMDirichletSimilarity.java:75-80 +
+    LMSimilarity.DefaultCollectionModel (p(w|C) = (ttf+1)/(sumTTF+1)) +
+    SimilarityBase.BasicSimScorer:227-229 (double math, final float cast,
+    docLen = byte4ToInt(norm)):
+
+        score = boost * (log(1 + freq / (mu * p_c)) + log(mu / (dl + mu)))
+        clipped below at 0.
+
+    Unlike BM25/Classic the per-term statistic is ttf (not df), so scoring
+    dispatches through SegmentStats.pseudo_score rather than a scalar
+    weight."""
+
+    name = "lmdirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              ttf: int, sum_ttf: int, boost: np.float32) -> np.ndarray:
+        p_c = (ttf + 1.0) / (sum_ttf + 1.0)
+        dl = self._dl[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float64)
+        s = float(boost) * (np.log(1.0 + f / (self.mu * p_c))
+                            + np.log(self.mu / (dl + self.mu)))
+        return np.where(s > 0.0, s, 0.0).astype(np.float32)
+
+
 class ClassicSimilarity:
     name = "classic"
 

@@ -35,8 +35,8 @@ class SegmentStats:
     segments), term stats too — Lucene gathers them once per query at the
     IndexSearcher level (IndexSearcher.java:790,803).
 
-    similarity: "bm25" (default) or "classic" (TF-IDF,
-    functions/similarities.py). Block-max pruning is BM25-specific; other
+    similarity: "bm25" (default), "classic" (TF-IDF), or "lmdirichlet"
+    (functions/similarities.py). Block-max pruning is BM25-specific; other
     similarities run the exhaustive path."""
 
     def __init__(self, doc_count: int, sum_total_term_freq: int,
@@ -51,17 +51,20 @@ class SegmentStats:
         self.similarity = similarity
         self.avgdl = bm25.avgdl(sum_total_term_freq, max(doc_count, 1))
         self.cache = bm25.norm_inverse_cache(k1, b, self.avgdl)
+        self._sim = None
+        self._lmd = None
         if similarity == "classic":
             from ..functions.similarities import ClassicSimilarity
             self._sim = ClassicSimilarity()
-        elif similarity == "bm25":
-            self._sim = None
-        else:
+        elif similarity == "lmdirichlet":
+            from ..functions.similarities import LMDirichletSimilarity
+            self._lmd = LMDirichletSimilarity()
+        elif similarity != "bm25":
             raise ValueError(f"unknown similarity {similarity!r}")
 
     @property
     def is_bm25(self) -> bool:
-        return self._sim is None
+        return self._sim is None and self._lmd is None
 
     def idf(self, term: str) -> np.float32:
         df = self.doc_freqs.get(term, 0)
@@ -73,10 +76,28 @@ class SegmentStats:
 
     def score_arr(self, freqs: np.ndarray, norm_bytes: np.ndarray,
                   weight: np.float32) -> np.ndarray:
-        """Similarity-dispatched vectorized SimScorer.score."""
+        """Similarity-dispatched vectorized SimScorer.score (weight-folding
+        similarities only)."""
         if self._sim is not None:
             return self._sim.score(freqs, norm_bytes, weight)
         return bm25.score_term(freqs, norm_bytes, weight, self.cache)
+
+    def pseudo_score(self, df: int, ttf: int, boost32: np.float32,
+                     freqs: np.ndarray, norm_bytes: np.ndarray
+                     ) -> np.ndarray:
+        """Score with explicit (pseudo-)term statistics — the path term,
+        synonym, and phrase scoring share. BM25/Classic fold (boost * idf)
+        into a scalar weight; LM Dirichlet needs ttf (collection
+        probability), so the boost passes through unfolded."""
+        if self._lmd is not None:
+            return self._lmd.score(freqs, norm_bytes, ttf,
+                                   self.sum_total_term_freq, boost32)
+        if df <= 0:
+            return np.zeros(len(freqs), dtype=np.float32)
+        base_idf = (self._sim.idf(df, self.doc_count)
+                    if self._sim is not None
+                    else bm25.idf(df, self.doc_count))
+        return self.score_arr(freqs, norm_bytes, boost32 * base_idf)
 
 
 class Matches:
@@ -139,8 +160,10 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         docids, freqs = p
         if not needs_scores:
             return Matches(docids)
-        weight = F32(b32 * F32(q.boost)) * stats.idf(q.term)
-        scores = stats.score_arr(freqs, reader.norms()[docids], weight)
+        scores = stats.pseudo_score(
+            stats.doc_freqs.get(q.term, 0),
+            stats.total_term_freqs.get(q.term, 0),
+            F32(b32 * F32(q.boost)), freqs, reader.norms()[docids])
         return Matches(docids, scores)
 
     if isinstance(q, SynonymQuery):
@@ -155,13 +178,12 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         np.add.at(freqs, inv, all_f)
         if not needs_scores:
             return Matches(docids)
+        # pseudo-term stats: docFreq = max, totalTermFreq = sum
+        # (SynonymQuery.java:233-252)
         df = max((stats.doc_freqs.get(t, 0) for t in q.terms), default=0)
-        if df == 0:
-            return Matches(docids)
-        w = F32(b32 * F32(q.boost)) * (
-            stats._sim.idf(df, stats.doc_count) if stats._sim is not None
-            else bm25.idf(df, stats.doc_count))
-        scores = stats.score_arr(freqs, reader.norms()[docids], w)
+        ttf = sum(stats.total_term_freqs.get(t, 0) for t in q.terms)
+        scores = stats.pseudo_score(df, ttf, F32(b32 * F32(q.boost)),
+                                    freqs, reader.norms()[docids])
         return Matches(docids, scores)
 
     if isinstance(q, TermInSetQuery):
@@ -178,6 +200,13 @@ def evaluate(reader, stats: SegmentStats, q: Query,
             return Matches.empty()
         if not needs_scores:
             return Matches(docids)
+        if stats._lmd is not None:
+            # LM phrase pseudo-term: summed member ttfs (the synonym model;
+            # SimilarityBase has no phrase-idf notion to sum)
+            ttf = sum(stats.total_term_freqs.get(t, 0) for t in q.terms)
+            scores = stats.pseudo_score(1, ttf, F32(b32 * F32(q.boost)),
+                                        freqs, reader.norms()[docids])
+            return Matches(docids, scores)
         idf_sum = float(np.sum(np.array(
             [stats.idf(t) for t in q.terms], dtype=np.float32,
         ).astype(np.float64)))

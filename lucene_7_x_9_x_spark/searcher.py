@@ -495,14 +495,15 @@ class Searcher:
             i = np.searchsorted(d, docid)
             if i >= len(d) or d[i] != docid:
                 continue
-            w = bm25.F32(bm25.F32(boost) * stats.idf(t))
-            contrib = stats.score_arr(
-                f[i:i + 1], norms[docid:docid + 1], w)[0]
+            contrib = stats.pseudo_score(
+                stats.doc_freqs.get(t, 0),
+                stats.total_term_freqs.get(t, 0), bm25.F32(boost),
+                f[i:i + 1], norms[docid:docid + 1])[0]
             out.append({
                 "term": t, "tf": int(f[i]),
                 "boost": float(boost),
                 "doc_freq": stats.doc_freqs.get(t, 0),
-                "idf": float(w),
+                "idf": float(stats.idf(t)),
                 "dl_quantized": int(byte4_to_int(
                     np.array([norms[docid]]))[0]),
                 "avgdl": float(stats.avgdl),

@@ -32,6 +32,40 @@ def test_score_formula_float32():
     assert got == F32(want)
 
 
+def test_lmdirichlet_formula_float32():
+    import numpy as np
+    from lucene_7_x_9_x_spark.functions.similarities import \
+        LMDirichletSimilarity
+    sim = LMDirichletSimilarity(mu=2000.0)
+    nb = int_to_byte4(np.array([30]))
+    dl = float(LENGTH_TABLE[int(nb[0])])
+    ttf, sum_ttf, f = 7, 1000, 3
+    want = F32(1.0 * (np.log(1.0 + f / (2000.0 * (ttf + 1.0)
+                                        / (sum_ttf + 1.0)))
+                      + np.log(2000.0 / (dl + 2000.0))))
+    got = sim.score(np.array([f]), nb, ttf, sum_ttf, F32(1.0))[0]
+    assert got == want
+    # negative raw scores clip to 0 (huge collection probability)
+    got0 = sim.score(np.array([1]), nb, 10**9, 10**9, F32(1.0))[0]
+    assert got0 == F32(0.0)
+
+
+def test_lmdirichlet_engine_matches_reference_math():
+    import numpy as np
+    from lucene_7_x_9_x_spark.functions.similarities import \
+        LMDirichletSimilarity
+    docs = [["q", "q", "x"], ["q", "y", "y", "y"], ["z"]]
+    r, s = oracle.index_token_lists(docs, similarity="lmdirichlet")
+    res = oracle.OracleEngine(r, s).matches(TermQuery("q"))
+    sim = LMDirichletSimilarity()
+    nb = int_to_byte4(np.array([3, 4, 1]))
+    for docid, tf in [(0, 2), (1, 1)]:
+        want = sim.score(np.array([tf]), nb[docid:docid + 1],
+                         ttf=3, sum_ttf=8, boost=F32(1.0))[0]
+        got = res.scores[list(res.docids).index(docid)]
+        assert F32(got) == want
+
+
 def test_classic_engine_ranking_differs_from_bm25_but_scores_pin():
     docs = [["t"] * 3 + ["pad"] * 5, ["t"] + ["pad"] * 1]
     r_bm, s_bm = oracle.index_token_lists(docs)
