@@ -67,6 +67,39 @@ def extract_features(df: DataFrame,
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resample: tiles/truncates the
+    source bytes to exactly width*height bytes (np.resize semantics). Real
+    plumbing — binary in, binary out, metadata rewritten — with the pixel
+    math left to an injected PIL/opencv resize_fn in production."""
+    n = max(int(width) * int(height), 0)
+    if n == 0:
+        return b""
+    if not payload:
+        return bytes(n)
+    return np.resize(np.frombuffer(payload, np.uint8), n).tobytes()
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  resize_fn: Callable[[bytes, int, int], bytes]
+                  | None = None) -> DataFrame:
+    """mapInPandas image resize over binary payloads: emits the same media
+    schema with payload replaced and width/height metadata updated — the
+    shape a 100 TB media-normalization pass has (one Arrow-batched narrow
+    transform, no shuffle)."""
+    fn = resize_fn or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [fn(p, width, height) for p in pdf["payload"]]
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: emits (id, frame_idx) rows for frames to
     decode, so the expensive decode fans out across the cluster. Decode
