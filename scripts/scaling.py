@@ -3,10 +3,11 @@ the SAME materialized input at two parallelism levels (local[8] vs
 local[32] — the sandbox stand-in for N vs 4N executors) and report
 throughput at both plus efficiency = (T_8 / T_32) / 4.
 
-Writes BENCH/BASELINE.md. Each run is a fresh JVM (subprocess) so executor
-pools don't interfere.
+Writes BENCH/scaling_<n1>_<n2>.{json,md}; BENCH/BASELINE.md is hand-curated
+from these. Each run is a fresh JVM (subprocess) so executor pools don't
+interfere; keep the machine otherwise idle.
 
-Usage: python scripts/scaling.py [n_docs]   (default 60000)
+Usage: python scripts/scaling.py [n_docs] [n1,n2]   (default 60000 8,32)
 """
 
 from __future__ import annotations
@@ -113,22 +114,25 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", f"scaling_{n1}_{n2}.json"), "w") as jf:
         json.dump(report, jf, indent=2)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH / BASELINE — measured numbers
+    # BENCH/BASELINE.md is hand-curated (multi-pair tables + the bus-ceiling
+    # decomposition) — write the single-pair table next to it instead
+    with open(os.path.join(REPO, "BENCH",
+                           f"scaling_{n1}_{n2}.md"), "w") as f:
+        f.write(f"""# Scaling measurement {n1} -> {n2}
 
 ## Scaling efficiency (north rule: >= 0.8 from N to 4N)
 
 Sandbox evidence: the same index-build job (synthetic F1 corpus,
-{n_docs} docs, 128 segments, identical parquet input) on `local[8]` vs
-`local[32]` in fresh JVMs.
+{n_docs} docs, identical parquet input) on `local[{n1}]` vs `local[{n2}]`
+in fresh taskset-pinned JVMs.
 
 | parallelism | build secs | docs/sec | tokens/sec | query p50 (s) |
 |---|---|---|---|---|
-| local[8]  (N)  | {r8['build_secs']} | {r8['docs_per_sec']} | {r8['tokens_per_sec']} | {r8['query_p50_sec']} |
-| local[32] (4N) | {r32['build_secs']} | {r32['docs_per_sec']} | {r32['tokens_per_sec']} | {r32['query_p50_sec']} |
+| local[{n1}] (N), pinned | {r8['build_secs']} | {r8['docs_per_sec']} | {r8['tokens_per_sec']} | {r8['query_p50_sec']} |
+| local[{n2}] (4N), pinned | {r32['build_secs']} | {r32['docs_per_sec']} | {r32['tokens_per_sec']} | {r32['query_p50_sec']} |
 
-- speedup 8->32 cores: **{speedup:.2f}x** (ideal 4x)
-- **scaling efficiency = (docs/sec@32 / docs/sec@8) / 4 = {eff:.3f}**
+- speedup {n1}->{n2} cores: **{speedup:.2f}x** (ideal 4x)
+- **scaling efficiency = (docs/sec@{n2} / docs/sec@{n1}) / 4 = {eff:.3f}**
 
 Tokens indexed: {r8['tokens']} ({r8['tokens']//max(n_docs,1)} avg dl).
 
@@ -146,7 +150,7 @@ Tokens indexed: {r8['tokens']} ({r8['tokens']//max(n_docs,1)} avg dl).
 
 Run `python bench.py` for the per-query suite (BENCH_r*.json).
 """)
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote BENCH/scaling_{n1}_{n2}.md")
 
 
 if __name__ == "__main__":
