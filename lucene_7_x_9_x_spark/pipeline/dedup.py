@@ -140,7 +140,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     of the candidates with n-gram Jaccard (so output has no false
     positives; recall is the LSH S-curve at `bands`)."""
     rows_per_band = num_hashes // bands
-    # one shingle pass serves both the signatures and the exact verify
+    # one shingle pass serves both the signatures and the exact verify.
+    # The persist lives until the session drops it (a dedup pass is a
+    # once-per-corpus job); call .unpersist() on blocks explicitly if you
+    # run many passes in one long-lived session
     sh = shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed,
                              shingles_df=sh)
