@@ -66,6 +66,41 @@ def test_lmdirichlet_engine_matches_reference_math():
         assert F32(got) == want
 
 
+def test_similarity_kernel_decode_parity_with_oracle():
+    """The encoded-postings reader path (block decode, norms blob) produces
+    bit-identical float32 scores to the in-memory oracle under every
+    similarity, over a random corpus and mixed query shapes."""
+    import numpy as np
+    from lucene_7_x_9_x_spark.operators import executor as ex
+    from lucene_7_x_9_x_spark.plans.query import (BooleanQuery, Occur,
+                                                  PhraseQuery, SynonymQuery,
+                                                  rewrite)
+    from tests.test_search import _build_kernel_side, _random_corpus
+    rng = np.random.RandomState(77)
+    pdf = _random_corpus(rng, n_docs=400)
+    reader, _, _ = _build_kernel_side(pdf)
+    sorted_pdf = pdf.sort_values("id").reset_index(drop=True)
+    queries = [
+        TermQuery("h0"),
+        BooleanQuery([(Occur.SHOULD, TermQuery("h1", boost=2.0)),
+                      (Occur.SHOULD, TermQuery("h2")),
+                      (Occur.MUST_NOT, TermQuery("h3"))]),
+        BooleanQuery([(Occur.MUST, TermQuery("h0")),
+                      (Occur.MUST, TermQuery("h4"))]),
+        SynonymQuery(["h1", "h5"]),
+        PhraseQuery(["h0", "h1"], slop=1),
+    ]
+    for sim in ("classic", "lmdirichlet", "bm25"):
+        oreader, ostats = oracle.index_corpus(sorted_pdf,
+                                              text_col="content",
+                                              similarity=sim)
+        for q in queries:
+            a = ex.evaluate(reader, ostats, rewrite(q))
+            b = ex.evaluate(oreader, ostats, rewrite(q))
+            assert np.array_equal(a.docids, b.docids), (sim, q)
+            assert np.array_equal(a.scores, b.scores), (sim, q)
+
+
 def test_classic_engine_ranking_differs_from_bm25_but_scores_pin():
     docs = [["t"] * 3 + ["pad"] * 5, ["t"] + ["pad"] * 1]
     r_bm, s_bm = oracle.index_token_lists(docs)
