@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?)
   | (?P<range>(?P<lb>[\[{])(?P<lo>[^\]}\s]+)\s+TO\s+(?P<hi>[^\]}\s]+)
        (?P<rb>[\]}]))
-  | (?P<term>[^\s()!"^+\-][^\s()"^]*)
+  | (?P<term>(?:\\.|[^\s()!"^+\-\\])(?:\\.|[^\s()"^\\])*)
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -73,21 +73,42 @@ def _analyze(text: str) -> list[str]:
     return _ANALYZE_RE.findall(text.lower())
 
 
+def _unescape(text: str) -> str:
+    return re.sub(r"\\(.)", r"\1", text)
+
+
+def _has_unescaped(text: str, chars: str) -> bool:
+    i = 0
+    while i < len(text):
+        if text[i] == "\\":
+            i += 2
+            continue
+        if text[i] in chars:
+            return True
+        i += 1
+    return False
+
+
 def _term_clause(text: str):
-    """One bare term token -> Query (fuzzy / wildcard / prefix / analyzed)."""
-    fm = re.fullmatch(r"(.*[^~])~(\d?)", text)
-    if fm and "*" not in fm.group(1) and "?" not in fm.group(1):
-        base = _analyze(fm.group(1))
+    """One bare term token -> Query (fuzzy / wildcard / prefix / analyzed).
+    Backslash escapes make specials literal (QueryParserBase.escape):
+    an escaped * ? ~ is just a character the analyzer will strip."""
+    fm = re.fullmatch(r"(.*[^~\\])~(\d?)", text)
+    if fm and not _has_unescaped(fm.group(1), "*?"):
+        base = _analyze(_unescape(fm.group(1)))
         if not base:
             return None
         edits = int(fm.group(2)) if fm.group(2) else 2
         return Q.FuzzyQuery(base[-1], max_edits=min(edits, 2))
-    if "*" in text or "?" in text:
+    if _has_unescaped(text, "*?"):
+        # wildcard pattern keeps UNESCAPED metacharacters; escaped ones
+        # become literals (dropped by the term charset downstream anyway)
         low = text.lower()
-        if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
-            return Q.PrefixQuery(low[:-1])
+        if (low.endswith("*") and not low.endswith("\\*")
+                and not _has_unescaped(low[:-1], "*?")):
+            return Q.PrefixQuery(_unescape(low[:-1]))
         return Q.WildcardQuery(low)
-    toks = _analyze(text)
+    toks = _analyze(_unescape(text))
     if not toks:
         return None
     if len(toks) == 1:

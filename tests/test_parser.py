@@ -72,6 +72,17 @@ def test_single_should_unwraps_and_analyzer_drop():
     assert parse('"..."') == Q.MatchNoDocsQuery()
 
 
+def test_escapes():
+    # escaped specials are literal characters (the analyzer strips them)
+    assert parse(r"foo\*bar") == Q.PhraseQuery(["foo", "bar"])
+    assert parse(r"st\*am") == Q.PhraseQuery(["st", "am"])
+    assert parse(r"roam\~1") == Q.PhraseQuery(["roam", "1"])
+    assert parse(r"qu\?ry") == Q.PhraseQuery(["qu", "ry"])
+    # unescaped wildcard still a wildcard even next to escapes
+    assert parse(r"st*am") == Q.WildcardQuery("st*am")
+    assert parse(r"\-minus") == Q.TermQuery("minus")
+
+
 def test_parse_errors():
     with pytest.raises(QueryParseError):
         parse("(a OR b")
