@@ -146,8 +146,21 @@ def main():
         "embedding", lambda x: x.cast("double")))
     timed("ann_bruteforce_top10", lambda: similarity.cosine_topk_bruteforce(
         embd, qv, k=10, exclude_id=0).collect())
+    # LSH: build the persisted bucket index once, then query it (hot path);
+    # the one-shot cold path is build + query combined
+    lsh_idx = timed("ann_lsh_build", lambda: similarity.build_lsh_index(
+        embd.where(F.col("vec_id") != 0), dim=len(qv)))
     timed("ann_lsh_top10", lambda: similarity.cosine_topk_lsh(
-        embd.where(F.col("vec_id") != 0), qv, dim=len(qv), k=10).collect())
+        None, qv, dim=len(qv), k=10, bucketed=lsh_idx).collect())
+    qbatch = {f"v{i}": [float(x) for x in r["embedding"]]
+              for i, r in enumerate(
+                  emb.where(F.col("vec_id") < 8).collect())}
+    t0 = time.time()
+    n_lsh = similarity.cosine_topk_lsh_many(
+        lsh_idx, qbatch, dim=len(qv), k=10).count()
+    q["ann_lsh_batch8"] = round(time.time() - t0, 3)
+    extra["ann_lsh_batch_rows"] = n_lsh
+    lsh_idx.unpersist()
     timed("token_stats", lambda: textstats.token_stats(
         docs, "doc_id", "text").count())
     timed("lang_id", lambda: textstats.lang_id(

@@ -76,11 +76,14 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     dels = index.deletes()
     if dels is None:
         raise ValueError("index has no tombstones to compact")
-    del_by_seg: dict = {}
-    for r in dels.collect():
-        del_by_seg.setdefault(int(r.segment), []).append(int(r.docid))
-    del_by_seg = {s: np.unique(np.asarray(v, np.int64))
-                  for s, v in del_by_seg.items()}
+    # tombstones are NEVER collected to the driver: compaction is the one
+    # op whose whole point is a huge delete set, so each segment's sorted
+    # delete array rides the segnorms side of the cogroup (one small array
+    # row per segment, co-shuffled with the norms blob). Driver memory is
+    # O(1) regardless of tombstone count.
+    n_tombstones = dels.count()
+    del_arrays = (dels.groupBy("segment")
+                  .agg(F.sort_array(F.collect_set("docid")).alias("dels")))
 
     # ---- docmap: drop tombstoned rows, renumber densely ----------------
     dm = index.docmap().join(dels, ["segment", "docid"], "left_anti")
@@ -99,9 +102,12 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                ) -> pd.DataFrame:
         seg = int(key[0])
-        deleted = del_by_seg.get(seg)
-        if deleted is None or len(sn_pdf) == 0:
+        if len(sn_pdf) == 0:
             return post_pdf[pcols]  # untouched segment passes through
+        dval = sn_pdf["dels"].iloc[0]
+        if dval is None or len(dval) == 0:
+            return post_pdf[pcols]
+        deleted = np.asarray(dval, dtype=np.int64)
         norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
         out = {c: [] for c in pcols}
         for r in post_pdf.itertuples():
@@ -165,7 +171,7 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
         return res
 
     post = index.postings()
-    sn = index.segnorms()
+    sn = index.segnorms().join(del_arrays, "segment", "left")
     new_post = (post.groupBy("segment").cogroup(sn.groupBy("segment"))
                 .applyInPandas(kernel, schema=schema))
 
@@ -186,7 +192,7 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
         "deletes": [],
         "checkpoints": index.manifest.get("checkpoints", []) + [{
             "stage": "compact", "status": "done",
-            "tombstones": int(sum(len(v) for v in del_by_seg.values())),
+            "tombstones": int(n_tombstones),
             "secs": round(time.time() - t0, 3)}],
     })
     _atomic_write_json(os.path.join(out_dir, MANIFEST), manifest)

@@ -143,8 +143,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # one shingle pass serves both the signatures and the exact verify.
     # The persist lives until the session drops it (a dedup pass is a
     # once-per-corpus job); call .unpersist() on blocks explicitly if you
-    # run many passes in one long-lived session
+    # run many passes in one long-lived session. The count() materializes
+    # the cache EAGERLY: the downstream plan scans this frame three times
+    # (signatures + both sides of the verify join), and with a lazy persist
+    # those scans race each other before the cache is populated, each
+    # recomputing the shingles from scratch (the r2 cold-plan regression)
     sh = shingles(df, id_col, text_col, n).persist()
+    sh.count()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed,
                              shingles_df=sh)
     banded = sig.select(

@@ -97,6 +97,7 @@ class Searcher:
                                    max_expansions=max_expansions)
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
         self._deletes_cache: object = False  # False = not loaded yet
+        self._deletes_bc: object = False  # broadcast handle (False = unset)
         self.query_cache = LRUQueryCache()
 
     def _deleted_by_segment(self, max_driver_rows: int = 5_000_000
@@ -124,6 +125,19 @@ class Searcher:
             s: np.unique(np.asarray(d, dtype=np.int64))
             for s, d in by_seg.items()}
         return self._deletes_cache
+
+    def _deleted_broadcast(self):
+        """Tombstones as a Spark broadcast variable: fetched once per
+        executor instead of pickled into every task closure (the liveDocs
+        arrays can reach ~40 MB at the driver cap). None when the snapshot
+        has no deletes."""
+        if self._deletes_bc is not False:
+            return self._deletes_bc
+        d = self._deleted_by_segment()
+        self._deletes_bc = (
+            None if not d
+            else self.index.spark.sparkContext.broadcast(d))
+        return self._deletes_bc
 
     # ---------------- driver-side rewrite/expansion over the terms table
     def _expand(self, q) -> list | None:
@@ -252,7 +266,7 @@ class Searcher:
             return self.index.spark.createDataFrame(
                 [], "segment int, docid long, score float")
 
-        deleted = self._deleted_by_segment()
+        del_bc = self._deleted_broadcast()
 
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
@@ -262,7 +276,7 @@ class Searcher:
             norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
             reader = SparkSegmentReader(post_pdf, norms,
                                         int(sn_pdf["max_doc"].iloc[0]))
-            dele = deleted.get(seg) if deleted else None
+            dele = del_bc.value.get(seg) if del_bc is not None else None
             if use_blockmax:
                 d, s, _ = blockmax_topk(reader, stats, plan, k, deleted=dele)
             else:
@@ -421,7 +435,7 @@ class Searcher:
         sn = (self.index.segnorms()
               .join(post.select("segment").distinct(), "segment"))
 
-        deleted = self._deleted_by_segment()
+        del_bc = self._deleted_broadcast()
 
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
@@ -433,7 +447,7 @@ class Searcher:
             norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
             reader = SparkSegmentReader(post_pdf, norms,
                                         int(sn_pdf["max_doc"].iloc[0]))
-            dele = deleted.get(seg) if deleted else None
+            dele = del_bc.value.get(seg) if del_bc is not None else None
             for qid, q in rewritten.items():
                 plan = plans[qid]
                 if plan is not None:
