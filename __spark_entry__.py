@@ -130,6 +130,59 @@ FROM scored WHERE nmatch >= 1
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+LANG_TOKS = ("list_filter(regexp_split_to_array(lower(lang), '[^a-z0-9_]+'),"
+             " t -> t <> '')")
+
+
+def _qdl_of(col: str) -> str:
+    """QDL (SmallFloat-quantized length) over an arbitrary dl column."""
+    import re as _re
+    return _re.sub(r"\bdl\b", col, QDL)
+
+
+def _mf_bool_sql(k: int = 10, head: int = 16) -> str:
+    """Cross-field BM25 disjunction oracle (text:filter OR head:fast OR
+    lang:py): each clause scores with ITS OWN field's docCount, avgdl, df
+    and quantized dl — the per-field CollectionStatistics model
+    (BM25Similarity.java:80-82, IndexSearcher.java:790-803)."""
+    def clause(tf, qdl, dc, st, df):
+        return (f"(CASE WHEN {tf} > 0 THEN "
+                f"ln(1 + (s.{dc} - d.{df} + 0.5) / (d.{df} + 0.5)) * {tf}"
+                f" / ({tf} + {K1} * ({1 - B} + {B} * {qdl} * s.{dc}"
+                f" / CAST(s.{st} AS DOUBLE))) ELSE 0 END)")
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts, {LANG_TOKS} AS ls FROM documents),
+fl AS (SELECT doc_id, ts, ts[1:{head}] AS hs, ls FROM toks),
+dls AS (SELECT doc_id, ts, hs, ls, len(ts) AS dlt, len(hs) AS dlh,
+               len(ls) AS dll FROM fl),
+stats AS (SELECT count(*) FILTER (WHERE dlt > 0) AS dct, sum(dlt) AS stt,
+                 count(*) FILTER (WHERE dlh > 0) AS dch, sum(dlh) AS sth,
+                 count(*) FILTER (WHERE dll > 0) AS dcl, sum(dll) AS stl
+          FROM dls),
+q AS (SELECT doc_id,
+        len(list_filter(ts, t -> t = 'filter')) AS tft,
+        len(list_filter(hs, t -> t = 'fast')) AS tfh,
+        len(list_filter(ls, t -> t = 'py')) AS tfl,
+        {_qdl_of('dlt')} AS qdlt, {_qdl_of('dlh')} AS qdlh,
+        {_qdl_of('dll')} AS qdll
+      FROM dls),
+dfs AS (SELECT count(*) FILTER (WHERE tft > 0) AS dft,
+               count(*) FILTER (WHERE tfh > 0) AS dfh,
+               count(*) FILTER (WHERE tfl > 0) AS dfl FROM q),
+scored AS (SELECT doc_id,
+    {clause('tft', 'qdlt', 'dct', 'stt', 'dft')}
+  + {clause('tfh', 'qdlh', 'dch', 'sth', 'dfh')}
+  + {clause('tfl', 'qdll', 'dcl', 'stl', 'dfl')} AS score,
+    (CASE WHEN tft > 0 THEN 1 ELSE 0 END
+     + CASE WHEN tfh > 0 THEN 1 ELSE 0 END
+     + CASE WHEN tfl > 0 THEN 1 ELSE 0 END) AS nmatch
+    FROM q, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _contains_sql(pred: str) -> str:
     return (f"SELECT doc_id FROM (SELECT doc_id, {TOKS} AS ts FROM documents)"
             f" WHERE {pred}")
@@ -147,6 +200,18 @@ def _emb(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+_FORMAT_VERSION = 2
+
+
+def _cache_is_stale(out: str) -> bool:
+    import json
+    mpath = os.path.join(out, "manifest.json")
+    if not os.path.exists(mpath):
+        return True
+    with open(mpath) as f:
+        return json.load(f).get("format_version") != _FORMAT_VERSION
+
+
 def _get_searcher(spark: SparkSession, sf_dir: str,
                   similarity: str = "bm25"):
     from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
@@ -155,7 +220,9 @@ def _get_searcher(spark: SparkSession, sf_dir: str,
     if key in _INDEXES:
         return _INDEXES[key]
     out = os.path.join(_CACHE_ROOT, os.path.basename(key[0]))
-    if not os.path.exists(os.path.join(out, "manifest.json")):
+    if _cache_is_stale(out):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
         # range-partition by doc_id so that (segment asc, docid asc) ==
         # doc_id asc globally: the engine's tie-break order then matches
         # the SQL oracles' ORDER BY score DESC, doc_id exactly
@@ -164,6 +231,38 @@ def _get_searcher(spark: SparkSession, sf_dir: str,
         build_index(spark, docs, out, id_cols=["doc_id"],
                     text_col="text", segment_by="input")
     s = Searcher(IndexSnapshot(spark, out), similarity=similarity)
+    _INDEXES[key] = s
+    return s
+
+
+HEAD_TOKENS = 16  # the "head" extra field = first 16 analyzer tokens
+
+
+def _get_searcher_mf(spark: SparkSession, sf_dir: str):
+    """Multi-field searcher: default field "text" plus extra fields
+    "head" (first HEAD_TOKENS analyzer tokens of text — a title-like short
+    field whose per-field dl/avgdl differ from the body's) and "lang"
+    (the documents.lang column). Exercises per-field postings, norms and
+    collection statistics (VERDICT r2 #1)."""
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "mf")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "mf_" + os.path.basename(key[0]))
+    if _cache_is_stale(out):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                        lambda x: x != "")
+        docs = (_docs(spark, sf_dir)
+                .withColumn("head",
+                            F.concat_ws(" ", F.slice(toks, 1, HEAD_TOKENS)))
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    extra_fields=[("head", "head"), ("lang", "lang")])
+    s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
 
@@ -297,6 +396,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_phrase_top10(spark, sf):
         return _topk_ids(spark, sf, Q.PhraseQuery(["the", "fast"]), 10)
+
+    def field_term(spark, sf):
+        # field-scoped TermQuery over the "head" extra field
+        s = _get_searcher_mf(spark, sf)
+        m = s.matches(T("fast", field="head"))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        return m.join(dm, ["segment", "docid"]).select("doc_id")
+
+    def multi_field_bool(spark, sf):
+        # cross-field BM25 disjunction: per-field df/doc_count/avgdl/norms
+        s = _get_searcher_mf(spark, sf)
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("fast", field="head")),
+             (O.SHOULD, T("py", field="lang"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
+    def parse_field_query(spark, sf):
+        from lucene_7_x_9_x_spark.plans.parser import parse
+        s = _get_searcher_mf(spark, sf)
+        m = s.matches(parse("head:fast AND lang:de"))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        return m.join(dm, ["segment", "docid"]).select("doc_id")
 
     def facet_lang(spark, sf):
         ids = _match_ids(spark, sf, T("filter"))
@@ -511,6 +635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmdirichlet_top10": lmdirichlet_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
+        "field_term": field_term,
+        "multi_field_bool": multi_field_bool,
+        "parse_field_query": parse_field_query,
         "facet_lang": facet_lang,
         "facet_range": facet_range,
         "collection_stats": collection_stats,
@@ -785,6 +912,17 @@ scored AS (SELECT doc_id,
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank, doc_id
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        "field_term": f"""
+            SELECT doc_id
+            FROM (SELECT doc_id, ({TOKS})[1:16] AS hs FROM documents)
+            WHERE len(list_filter(hs, t -> t = 'fast')) > 0""",
+        "multi_field_bool": _mf_bool_sql(10, 16),
+        "parse_field_query": f"""
+            SELECT doc_id
+            FROM (SELECT doc_id, ({TOKS})[1:16] AS hs, {LANG_TOKS} AS ls
+                  FROM documents)
+            WHERE len(list_filter(hs, t -> t = 'fast')) > 0
+              AND list_contains(ls, 'de')""",
         "facet_lang": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, lang, {TOKS} AS ts FROM documents)

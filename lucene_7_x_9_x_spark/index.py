@@ -57,6 +57,14 @@ class IndexSnapshot:
             self.manifest = json.load(f)
         self.id_fields = [tuple(x) for x in self.manifest["id_fields"]]
         self.id_cols = [n for n, _ in self.id_fields]
+        # multi-field support (format_version >= 2): the default field is
+        # named after its source text column; extra fields are
+        # [(field_name, source_column)] in index order
+        self.default_field = self.manifest["text_col"]
+        self.extra_fields = [tuple(x) for x in
+                             self.manifest.get("extra_fields", [])]
+        self.field_names = [self.default_field] + [n for n, _ in
+                                                   self.extra_fields]
         self.analyzer = AnalyzerConfig(
             token_regex=self.manifest["analyzer"]["token_regex"],
             max_token_length=self.manifest["analyzer"]["max_token_length"],
@@ -96,6 +104,14 @@ class IndexSnapshot:
     def stats(self) -> dict:
         return self.manifest["stats"]
 
+    def field_stats(self) -> dict:
+        """{field_name: (doc_count, sum_total_term_freq)} for the named
+        NON-default fields (the default field's stats are the top-level
+        doc_count / sum_total_term_freq)."""
+        return {n: (int(st["doc_count"]), int(st["sum_total_term_freq"]))
+                for n, st in self.manifest["stats"].get(
+                    "per_field", {}).items()}
+
     def checkpoints(self) -> list[dict]:
         return self.manifest.get("checkpoints", [])
 
@@ -113,6 +129,7 @@ def build_index(
     with_positions: bool = True,
     resume: bool = False,
     segment_by: str = "hash",
+    extra_fields: list | None = None,
 ) -> IndexSnapshot:
     """One-shot (optionally batched + resumable) index build.
 
@@ -127,6 +144,13 @@ def build_index(
                 Deterministic for identical input files + scan config;
                 num_segments/num_batches are ignored (segments = scan
                 partitions, sized by spark.sql.files.maxPartitionBytes).
+
+    extra_fields: [(field_name, source_column)] — indexed text fields beyond
+    the default one (which is named after text_col). Each gets per-field
+    postings (field column), norms (segnorms rows + docmap.extra_norms) and
+    collection stats (manifest stats.per_field) — the FieldInfos /
+    per-field-CollectionStatistics model of the reference
+    (solr-8.4.0/.../index/FieldInfos.java, IndexSearcher.java:790-803).
     """
     t_total = time.time()
     cfg = analyzer or AnalyzerConfig()
@@ -140,13 +164,18 @@ def build_index(
 
     id_fields = [(f.name, f.dataType.simpleString())
                  for f in corpus.schema.fields if f.name in id_cols]
+    extra_fields = [tuple(x) for x in (extra_fields or [])]
+    xf_cols = [F.col(src).alias(f"__f{i}__")
+               for i, (_, src) in enumerate(extra_fields)]
+    xf_inv = [(name, f"__f{i}__")
+              for i, (name, _) in enumerate(extra_fields)]
 
     if segment_by == "input":
         if num_batches != 1:
             raise ValueError("batched resume requires segment_by='hash'")
         prepared = corpus.select(
             *id_cols,
-            F.col(text_col).alias("__text__"),
+            F.col(text_col).alias("__text__"), *xf_cols,
             F.sha2(F.col(text_col), 256).alias("content_sha256"),
         )
         num_segments = prepared.rdd.getNumPartitions()
@@ -157,7 +186,7 @@ def build_index(
                          F.lit(num_segments)).cast("int")
         prepared = corpus.select(
             *id_cols,
-            F.col(text_col).alias("__text__"),
+            F.col(text_col).alias("__text__"), *xf_cols,
             F.sha2(F.col(text_col), 256).alias("content_sha256"),
             seg_col.alias("segment"),
         )
@@ -165,14 +194,15 @@ def build_index(
     combined_ddl = (
         "kind string, " + postings_schema_ddl() + ", docid long, "
         + ", ".join(f"{n} {t}" for n, t in id_fields)
-        + ", dl long, norm int, content_sha256_out string")
+        + ", dl long, norm int, extra_norms array<int>,"
+        + " content_sha256_out string")
 
     def _combine(seg: int, pdf: pd.DataFrame) -> pd.DataFrame:
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
-            cfg=cfg, with_positions=with_positions)
+            cfg=cfg, with_positions=with_positions, extra_fields=xf_inv)
         postings.insert(0, "kind", "postings")
-        dm = pd.DataFrame({"kind": "docmap", "term": None,
+        dm = pd.DataFrame({"kind": "docmap", "term": None, "field": None,
                            "segment": docmap["segment"],
                            "doc_freq": None, "total_term_freq": None})
         for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
@@ -183,14 +213,16 @@ def build_index(
             dm[n] = docmap[n]
         dm["dl"] = docmap["dl"]
         dm["norm"] = docmap["norm"]
+        dm["extra_norms"] = docmap["extra_norms"]
         dm["content_sha256_out"] = docmap["content_sha256"]
-        for col in ["docid", "dl", "norm", "content_sha256_out"]:
+        for col in ["docid", "dl", "norm", "extra_norms",
+                    "content_sha256_out"]:
             postings[col] = None
         for n, _ in id_fields:
             postings[n] = None
         cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
                 + [n for n, _ in id_fields]
-                + ["dl", "norm", "content_sha256_out"])
+                + ["dl", "norm", "extra_norms", "content_sha256_out"])
         return pd.concat([postings[cols], dm[cols]], ignore_index=True)
 
     def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -240,7 +272,7 @@ def build_index(
             out = (part.repartition(segs_in_batch, "segment")
                    .groupBy("segment")
                    .applyInPandas(build_combined, schema=combined_ddl))
-            (out.sortWithinPartitions("segment", "term")
+            (out.sortWithinPartitions("segment", "field", "term")
                 .write.mode("overwrite").partitionBy("kind")
                 .parquet(batch_dir))
         secs = time.time() - t0
@@ -271,30 +303,43 @@ def build_index(
     all_postings = spark.read.parquet(
         *[os.path.join(out_dir, d, "kind=postings") for d in batches])
     terms_global = (all_postings
-                    .groupBy("term")
+                    .groupBy("field", "term")
                     .agg(F.sum("doc_freq").alias("doc_freq"),
                          F.sum("total_term_freq").alias("total_term_freq"))
                     .persist())
     terms_dir = os.path.join(out_dir, "terms")
-    (terms_global.repartitionByRange(max(num_segments // 4, 1), "term")
-     .sortWithinPartitions("term")
+    (terms_global.repartitionByRange(max(num_segments // 4, 1),
+                                     "field", "term")
+     .sortWithinPartitions("field", "term")
      .write.mode("overwrite").parquet(terms_dir))
-    sdf = terms_global.agg(
+    sdf = (terms_global.where(F.col("field").isNull()) if extra_fields
+           else terms_global).agg(
         F.sum("doc_freq").alias("sum_doc_freq"),
         F.count("*").alias("n_terms")).collect()[0]
+    # per-extra-field sum_ttf: exact (sum over the field's term stats)
+    xf_sum_ttf = {}
+    if extra_fields:
+        for r in (terms_global.where(F.col("field").isNotNull())
+                  .groupBy("field")
+                  .agg(F.sum("total_term_freq").alias("sttf")).collect()):
+            xf_sum_ttf[r["field"]] = int(r["sttf"] or 0)
     terms_global.unpersist()
     phase_secs["finalize_terms"] = round(time.time() - t_fin, 2)
 
     t_fin = time.time()
     all_docmap = spark.read.parquet(
         *[os.path.join(out_dir, d, "kind=docmap") for d in batches])
+    xf_counts = [
+        F.sum(F.when(F.col("extra_norms")[i] != 0, 1).otherwise(0))
+        .alias(f"dc_{i}") for i in range(len(extra_fields))]
     srow = all_docmap.agg(
         F.count("*").alias("max_doc"),
         F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("doc_count"),
-        F.sum("dl").alias("sum_total_term_freq")).collect()[0]
+        F.sum("dl").alias("sum_total_term_freq"), *xf_counts).collect()[0]
     phase_secs["finalize_stats"] = round(time.time() - t_fin, 2)
     t_fin = time.time()
-    write_segnorms(all_docmap, os.path.join(out_dir, "segnorms"))
+    write_segnorms(all_docmap, os.path.join(out_dir, "segnorms"),
+                   extra_field_names=[n for n, _ in extra_fields])
     phase_secs["finalize_segnorms"] = round(time.time() - t_fin, 2)
 
     stats = {
@@ -302,14 +347,19 @@ def build_index(
         "sum_total_term_freq": int(srow["sum_total_term_freq"] or 0),
         "sum_doc_freq": int(sdf["sum_doc_freq"] or 0),
         "n_terms": sdf["n_terms"],
+        "per_field": {
+            name: {"doc_count": int(srow[f"dc_{i}"] or 0),
+                   "sum_total_term_freq": xf_sum_ttf.get(name, 0)}
+            for i, (name, _) in enumerate(extra_fields)},
     }
 
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "run_id": run_id,
         "created_unix": time.time(),
         "id_fields": id_fields,
         "text_col": text_col,
+        "extra_fields": extra_fields,
         "num_segments": num_segments,
         "segment_by": segment_by,
         "batches": batches,
@@ -326,18 +376,36 @@ def build_index(
     return IndexSnapshot(spark, out_dir)
 
 
-def write_segnorms(docmap_df: DataFrame, out_path: str) -> None:
-    """Pack each segment's norm bytes (docid order) into one binary row."""
+def write_segnorms(docmap_df: DataFrame, out_path: str,
+                   extra_field_names: list | None = None) -> None:
+    """Pack each segment's norm bytes (docid order) into one binary row per
+    FIELD: field NULL = the default field's norm column; each extra field's
+    bytes come from its slot in docmap.extra_norms (per-field norms files,
+    the Lucene .nvd/.nvm analogue)."""
+    xf = extra_field_names or []
+
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("docid")
-        blob = (pdf["norm"].to_numpy(np.int64) & 0xFF).astype(
-            np.uint8).tobytes()
-        return pd.DataFrame({"segment": [int(key[0])],
-                             "max_doc": [len(pdf)],
-                             "norms": [blob]})
+        rows = {"segment": [int(key[0])], "field": [None],
+                "max_doc": [len(pdf)],
+                "norms": [(pdf["norm"].to_numpy(np.int64) & 0xFF)
+                          .astype(np.uint8).tobytes()]}
+        if xf:
+            en = np.asarray(
+                [list(x) for x in pdf["extra_norms"]], dtype=np.int64
+            ).reshape(len(pdf), len(xf))
+            for i, name in enumerate(xf):
+                rows["segment"].append(int(key[0]))
+                rows["field"].append(name)
+                rows["max_doc"].append(len(pdf))
+                rows["norms"].append(
+                    (en[:, i] & 0xFF).astype(np.uint8).tobytes())
+        return pd.DataFrame(rows)
 
-    (docmap_df.select("segment", "docid", "norm").groupBy("segment")
-     .applyInPandas(pack, schema="segment int, max_doc long, norms binary")
+    cols = ["segment", "docid", "norm"] + (["extra_norms"] if xf else [])
+    (docmap_df.select(*cols).groupBy("segment")
+     .applyInPandas(pack, schema="segment int, field string, max_doc long,"
+                                 " norms binary")
      .write.mode("overwrite").parquet(out_path))
 
 

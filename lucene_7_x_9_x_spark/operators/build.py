@@ -30,6 +30,7 @@ from ..functions.smallfloat import int_to_byte4
 
 POSTINGS_COLS = [
     ("term", "string"),
+    ("field", "string"),  # NULL = the index's default field
     ("segment", "int"),
     ("doc_freq", "long"),
     ("total_term_freq", "long"),
@@ -58,12 +59,19 @@ def _vint_lengths(vals: np.ndarray) -> np.ndarray:
 
 def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
                    text_col: str, cfg: AnalyzerConfig,
-                   with_positions: bool = True):
+                   with_positions: bool = True,
+                   extra_fields: list | None = None):
     """Build one segment from its documents. Returns (postings_df, docmap_df).
 
     docid = ordinal after a deterministic sort on id_cols (Lucene assigns by
     ingestion order per DWPT, DocumentsWriterPerThread.java:229; we fix the
-    order so rebuilds and resumes are bit-identical)."""
+    order so rebuilds and resumes are bit-identical).
+
+    extra_fields: [(field_name, column_name)] — additional indexed text
+    fields beyond the default one (the per-field FieldInfos model,
+    solr-8.4.0/.../index/FieldInfos.java). Each extra field gets its own
+    postings rows (field column = name) and its own norm byte per doc
+    (docmap.extra_norms, aligned with extra_fields order)."""
     pdf = pdf.sort_values(id_cols, kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
     row_idx, pos, terms_flat, dl = tokenize_to_flat(pdf[text_col], cfg)
@@ -81,10 +89,39 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
         pdf["content_sha256"].to_numpy() if "content_sha256" in pdf
         else pd.array([None] * n_docs, dtype="string"))
 
+    if extra_fields:
+        parts = [_invert_tokens(row_idx, pos, terms_flat, norms, segment,
+                                with_positions)]
+        parts[0]["field"] = None
+        extra_norm_cols = []
+        for fname, fcol in extra_fields:
+            ri, po, tf, fdl = tokenize_to_flat(pdf[fcol], cfg)
+            fnorms = int_to_byte4(fdl)
+            extra_norm_cols.append(fnorms.astype(np.int32))
+            fp = _invert_tokens(ri, po, tf, fnorms, segment, with_positions)
+            fp["field"] = fname
+            parts.append(fp)
+        docmap["extra_norms"] = pd.Series(
+            np.stack(extra_norm_cols, axis=1).tolist() if n_docs else [],
+            dtype=object)
+        cols = [c for c, _ in POSTINGS_COLS]
+        postings = pd.concat([x[cols] for x in parts], ignore_index=True)
+        return postings, docmap
+
+    docmap["extra_norms"] = None
+    postings = _invert_tokens(row_idx, pos, terms_flat, norms, segment,
+                              with_positions)
+    postings["field"] = None
+    return postings[[c for c, _ in POSTINGS_COLS]], docmap
+
+
+def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
+                   with_positions: bool):
+    """Sort-based inversion of one field's flattened token stream into
+    postings rows (no field column — the caller stamps it)."""
     if len(terms_flat) == 0:
-        empty = pd.DataFrame({n: pd.Series(dtype=object)
-                              for n, _ in POSTINGS_COLS})
-        return empty, docmap
+        return pd.DataFrame({n: pd.Series(dtype=object)
+                             for n, _ in POSTINGS_COLS if n != "field"})
 
     # --- sort token stream term-major (stable keeps docid, pos order) ---
     tcodes, tuniq = pd.factorize(terms_flat, sort=True)
@@ -241,7 +278,7 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
         # np.array-ified into a 2-D block and rejected
         return pd.Series(col, dtype=object)
 
-    postings = pd.DataFrame({
+    return pd.DataFrame({
         "term": np.asarray(tuniq, dtype=object)[term_codes_present],
         "segment": np.full(n_terms, segment, dtype=np.int32),
         "doc_freq": term_df,
@@ -255,7 +292,6 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
         "pos_offsets": S(col_poff),
         "pos_data": S(col_pdat),
     })
-    return postings, docmap
 
 
 def make_build_udfs(id_fields, text_col, cfg, with_positions=True):

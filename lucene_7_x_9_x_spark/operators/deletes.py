@@ -108,9 +108,19 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
         if dval is None or len(dval) == 0:
             return post_pdf[pcols]
         deleted = np.asarray(dval, dtype=np.int64)
-        norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
+        # per-field norms rows (field NULL = default): impact frontiers are
+        # recomputed against the POSTING's own field's norms
+        norms_by_field = {}
+        for rr in sn_pdf.itertuples():
+            fkey = rr.field if isinstance(getattr(rr, "field", None), str) \
+                else None
+            norms_by_field[fkey] = np.frombuffer(bytes(rr.norms), np.uint8)
         out = {c: [] for c in pcols}
+        has_field = "field" in post_pdf.columns
         for r in post_pdf.itertuples():
+            rfld = (r.field if has_field and isinstance(r.field, str)
+                    else None)
+            norms = norms_by_field[rfld]
             ds, fs = [], []
             base = -1
             for j in range(len(r.block_ns)):
@@ -140,6 +150,7 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
                 impf.append(ff.astype(np.int32))
                 impn.append(nn.astype(np.int32))
             out["term"].append(r.term)
+            out["field"].append(rfld)
             out["segment"].append(seg)
             out["doc_freq"].append(len(new_ids))
             out["total_term_freq"].append(int(kept_f.sum()))
@@ -178,8 +189,8 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     batch_dir = os.path.join(out_dir, "batch_0")
     (new_post.repartitionByRange(
         max(int(index.manifest.get("num_segments", 8)), 8),
-        "segment", "term")
-     .sortWithinPartitions("segment", "term")
+        "segment", "field", "term")
+     .sortWithinPartitions("segment", "field", "term")
      .write.mode("overwrite").parquet(os.path.join(batch_dir,
                                                    "kind=postings")))
     (new_dm.repartition("segment").sortWithinPartitions("segment", "docid")

@@ -27,7 +27,8 @@ from ..functions.bm25 import F32
 from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                            DisjunctionMaxQuery, MatchAllDocsQuery,
                            MatchNoDocsQuery, Occur, PhraseQuery, Query,
-                           SynonymQuery, TermInSetQuery, TermQuery)
+                           SynonymQuery, TermInSetQuery, TermQuery,
+                           key_field, term_key)
 
 
 class SegmentStats:
@@ -42,15 +43,23 @@ class SegmentStats:
     def __init__(self, doc_count: int, sum_total_term_freq: int,
                  doc_freqs: dict, total_term_freqs: dict,
                  k1: float = bm25.DEFAULT_K1, b: float = bm25.DEFAULT_B,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25", field_stats: dict | None = None):
+        """doc_count / sum_total_term_freq describe the DEFAULT field;
+        field_stats = {field_name: (doc_count, sum_ttf)} carries the same
+        per-field collection statistics for named non-default fields
+        (Lucene gathers CollectionStatistics per field,
+        IndexSearcher.java:790-803). doc_freqs / total_term_freqs are keyed
+        by term KEYS (plans.query.term_key)."""
         self.doc_count = doc_count
         self.sum_total_term_freq = sum_total_term_freq
         self.doc_freqs = doc_freqs
         self.total_term_freqs = total_term_freqs
         self.k1, self.b = k1, b
         self.similarity = similarity
+        self.field_stats = field_stats or {}
         self.avgdl = bm25.avgdl(sum_total_term_freq, max(doc_count, 1))
         self.cache = bm25.norm_inverse_cache(k1, b, self.avgdl)
+        self._field_caches: dict = {None: self.cache}
         self._sim = None
         self._lmd = None
         if similarity == "classic":
@@ -66,38 +75,63 @@ class SegmentStats:
     def is_bm25(self) -> bool:
         return self._sim is None and self._lmd is None
 
-    def idf(self, term: str) -> np.float32:
-        df = self.doc_freqs.get(term, 0)
+    def doc_count_for(self, field: str | None) -> int:
+        if field is None:
+            return self.doc_count
+        return self.field_stats[field][0]
+
+    def sum_ttf_for(self, field: str | None) -> int:
+        if field is None:
+            return self.sum_total_term_freq
+        return self.field_stats[field][1]
+
+    def cache_for(self, field: str | None) -> np.ndarray:
+        """Per-field norm-inverse cache: BM25's avgdl is a per-field
+        statistic (BM25Similarity.java:80-82), so each field gets its own
+        256-entry cache, built lazily and memoized."""
+        got = self._field_caches.get(field)
+        if got is None:
+            dc, sttf = self.field_stats[field]
+            got = bm25.norm_inverse_cache(
+                self.k1, self.b, bm25.avgdl(sttf, max(dc, 1)))
+            self._field_caches[field] = got
+        return got
+
+    def idf(self, key) -> np.float32:
+        df = self.doc_freqs.get(key, 0)
         if df == 0:
             return F32(0.0)
+        dc = self.doc_count_for(key_field(key))
         if self._sim is not None:
-            return self._sim.idf(df, self.doc_count)
-        return bm25.idf(df, self.doc_count)
+            return self._sim.idf(df, dc)
+        return bm25.idf(df, dc)
 
     def score_arr(self, freqs: np.ndarray, norm_bytes: np.ndarray,
-                  weight: np.float32) -> np.ndarray:
+                  weight: np.float32, field: str | None = None) -> np.ndarray:
         """Similarity-dispatched vectorized SimScorer.score (weight-folding
         similarities only)."""
         if self._sim is not None:
             return self._sim.score(freqs, norm_bytes, weight)
-        return bm25.score_term(freqs, norm_bytes, weight, self.cache)
+        return bm25.score_term(freqs, norm_bytes, weight,
+                               self.cache_for(field))
 
     def pseudo_score(self, df: int, ttf: int, boost32: np.float32,
-                     freqs: np.ndarray, norm_bytes: np.ndarray
-                     ) -> np.ndarray:
+                     freqs: np.ndarray, norm_bytes: np.ndarray,
+                     field: str | None = None) -> np.ndarray:
         """Score with explicit (pseudo-)term statistics — the path term,
         synonym, and phrase scoring share. BM25/Classic fold (boost * idf)
         into a scalar weight; LM Dirichlet needs ttf (collection
         probability), so the boost passes through unfolded."""
         if self._lmd is not None:
             return self._lmd.score(freqs, norm_bytes, ttf,
-                                   self.sum_total_term_freq, boost32)
+                                   self.sum_ttf_for(field), boost32)
         if df <= 0:
             return np.zeros(len(freqs), dtype=np.float32)
-        base_idf = (self._sim.idf(df, self.doc_count)
+        dc = self.doc_count_for(field)
+        base_idf = (self._sim.idf(df, dc)
                     if self._sim is not None
-                    else bm25.idf(df, self.doc_count))
-        return self.score_arr(freqs, norm_bytes, boost32 * base_idf)
+                    else bm25.idf(df, dc))
+        return self.score_arr(freqs, norm_bytes, boost32 * base_idf, field)
 
 
 class Matches:
@@ -126,14 +160,25 @@ def _sum_aligned(base_docids: np.ndarray, parts: list[Matches]) -> np.ndarray:
     return acc.astype(np.float32)
 
 
+def _norms_for(reader, field: str | None) -> np.ndarray:
+    """Per-field norms array (falls back to the default-field norms() for
+    readers that predate multi-field support)."""
+    if field is None:
+        return reader.norms()
+    return reader.norms_for(field)
+
+
 def evaluate(reader, stats: SegmentStats, q: Query,
              boost: float = 1.0, needs_scores: bool = True) -> Matches:
     """Evaluate a query against one segment reader.
 
     reader protocol:
-      reader.postings(term) -> (docids:int64[], freqs:int64[]) | None
-      reader.positions(term) -> (docids:int64[], list_of_pos_arrays) | None
-      reader.norms() -> uint8[] indexed by docid
+      reader.postings(key) -> (docids:int64[], freqs:int64[]) | None
+        where key is a term KEY (plans.query.term_key): bare term for the
+        default field, (field, term) tuple for named fields
+      reader.positions(key) -> (docids:int64[], list_of_pos_arrays) | None
+      reader.norms() -> uint8[] indexed by docid (default field)
+      reader.norms_for(field) -> uint8[] (named fields)
       reader.all_docids() -> int64[]
     """
     b32 = F32(boost)
@@ -154,20 +199,23 @@ def evaluate(reader, stats: SegmentStats, q: Query,
                        np.full(len(sub.docids), b32, dtype=np.float32))
 
     if isinstance(q, TermQuery):
-        p = reader.postings(q.term)
+        key = term_key(q.field, q.term)
+        p = reader.postings(key)
         if p is None:
             return Matches.empty()
         docids, freqs = p
         if not needs_scores:
             return Matches(docids)
         scores = stats.pseudo_score(
-            stats.doc_freqs.get(q.term, 0),
-            stats.total_term_freqs.get(q.term, 0),
-            F32(b32 * F32(q.boost)), freqs, reader.norms()[docids])
+            stats.doc_freqs.get(key, 0),
+            stats.total_term_freqs.get(key, 0),
+            F32(b32 * F32(q.boost)), freqs,
+            _norms_for(reader, q.field)[docids], field=q.field)
         return Matches(docids, scores)
 
     if isinstance(q, SynonymQuery):
-        parts = [reader.postings(t) for t in q.terms]
+        keys = [term_key(q.field, t) for t in q.terms]
+        parts = [reader.postings(kk) for kk in keys]
         parts = [p for p in parts if p is not None]
         if not parts:
             return Matches.empty()
@@ -180,14 +228,15 @@ def evaluate(reader, stats: SegmentStats, q: Query,
             return Matches(docids)
         # pseudo-term stats: docFreq = max, totalTermFreq = sum
         # (SynonymQuery.java:233-252)
-        df = max((stats.doc_freqs.get(t, 0) for t in q.terms), default=0)
-        ttf = sum(stats.total_term_freqs.get(t, 0) for t in q.terms)
-        scores = stats.pseudo_score(df, ttf, F32(b32 * F32(q.boost)),
-                                    freqs, reader.norms()[docids])
+        df = max((stats.doc_freqs.get(kk, 0) for kk in keys), default=0)
+        ttf = sum(stats.total_term_freqs.get(kk, 0) for kk in keys)
+        scores = stats.pseudo_score(
+            df, ttf, F32(b32 * F32(q.boost)), freqs,
+            _norms_for(reader, q.field)[docids], field=q.field)
         return Matches(docids, scores)
 
     if isinstance(q, TermInSetQuery):
-        parts = [reader.postings(t) for t in q.terms]
+        parts = [reader.postings(term_key(q.field, t)) for t in q.terms]
         parts = [p[0] for p in parts if p is not None]
         if not parts:
             return Matches.empty()
@@ -203,15 +252,19 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         if stats._lmd is not None:
             # LM phrase pseudo-term: summed member ttfs (the synonym model;
             # SimilarityBase has no phrase-idf notion to sum)
-            ttf = sum(stats.total_term_freqs.get(t, 0) for t in q.terms)
-            scores = stats.pseudo_score(1, ttf, F32(b32 * F32(q.boost)),
-                                        freqs, reader.norms()[docids])
+            ttf = sum(stats.total_term_freqs.get(term_key(q.field, t), 0)
+                      for t in q.terms)
+            scores = stats.pseudo_score(
+                1, ttf, F32(b32 * F32(q.boost)), freqs,
+                _norms_for(reader, q.field)[docids], field=q.field)
             return Matches(docids, scores)
         idf_sum = float(np.sum(np.array(
-            [stats.idf(t) for t in q.terms], dtype=np.float32,
+            [stats.idf(term_key(q.field, t)) for t in q.terms],
+            dtype=np.float32,
         ).astype(np.float64)))
         w = F32(b32 * F32(q.boost)) * F32(idf_sum)
-        scores = stats.score_arr(freqs, reader.norms()[docids], w)
+        scores = stats.score_arr(freqs, _norms_for(reader, q.field)[docids],
+                                 w, field=q.field)
         return Matches(docids, scores)
 
     if isinstance(q, DisjunctionMaxQuery):
@@ -429,7 +482,7 @@ def _phrase_match(reader, q: PhraseQuery):
     empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     flats = []
     for t in q.terms:
-        got = _flat_positions(reader, t)
+        got = _flat_positions(reader, term_key(q.field, t))
         if got is None:
             return empty
         flats.append(got)

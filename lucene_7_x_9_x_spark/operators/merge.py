@@ -53,7 +53,8 @@ def _rebase_row_arrays(row: dict, base: int) -> dict:
     return row
 
 
-def _concat_rows(rows: list[dict], term, new_segment: int) -> dict:
+def _concat_rows(rows: list[dict], term, new_segment: int,
+                 fld=None) -> dict:
     """Concatenate already-rebased rows. Invariant: a standalone row's first
     delta is relative to base -1; after concatenation, block j decodes
     against block j-1's max_doc, so each subsequent row's first delta is
@@ -73,7 +74,7 @@ def _concat_rows(rows: list[dict], term, new_segment: int) -> dict:
         block_docs.extend(rb)
         prev_last = int(np.asarray(r["block_max_docs"], np.int64)[-1])
     out = {
-        "term": term, "segment": new_segment,
+        "term": term, "field": fld, "segment": new_segment,
         "doc_freq": int(sum(r["doc_freq"] for r in rows)),
         "total_term_freq": int(sum(r["total_term_freq"] for r in rows)),
         "block_max_docs": np.concatenate(
@@ -149,11 +150,15 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     def do_merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("old_segment")
         merged = {c: [] for c in pcols}
-        for term, g in pdf.groupby("term", sort=False):
+        # None-safe per-(field, term) grouping: pandas groupby drops null
+        # keys, so the default field's NULL is mapped to a sentinel
+        fk = pdf["field"].map(lambda x: x if isinstance(x, str) else "\x00")
+        for (fs, term), g in pdf.groupby([fk, pdf["term"]], sort=False):
             rows = []
             for rec in g.to_dict("records"):
                 rows.append(_rebase_row_arrays(rec, int(rec["base"])))
-            m = _concat_rows(rows, term, int(key[0]))
+            m = _concat_rows(rows, term, int(key[0]),
+                             fld=None if fs == "\x00" else fs)
             for c in pcols:
                 merged[c].append(m[c])
         out = pd.DataFrame(merged)
@@ -161,7 +166,7 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
             out["segment"] = out["segment"].astype(np.int32)
         return out
 
-    tb = F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+    tb = F.pmod(F.xxhash64("field", "term"), F.lit(term_buckets))
     if salt > 1:
         # stage 1: bounded partial merges over CONTIGUOUS ranks within each
         # merge group (so stage-2 concat in old_segment order keeps docids
@@ -172,15 +177,18 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
         saltmap = F.create_map(*[F.lit(x) for s, r in rank_map.items()
                                  for x in (s, r // span)])
         stage1 = (post.withColumn("salt", saltmap[F.col("old_segment")])
-                  .groupBy("segment", "term", "salt"))
+                  .groupBy("segment", "field", "term", "salt"))
 
         def partial(key, pdf):
             pdf = pdf.sort_values("old_segment")
             merged = {c: [] for c in pcols + ["old_segment", "base"]}
-            for term, g in pdf.groupby("term", sort=False):
+            fk = pdf["field"].map(
+                lambda x: x if isinstance(x, str) else "\x00")
+            for (fs, term), g in pdf.groupby([fk, pdf["term"]], sort=False):
                 rows = [_rebase_row_arrays(r, int(r["base"]))
                         for r in g.to_dict("records")]
-                m = _concat_rows(rows, term, int(key[0]))
+                m = _concat_rows(rows, term, int(key[0]),
+                                 fld=None if fs == "\x00" else fs)
                 for c in pcols:
                     merged[c].append(m[c])
                 merged["old_segment"].append(int(g["old_segment"].min()))
@@ -203,8 +211,8 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     # each file sorted by term so row-group stats still prune term lookups
     batch_dir = os.path.join(out_dir, "batch_0")
     n_write = max(target_segments * 4, 16)
-    (merged_post.repartitionByRange(n_write, "segment", "term")
-     .sortWithinPartitions("segment", "term")
+    (merged_post.repartitionByRange(n_write, "segment", "field", "term")
+     .sortWithinPartitions("segment", "field", "term")
      .write.mode("overwrite").parquet(os.path.join(batch_dir,
                                                    "kind=postings")))
     (new_dm.repartition("segment").sortWithinPartitions("segment", "docid")
@@ -215,7 +223,9 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     from ..index import write_segnorms
     write_segnorms(
         spark.read.parquet(os.path.join(batch_dir, "kind=docmap")),
-        os.path.join(out_dir, "segnorms"))
+        os.path.join(out_dir, "segnorms"),
+        extra_field_names=[n for n, _ in
+                           index.manifest.get("extra_fields", [])])
 
     # tombstones rebase exactly like docmap rows (merge concatenates, it
     # does not compact): remap them into the merged coordinate space

@@ -31,7 +31,8 @@ import pandas as pd
 
 from ..functions import bm25, codec
 from ..functions.bm25 import F32
-from ..plans.query import (BooleanQuery, BoostQuery, Occur, TermQuery)
+from ..plans.query import (BooleanQuery, BoostQuery, Occur, TermQuery,
+                           key_field, term_key)
 from .executor import Matches, SegmentStats, top_k
 
 
@@ -41,9 +42,21 @@ class SparkSegmentReader:
     analogue, solr-8.4.0/.../codecs/lucene84/Lucene84PostingsReader.java:391-432)."""
 
     def __init__(self, postings_pdf: pd.DataFrame, norms: np.ndarray,
-                 max_doc: int):
-        self._rows = {r.term: r for r in postings_pdf.itertuples()}
+                 max_doc: int, field_norms: dict | None = None):
+        """norms: default-field norm bytes; field_norms: {field: uint8[]}
+        for named non-default fields (per-field norms files,
+        solr-8.4.0/.../index/FieldInfos.java — norms are per field).
+        Postings rows with a non-null field column are keyed (field, term);
+        null/absent field means the default field (bare term key)."""
+        if "field" in postings_pdf.columns:
+            # null field (None or NaN from Arrow) = default field: bare key
+            self._rows = {
+                ((r.field, r.term) if isinstance(r.field, str) else r.term): r
+                for r in postings_pdf.itertuples()}
+        else:
+            self._rows = {r.term: r for r in postings_pdf.itertuples()}
         self._norms = norms
+        self._field_norms = field_norms or {}
         self._max_doc = max_doc
         self._block_cache: dict = {}
         self._full_cache: dict = {}
@@ -163,6 +176,11 @@ class SparkSegmentReader:
     def norms(self):
         return self._norms
 
+    def norms_for(self, field: str | None):
+        if field is None:
+            return self._norms
+        return self._field_norms[field]
+
     def all_docids(self):
         return np.arange(self._max_doc, dtype=np.int64)
 
@@ -178,9 +196,10 @@ def classify_blockmax(q) -> dict | None:
      'must_not': [terms], 'msm': n}; else None -> exhaustive fallback."""
     def term_of(sub):
         if isinstance(sub, TermQuery):
-            return (sub.term, sub.boost)
+            return (term_key(sub.field, sub.term), sub.boost)
         if isinstance(sub, BoostQuery) and isinstance(sub.query, TermQuery):
-            return (sub.query.term, sub.boost * sub.query.boost)
+            return (term_key(sub.query.field, sub.query.term),
+                    sub.boost * sub.query.boost)
         return None
 
     if isinstance(q, (TermQuery, BoostQuery)):
@@ -199,7 +218,8 @@ def classify_blockmax(q) -> dict | None:
             out["should" if c.occur == Occur.SHOULD else "must"].append(t)
         elif isinstance(c.query, TermQuery):
             out["filter" if c.occur == Occur.FILTER
-                else "must_not"].append(c.query.term)
+                else "must_not"].append(
+                    term_key(c.query.field, c.query.term))
         else:
             return None
     if not (out["should"] or out["must"]):
@@ -214,9 +234,8 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
     deleted: sorted unique docids tombstoned in this segment (liveDocs);
     they are excluded like a MUST_NOT set, before top-k, so k semantics are
     exact. Returns (docids, scores, frac_blocks_decoded)."""
-    norms = reader.norms()
     n_must_req = len(plan["must"])
-    scoring = []  # (term, weight, row, is_must)
+    scoring = []  # (key, weight, row, is_must)
     for term, boost in plan["must"]:
         r = reader.row(term)
         if r is None:  # a required term absent from this segment -> no hits
@@ -246,13 +265,14 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
     total_blocks = 0
     for term, w, r, _ in scoring:
         ends = np.asarray(r.block_max_docs, dtype=np.int64)
-        bx = reader.block_max_x(term, stats.cache)
+        fcache = stats.cache_for(key_field(term))
+        bx = reader.block_max_x(term, fcache)
         if bx is not None:
             ub = (w - w / (one + bx)).astype(np.float64)
         else:  # defensive: empty frontier block (shouldn't occur)
             ub = np.array([bm25.max_score_for_block(
                 np.asarray(ff, dtype=np.int64),
-                np.asarray(nn, dtype=np.int64), w, stats.cache)
+                np.asarray(nn, dtype=np.int64), w, fcache)
                 for ff, nn in zip(r.imp_freqs, r.imp_norms)],
                 dtype=np.float64)
         term_ends.append(ends)
@@ -329,7 +349,10 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
             if not segs:
                 continue
             take = np.concatenate(segs)
-            sc = bm25.score_term(f[take], norms[d[take]], w, stats.cache)
+            fld = key_field(term)
+            sc = bm25.score_term(f[take],
+                                 reader.norms_for(fld)[d[take]], w,
+                                 stats.cache_for(fld))
             parts_d.append(d[take])
             parts_s.append(sc)
             parts_is_must.append(np.full(len(take), is_must))

@@ -7,7 +7,8 @@ classic/QueryParser.jj and QueryParserBase.java:374-420 addClause):
   query      := ( conjunction? modifier? clause )*
   conjunction:= AND | && | OR | ||
   modifier   := + | - | NOT | !
-  clause     := term | "phrase"(~slop)? | [a TO b] | {a TO b} | ( query )
+  clause     := (field ":")? ( term | "phrase"(~slop)? | [a TO b]
+                | {a TO b} | ( query ) )
   suffixes   := ^boost (terms, phrases, groups), ~edits (fuzzy, terms only)
   wildcards  := * (any sequence) and ? (one char) inside a term
 
@@ -20,7 +21,10 @@ the default OR operator (required unless introduced by OR under AND).
 Terms are analyzed with the engine's analyzer (lowercase [a-z0-9_]+): a term
 that analyzes to nothing is dropped (the analyzer-filtered null query of
 addClause); one that splits into several tokens becomes an exact phrase.
-Field prefixes and escapes are not supported (single-field engine).
+A ``field:`` prefix scopes the following clause to that field
+(QueryParserBase.java:66-87 field handling); on a group ``field:(a b)`` it
+applies to every leaf inside that has no explicit field of its own. The
+Searcher maps the index's default-field name to the unqualified form.
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<not>NOT\b|!)
   | (?P<plus>\+)
   | (?P<minus>-)
+  | (?P<field>(?P<field_name>[A-Za-z_][A-Za-z0-9_]*):)
   | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?)
   | (?P<range>(?P<lb>[\[{])(?P<lo>[^\]}\s]+)\s+TO\s+(?P<hi>[^\]}\s]+)
        (?P<rb>[\]}]))
@@ -62,7 +67,7 @@ def _tokenize(s: str) -> list:
         kind = m.lastgroup if m.lastgroup != "ws" else None
         # named subgroups make lastgroup unreliable; resolve explicitly
         for k in ("lparen", "rparen", "boost", "and", "or", "not", "plus",
-                  "minus", "phrase", "range", "term"):
+                  "minus", "field", "phrase", "range", "term"):
             if m.group(k):
                 out.append((k, m))
                 break
@@ -183,6 +188,13 @@ def _parse_query(toks: list, i: int, default_and: bool):
             if i >= len(toks):
                 raise QueryParseError("dangling modifier")
             kind, m = toks[i]
+        fieldname = None
+        if kind == "field":
+            fieldname = m.group("field_name")
+            i += 1
+            if i >= len(toks):
+                raise QueryParseError("dangling field prefix")
+            kind, m = toks[i]
         if kind == "lparen":
             sub, i = _parse_query(toks, i + 1, default_and)
             if i >= len(toks) or toks[i][0] != "rparen":
@@ -207,10 +219,20 @@ def _parse_query(toks: list, i: int, default_and: bool):
         elif kind == "term":
             q = _term_clause(m.group("term"))
             i += 1
+        elif kind == "field":
+            # a second colon-prefixed token inside a clause ("a:b:c"):
+            # treat it as term text (the analyzer strips the colon anyway)
+            q = _term_clause(m.group("field_name"))
+            i += 1
         elif kind == "boost":
             raise QueryParseError("boost without a preceding clause")
         else:
             raise QueryParseError(f"unexpected token {kind}")
+        if q is not None and fieldname is not None:
+            # scope the clause (or every unscoped leaf of a group) to the
+            # named field; explicit inner fields win
+            q = Q.map_fields(
+                q, lambda f, _fn=fieldname: _fn if f is None else f)
         if q is not None and i < len(toks) and toks[i][0] == "boost":
             q = _boost(q, float(toks[i][1].group("boost_val")))
             i += 1

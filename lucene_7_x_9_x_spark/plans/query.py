@@ -30,8 +30,13 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """field=None means the index's default field (the single-field case and
+    the unqualified-parser case); a named field scopes the term to that
+    field's postings/stats/norms (solr-8.4.0/.../index/Term.java — every
+    Term is (field, bytes); per-field stats per IndexSearcher.java:790-803)."""
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -39,11 +44,13 @@ class PhraseQuery(Query):
     terms: tuple
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
-    def __init__(self, terms, slop=0, boost=1.0):
+    def __init__(self, terms, slop=0, boost=1.0, field=None):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
@@ -52,10 +59,12 @@ class SynonymQuery(Query):
     (solr-8.4.0/.../search/SynonymQuery.java:55,281-344)."""
     terms: tuple
     boost: float = 1.0
+    field: str | None = None
 
-    def __init__(self, terms, boost=1.0):
+    def __init__(self, terms, boost=1.0, field=None):
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
@@ -63,19 +72,23 @@ class TermInSetQuery(Query):
     """Constant-score match of any term in the set
     (solr-8.4.0/.../search/TermInSetQuery.java)."""
     terms: tuple
+    field: str | None = None
 
-    def __init__(self, terms):
+    def __init__(self, terms, field=None):
         object.__setattr__(self, "terms", tuple(sorted(set(terms))))
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # * = any seq, ? = one char
+    field: str | None = None
 
     def to_regex(self) -> str:
         out = []
@@ -92,6 +105,7 @@ class WildcardQuery(Query):
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     pattern: str  # anchored, like Lucene RegexpQuery
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -100,6 +114,7 @@ class TermRangeQuery(Query):
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -112,6 +127,7 @@ class FuzzyQuery(Query):
     max_edits: int = 2
     transpositions: bool = True
     prefix_length: int = 0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -200,7 +216,7 @@ def _rewrite_once(q: Query, ctx) -> Query:
         if terms is not None:
             if not terms:
                 return MatchNoDocsQuery()
-            return ConstantScoreQuery(TermInSetQuery(terms))
+            return ConstantScoreQuery(TermInSetQuery(terms, field=q.field))
 
     if not isinstance(q, BooleanQuery):
         return q
@@ -264,14 +280,31 @@ def _rewrite_once(q: Query, ctx) -> Query:
     return BooleanQuery(tuple(clauses), q.minimum_should_match)
 
 
+def term_key(field: str | None, term: str):
+    """Kernel/stats lookup key: the bare term for the default field (the
+    single-field fast path keeps string keys), a (field, term) tuple for a
+    named non-default field."""
+    return term if field is None else (field, term)
+
+
+def key_field(key) -> str | None:
+    """Inverse of term_key: the field a lookup key is scoped to."""
+    return None if isinstance(key, str) else key[0]
+
+
+def key_term(key) -> str:
+    return key if isinstance(key, str) else key[1]
+
+
 def scoring_terms(q: Query) -> set:
-    """All terms whose postings the executor must read."""
+    """All term KEYS whose postings the executor must read (bare term =
+    default field, (field, term) tuple = named field; see term_key)."""
     if isinstance(q, TermQuery):
-        return {q.term}
+        return {term_key(q.field, q.term)}
     if isinstance(q, (PhraseQuery, SynonymQuery)):
-        return set(q.terms)
+        return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, TermInSetQuery):
-        return set(q.terms)
+        return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return scoring_terms(q.query)
     if isinstance(q, DisjunctionMaxQuery):
@@ -279,3 +312,40 @@ def scoring_terms(q: Query) -> set:
     if isinstance(q, BooleanQuery):
         return set().union(*[scoring_terms(c.query) for c in q.clauses]) if q.clauses else set()
     return set()
+
+
+def map_fields(q: Query, f) -> Query:
+    """Rebuild the query tree with each field-carrying leaf's field mapped
+    through f(field) (used by the Searcher to canonicalize the index's
+    default-field NAME to None and to validate field names)."""
+    if isinstance(q, TermQuery):
+        return TermQuery(q.term, q.boost, f(q.field))
+    if isinstance(q, PhraseQuery):
+        return PhraseQuery(q.terms, q.slop, q.boost, f(q.field))
+    if isinstance(q, SynonymQuery):
+        return SynonymQuery(q.terms, q.boost, f(q.field))
+    if isinstance(q, TermInSetQuery):
+        return TermInSetQuery(q.terms, f(q.field))
+    if isinstance(q, PrefixQuery):
+        return PrefixQuery(q.prefix, f(q.field))
+    if isinstance(q, WildcardQuery):
+        return WildcardQuery(q.pattern, f(q.field))
+    if isinstance(q, RegexpQuery):
+        return RegexpQuery(q.pattern, f(q.field))
+    if isinstance(q, TermRangeQuery):
+        return TermRangeQuery(q.lower, q.upper, q.include_lower,
+                              q.include_upper, f(q.field))
+    if isinstance(q, FuzzyQuery):
+        return FuzzyQuery(q.term, q.max_edits, q.transpositions,
+                          q.prefix_length, f(q.field))
+    if isinstance(q, BoostQuery):
+        return BoostQuery(map_fields(q.query, f), q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(map_fields(q.query, f))
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery([map_fields(s, f) for s in q.queries],
+                                   q.tie_breaker)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery([BooleanClause(c.occur, map_fields(c.query, f))
+                             for c in q.clauses], q.minimum_should_match)
+    return q

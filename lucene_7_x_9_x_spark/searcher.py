@@ -28,7 +28,8 @@ from .operators import executor as ex
 from .operators.search import (SparkSegmentReader, blockmax_topk,
                                classify_blockmax)
 from .plans import query as Q
-from .plans.query import RewriteContext, rewrite as rewrite_query
+from .plans.query import (RewriteContext, key_field, key_term, term_key,
+                          rewrite as rewrite_query)
 
 
 class LRUQueryCache:
@@ -85,6 +86,12 @@ class Searcher:
         self.max_expansions = max_expansions
         self._post_src = index.postings()
         self._terms_src = index.terms()
+        # multi-field: the default field's NAME canonicalizes to field=None
+        # (bare term keys); named extra fields carry per-field stats
+        self._default_field = getattr(index, "default_field", None)
+        self._field_stats = (index.field_stats()
+                             if hasattr(index, "field_stats") else {})
+        self._has_field_col = "field" in self._post_src.columns
         if cache_index:
             n_part = max(index.spark.sparkContext.defaultParallelism,
                          int(index.manifest.get("num_segments", 1)))
@@ -143,6 +150,12 @@ class Searcher:
     def _expand(self, q) -> list | None:
         import re as _re
         t = self._terms_src
+        if self._has_field_col:
+            fld = getattr(q, "field", None)
+            if fld is not None and fld == self._default_field:
+                fld = None
+            t = t.where(F.col("field").isNull() if fld is None
+                        else (F.col("field") == fld))
         c = F.col("term")
         if isinstance(q, Q.PrefixQuery):
             t = t.where(c.startswith(q.prefix))
@@ -196,7 +209,37 @@ class Searcher:
         return [r.term for r in rows]
 
     def rewrite(self, query):
+        if self._default_field is not None:
+            query = Q.map_fields(
+                query,
+                lambda f: None if f == self._default_field else f)
         return rewrite_query(query, self._ctx)
+
+    def _key_filter(self, keys):
+        """Catalyst predicate selecting the given term KEYS from a table
+        with (field, term) columns: (field IS NULL AND term IN bare) OR
+        (field = f AND term IN ...) per named field — pushes down to the
+        parquet scan as an OR of conjunctions."""
+        bare = sorted(k for k in keys if isinstance(k, str))
+        by_field: dict = {}
+        for k in keys:
+            if not isinstance(k, str):
+                by_field.setdefault(k[0], []).append(k[1])
+        conds = []
+        if bare:
+            c = F.col("term").isin(bare)
+            if self._has_field_col:
+                c = c & F.col("field").isNull()
+            conds.append(c)
+        for f, ts in sorted(by_field.items()):
+            conds.append((F.col("field") == f)
+                         & F.col("term").isin(sorted(ts)))
+        if not conds:
+            return F.lit(False)
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
 
     # ---------------- stats gathering (once per query)
     def _global_stats(self, terms: set) -> ex.SegmentStats:
@@ -204,9 +247,12 @@ class Searcher:
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
             rows = (self._terms_src
-                    .where(F.col("term").isin(missing)).collect())
-            found = {r.term: (int(r.doc_freq), int(r.total_term_freq))
-                     for r in rows}
+                    .where(self._key_filter(missing)).collect())
+            found = {}
+            for r in rows:
+                k = ((r.field, r.term)
+                     if getattr(r, "field", None) is not None else r.term)
+                found[k] = (int(r.doc_freq), int(r.total_term_freq))
             for t in missing:
                 self._stats_cache[t] = found.get(t, (0, 0))
         for t in terms:
@@ -218,13 +264,13 @@ class Searcher:
             doc_count=s["doc_count"],
             sum_total_term_freq=s["sum_total_term_freq"],
             doc_freqs=dfs, total_term_freqs=ttfs, k1=self.k1, b=self.b,
-            similarity=self.similarity)
+            similarity=self.similarity, field_stats=self._field_stats)
 
     # ---------------- kernels
     def _kernel_frame(self, query, terms: set) -> DataFrame:
         post = self._post_src
         if terms:
-            post = post.where(F.col("term").isin(list(terms)))
+            post = post.where(self._key_filter(terms))
         else:  # match-all style queries need no postings
             post = post.where(F.lit(False))
         # column pruning: the positions column (the .pos file analogue) is
@@ -233,6 +279,8 @@ class Searcher:
         cols = ["term", "segment", "doc_freq", "total_term_freq",
                 "block_max_docs", "block_ns", "block_docs", "block_freqs",
                 "imp_freqs", "imp_norms"]
+        if self._has_field_col:
+            cols.insert(1, "field")
         if _needs_positions(query):
             cols += ["pos_offsets", "pos_data"]
         post = post.select(*cols)
@@ -273,9 +321,9 @@ class Searcher:
             seg = int(key[0])
             if len(sn_pdf) == 0:
                 return pd.DataFrame({"segment": [], "docid": [], "score": []})
-            norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
-            reader = SparkSegmentReader(post_pdf, norms,
-                                        int(sn_pdf["max_doc"].iloc[0]))
+            norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
+            reader = SparkSegmentReader(post_pdf, norms, max_doc,
+                                        field_norms=fnorms)
             dele = del_bc.value.get(seg) if del_bc is not None else None
             if use_blockmax:
                 d, s, _ = blockmax_topk(reader, stats, plan, k, deleted=dele)
@@ -423,12 +471,14 @@ class Searcher:
 
         post = self._post_src
         if all_terms:
-            post = post.where(F.col("term").isin(list(all_terms)))
+            post = post.where(self._key_filter(all_terms))
         else:
             post = post.where(F.lit(False))
         cols = ["term", "segment", "doc_freq", "total_term_freq",
                 "block_max_docs", "block_ns", "block_docs", "block_freqs",
                 "imp_freqs", "imp_norms"]
+        if self._has_field_col:
+            cols.insert(1, "field")
         if needs_pos:
             cols += ["pos_offsets", "pos_data"]
         post = post.select(*cols)
@@ -444,9 +494,9 @@ class Searcher:
             if len(sn_pdf) == 0:
                 return pd.DataFrame({"qid": [], "segment": [], "docid": [],
                                      "score": []})
-            norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
-            reader = SparkSegmentReader(post_pdf, norms,
-                                        int(sn_pdf["max_doc"].iloc[0]))
+            norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
+            reader = SparkSegmentReader(post_pdf, norms, max_doc,
+                                        field_norms=fnorms)
             dele = del_bc.value.get(seg) if del_bc is not None else None
             for qid, q in rewritten.items():
                 plan = plans[qid]
@@ -483,22 +533,23 @@ class Searcher:
         explainTF/explainConstantFactors): per scoring term, its tf, df,
         idf, norm-decoded dl, weight, and float32 contribution."""
         query = self.rewrite(query)
-        terms = sorted(Q.scoring_terms(query))
-        stats = self._global_stats(set(terms))
+        keys = sorted(Q.scoring_terms(query),
+                      key=lambda k: (key_field(k) or "", key_term(k)))
+        stats = self._global_stats(set(keys))
         # per-leaf effective boosts: a boosted clause's contribution is
         # weight = F32(F32(boost) * idf), so the reported rows sum to the
         # actual hit score for boosted queries too
-        leaves = _scoring_leaves(query) or [(t, 1.0) for t in terms]
+        leaves = _scoring_leaves(query) or [(t, 1.0) for t in keys]
         rows = (self._post_src
-                .where((F.col("term").isin(terms))
+                .where(self._key_filter(set(keys))
                        & (F.col("segment") == segment))
                 .toPandas())
-        sn = (self.index.segnorms().where(F.col("segment") == segment)
-              .collect())
-        if not sn:
+        sn_pdf = (self.index.segnorms().where(F.col("segment") == segment)
+                  .toPandas())
+        if not len(sn_pdf):
             return []
-        norms = np.frombuffer(bytes(sn[0]["norms"]), np.uint8)
-        reader = SparkSegmentReader(rows, norms, int(sn[0]["max_doc"]))
+        norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
+        reader = SparkSegmentReader(rows, norms, max_doc, field_norms=fnorms)
         from .functions.smallfloat import byte4_to_int
         out = []
         for t, boost in leaves:
@@ -509,18 +560,22 @@ class Searcher:
             i = np.searchsorted(d, docid)
             if i >= len(d) or d[i] != docid:
                 continue
+            fld = key_field(t)
+            fld_norms = norms if fld is None else fnorms[fld]
             contrib = stats.pseudo_score(
                 stats.doc_freqs.get(t, 0),
                 stats.total_term_freqs.get(t, 0), bm25.F32(boost),
-                f[i:i + 1], norms[docid:docid + 1])[0]
+                f[i:i + 1], fld_norms[docid:docid + 1], field=fld)[0]
             out.append({
-                "term": t, "tf": int(f[i]),
+                "term": key_term(t), "field": fld, "tf": int(f[i]),
                 "boost": float(boost),
                 "doc_freq": stats.doc_freqs.get(t, 0),
                 "idf": float(stats.idf(t)),
                 "dl_quantized": int(byte4_to_int(
-                    np.array([norms[docid]]))[0]),
-                "avgdl": float(stats.avgdl),
+                    np.array([fld_norms[docid]]))[0]),
+                "avgdl": float(bm25.avgdl(
+                    stats.sum_ttf_for(fld),
+                    max(stats.doc_count_for(fld), 1))),
                 "score": float(contrib),
             })
         return out
@@ -561,9 +616,9 @@ class Searcher:
             seg_docs = wanted.get(seg, {})
             if not seg_docs or len(sn_pdf) == 0:
                 return pd.DataFrame({"segment": [], "docid": [], "score": []})
-            norms = np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8)
-            reader = SparkSegmentReader(post_pdf, norms,
-                                        int(sn_pdf["max_doc"].iloc[0]))
+            norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
+            reader = SparkSegmentReader(post_pdf, norms, max_doc,
+                                        field_norms=fnorms)
             m = ex.evaluate(reader, stats, query2)
             d = np.array(sorted(seg_docs), dtype=np.int64)
             base = np.array([seg_docs[x] for x in sorted(seg_docs)],
@@ -593,7 +648,7 @@ def _scoring_leaves(q, boost: float = 1.0) -> list:
     shapes whose scores don't sum per-term (dismax, phrase, synonym) — the
     caller falls back to unboosted per-term reporting for those."""
     if isinstance(q, Q.TermQuery):
-        return [(q.term, boost * q.boost)]
+        return [(term_key(q.field, q.term), boost * q.boost)]
     if isinstance(q, Q.BoostQuery):
         return _scoring_leaves(q.query, boost * q.boost)
     if isinstance(q, Q.BooleanQuery):
@@ -606,6 +661,24 @@ def _scoring_leaves(q, boost: float = 1.0) -> list:
                 out += sub
         return out
     return []
+
+
+def _parse_segnorms(sn_pdf: pd.DataFrame):
+    """(default_norms, max_doc, {field: norms}) from the per-(segment,
+    field) segnorm rows of ONE segment (field NULL = default field;
+    format-1 tables have no field column)."""
+    if "field" not in sn_pdf.columns:
+        return (np.frombuffer(bytes(sn_pdf["norms"].iloc[0]), np.uint8),
+                int(sn_pdf["max_doc"].iloc[0]), {})
+    fnorms: dict = {}
+    base, max_doc = None, 0
+    for rr in sn_pdf.itertuples():
+        arr = np.frombuffer(bytes(rr.norms), np.uint8)
+        if isinstance(rr.field, str):
+            fnorms[rr.field] = arr
+        else:
+            base, max_doc = arr, int(rr.max_doc)
+    return base, max_doc, fnorms
 
 
 def _contains_matchall(q) -> bool:

@@ -33,30 +33,36 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
     id_cols = idx.id_cols
     id_fields = idx.id_fields
     text_col = idx.manifest["text_col"]
+    extra_fields = [tuple(x) for x in idx.manifest.get("extra_fields", [])]
     seg_base = idx.manifest["num_segments"]
     with_positions = idx.manifest["with_positions"]
     n_seg = segments_in_batch or max(
         spark.sparkContext.defaultParallelism // 4, 1)
 
+    xf_cols = [F.col(src).alias(f"__f{i}__")
+               for i, (_, src) in enumerate(extra_fields)]
+    xf_inv = [(name, f"__f{i}__")
+              for i, (name, _) in enumerate(extra_fields)]
     seg_col = (F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
                       F.lit(n_seg)).cast("int") + F.lit(seg_base))
     prepared = corpus_batch.select(
-        *id_cols, F.col(text_col).alias("__text__"),
+        *id_cols, F.col(text_col).alias("__text__"), *xf_cols,
         F.sha2(F.col(text_col), 256).alias("content_sha256"),
         seg_col.alias("segment"))
 
     combined_ddl = (
         "kind string, " + postings_schema_ddl() + ", docid long, "
         + ", ".join(f"{n} {t}" for n, t in id_fields)
-        + ", dl long, norm int, content_sha256_out string")
+        + ", dl long, norm int, extra_norms array<int>,"
+        + " content_sha256_out string")
 
     def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(key[0])
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
-            cfg=cfg, with_positions=with_positions)
+            cfg=cfg, with_positions=with_positions, extra_fields=xf_inv)
         postings.insert(0, "kind", "postings")
-        dm = pd.DataFrame({"kind": "docmap", "term": None,
+        dm = pd.DataFrame({"kind": "docmap", "term": None, "field": None,
                            "segment": docmap["segment"],
                            "doc_freq": None, "total_term_freq": None})
         for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
@@ -67,20 +73,23 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
             dm[n] = docmap[n]
         dm["dl"] = docmap["dl"]
         dm["norm"] = docmap["norm"]
+        dm["extra_norms"] = docmap["extra_norms"]
         dm["content_sha256_out"] = docmap["content_sha256"]
-        for col in ["docid", "dl", "norm", "content_sha256_out"]:
+        for col in ["docid", "dl", "norm", "extra_norms",
+                    "content_sha256_out"]:
             postings[col] = None
         for n, _ in id_fields:
             postings[n] = None
         cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
                 + [n for n, _ in id_fields]
-                + ["dl", "norm", "content_sha256_out"])
+                + ["dl", "norm", "extra_norms", "content_sha256_out"])
         return pd.concat([postings[cols], dm[cols]], ignore_index=True)
 
     batch_name = f"batch_inc_{len(idx.manifest['batches'])}"
     out = (prepared.groupBy("segment")
            .applyInPandas(build_combined, schema=combined_ddl))
-    (out.repartition("segment").sortWithinPartitions("segment", "term")
+    (out.repartition("segment")
+     .sortWithinPartitions("segment", "field", "term")
      .write.mode("overwrite").partitionBy("kind")
      .parquet(os.path.join(index_dir, batch_name)))
 
@@ -97,34 +106,50 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
 def finalize(spark: SparkSession, index_dir: str) -> IndexSnapshot:
     """Recompute global terms/stats after appends (snapshot refresh)."""
     idx = IndexSnapshot(spark, index_dir)
+    extra_fields = [tuple(x) for x in idx.manifest.get("extra_fields", [])]
     post = idx.postings()
-    terms = (post.groupBy("term")
+    terms = (post.groupBy("field", "term")
              .agg(F.sum("doc_freq").alias("doc_freq"),
                   F.sum("total_term_freq").alias("total_term_freq")))
     tmp_terms = os.path.join(index_dir, "terms_new")
     terms.repartitionByRange(max(idx.manifest["num_segments"] // 4, 1),
-                             "term") \
-        .sortWithinPartitions("term").write.mode("overwrite").parquet(
-        tmp_terms)
+                             "field", "term") \
+        .sortWithinPartitions("field", "term") \
+        .write.mode("overwrite").parquet(tmp_terms)
     dm = idx.docmap()
+    xf_counts = [
+        F.sum(F.when(F.col("extra_norms")[i] != 0, 1).otherwise(0))
+        .alias(f"dc_{i}") for i in range(len(extra_fields))]
     srow = dm.agg(F.count("*").alias("max_doc"),
                   F.sum(F.when(F.col("dl") > 0, 1).otherwise(0))
                   .alias("doc_count"),
-                  F.sum("dl").alias("sum_ttf")).collect()[0]
-    tstats = terms.agg(F.sum("doc_freq").alias("sdf"),
-                       F.count("*").alias("n")).collect()[0]
+                  F.sum("dl").alias("sum_ttf"), *xf_counts).collect()[0]
+    default_terms = (terms.where(F.col("field").isNull()) if extra_fields
+                     else terms)
+    tstats = default_terms.agg(F.sum("doc_freq").alias("sdf"),
+                               F.count("*").alias("n")).collect()[0]
+    xf_sum_ttf = {}
+    if extra_fields:
+        for r in (terms.where(F.col("field").isNotNull()).groupBy("field")
+                  .agg(F.sum("total_term_freq").alias("sttf")).collect()):
+            xf_sum_ttf[r["field"]] = int(r["sttf"] or 0)
     import shutil
     final_terms = os.path.join(index_dir, "terms")
     shutil.rmtree(final_terms, ignore_errors=True)
     os.replace(tmp_terms, final_terms)
     from ..index import write_segnorms
-    write_segnorms(dm, os.path.join(index_dir, "segnorms"))
+    write_segnorms(dm, os.path.join(index_dir, "segnorms"),
+                   extra_field_names=[n for n, _ in extra_fields])
     m = dict(idx.manifest)
     m["stats"] = {"max_doc": srow["max_doc"],
                   "doc_count": int(srow["doc_count"] or 0),
                   "sum_total_term_freq": int(srow["sum_ttf"] or 0),
                   "sum_doc_freq": int(tstats["sdf"] or 0),
-                  "n_terms": tstats["n"]}
+                  "n_terms": tstats["n"],
+                  "per_field": {
+                      name: {"doc_count": int(srow[f"dc_{i}"] or 0),
+                             "sum_total_term_freq": xf_sum_ttf.get(name, 0)}
+                      for i, (name, _) in enumerate(extra_fields)}}
     _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
     return IndexSnapshot(spark, index_dir)
 
