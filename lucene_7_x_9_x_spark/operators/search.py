@@ -31,9 +31,11 @@ import pandas as pd
 
 from ..functions import bm25, codec
 from ..functions.bm25 import F32
-from ..plans.query import (BooleanQuery, BoostQuery, Occur, TermQuery,
+from ..plans.query import (BooleanQuery, BoostQuery, DisjunctionMaxQuery,
+                           Occur, PhraseQuery, SynonymQuery, TermQuery,
                            key_field, term_key)
-from .executor import Matches, SegmentStats, top_k
+from .executor import (Matches, SegmentStats, _flat_positions,
+                       _gather_ranges, _in_sorted, _POS_SHIFT, top_k)
 
 
 class SparkSegmentReader:
@@ -190,41 +192,338 @@ class SparkSegmentReader:
 # --------------------------------------------------------------------------
 
 def classify_blockmax(q) -> dict | None:
-    """If the (rewritten) query is a term-clause Boolean — the WAND /
-    BlockMaxConjunction shape (Boolean2ScorerSupplier.java:100-207) — return
-    {'must': [(term,boost)], 'should': [...], 'filter': [terms],
-     'must_not': [terms], 'msm': n}; else None -> exhaustive fallback."""
-    def term_of(sub):
+    """If the (rewritten) query is a Boolean over block-max-capable scoring
+    UNITS — terms (WANDScorer / BlockMaxConjunctionScorer,
+    Boolean2ScorerSupplier.java:100-207), synonyms (merged member impacts,
+    SynonymQuery.java:305-360), dismax-of-terms (max-score propagation,
+    MaxScoreSumPropagator.java:32), exact phrases (conjunction-of-members
+    approximation ceiling, PhraseWeight + ImpactsDISI) — return
+    {'units': [unit], 'filter': [keys], 'must_not': [keys], 'msm': n};
+    else None -> exhaustive fallback. Each unit dict carries kind/boost/
+    is_must plus kind-specific keys."""
+    def unit_of(sub, boost=1.0):
+        if isinstance(sub, BoostQuery):
+            return unit_of(sub.query, boost * sub.boost)
         if isinstance(sub, TermQuery):
-            return (term_key(sub.field, sub.term), sub.boost)
-        if isinstance(sub, BoostQuery) and isinstance(sub.query, TermQuery):
-            return (term_key(sub.query.field, sub.query.term),
-                    sub.boost * sub.query.boost)
+            return {"kind": "term", "key": term_key(sub.field, sub.term),
+                    "boost": boost * sub.boost}
+        if isinstance(sub, SynonymQuery):
+            return {"kind": "synonym", "field": sub.field,
+                    "keys": [term_key(sub.field, t) for t in sub.terms],
+                    "boost": boost * sub.boost}
+        if isinstance(sub, PhraseQuery) and sub.slop == 0 \
+                and len(sub.terms) >= 2:
+            return {"kind": "phrase", "field": sub.field,
+                    "keys": [term_key(sub.field, t) for t in sub.terms],
+                    "boost": boost * sub.boost}
+        if isinstance(sub, DisjunctionMaxQuery) and sub.queries:
+            members = [unit_of(x, boost) for x in sub.queries]
+            if any(m is None or m["kind"] != "term" for m in members):
+                return None
+            return {"kind": "dismax", "members": members,
+                    "tie": sub.tie_breaker}
         return None
 
-    if isinstance(q, (TermQuery, BoostQuery)):
-        t = term_of(q)
-        return None if t is None else {
-            "must": [], "should": [t], "filter": [], "must_not": [], "msm": 0}
     if not isinstance(q, BooleanQuery):
-        return None
-    out = {"must": [], "should": [], "filter": [], "must_not": [],
+        u = unit_of(q)
+        return None if u is None else {
+            "units": [dict(u, is_must=False)], "filter": [],
+            "must_not": [], "msm": 0}
+    out = {"units": [], "filter": [], "must_not": [],
            "msm": q.minimum_should_match}
     for c in q.clauses:
         if c.occur in (Occur.SHOULD, Occur.MUST):
-            t = term_of(c.query)
-            if t is None:
+            u = unit_of(c.query)
+            if u is None:
                 return None
-            out["should" if c.occur == Occur.SHOULD else "must"].append(t)
+            out["units"].append(dict(u, is_must=c.occur == Occur.MUST))
         elif isinstance(c.query, TermQuery):
             out["filter" if c.occur == Occur.FILTER
                 else "must_not"].append(
                     term_key(c.query.field, c.query.term))
         else:
             return None
-    if not (out["should"] or out["must"]):
+    if not out["units"]:
         return None
     return out
+
+
+def _select_ranges(d: np.ndarray, lo: np.ndarray, hi: np.ndarray
+                   ) -> np.ndarray:
+    """Indices of sorted docids d that fall in any window [lo_i, hi_i]."""
+    a = np.searchsorted(d, lo)
+    b = np.searchsorted(d, hi, side="right")
+    segs = [np.arange(x, y) for x, y in zip(a, b) if y > x]
+    return np.concatenate(segs) if segs else np.zeros(0, np.int64)
+
+
+class _Unit:
+    """One scoring unit of a block-max plan: per-elementary-interval upper
+    bounds + a chunk scorer whose float32 output is bit-identical to
+    executor.evaluate's scoring of the same sub-query."""
+
+    __slots__ = ("is_must", "members", "kind", "w", "field", "keys",
+                 "int_block", "int_cov", "ub", "covered", "tie", "mws",
+                 "_phrase_cache")
+
+    def __init__(self, kind, is_must):
+        self.kind = kind
+        self.is_must = is_must
+        self._phrase_cache = None
+
+
+def _build_units(reader, stats: SegmentStats, plan: dict):
+    """Resolve the plan's units against one segment. Returns
+    (units, total_blocks) or None when a MUST unit cannot match here."""
+    one = np.float32(1.0)
+    units, total_blocks = [], 0
+    for pu in plan["units"]:
+        is_must = pu.get("is_must", False)
+        kind = pu["kind"]
+        if kind == "term":
+            r = reader.row(pu["key"])
+            if r is None:
+                if is_must:
+                    return None
+                continue
+            u = _Unit("term", is_must)
+            u.keys = [pu["key"]]
+            u.field = key_field(pu["key"])
+            u.w = F32(F32(pu["boost"]) * stats.idf(pu["key"]))
+            u.members = [(pu["key"], r)]
+            total_blocks += len(r.block_ns)
+        elif kind == "synonym":
+            mrows = [(kk, reader.row(kk)) for kk in pu["keys"]]
+            mrows = [(kk, r) for kk, r in mrows if r is not None]
+            if not mrows:
+                if is_must:
+                    return None
+                continue
+            u = _Unit("synonym", is_must)
+            u.field = pu["field"]
+            u.keys = pu["keys"]
+            df = max((stats.doc_freqs.get(kk, 0) for kk in pu["keys"]),
+                     default=0)
+            idf = (bm25.idf(df, stats.doc_count_for(u.field))
+                   if df > 0 else F32(0.0))
+            u.w = F32(F32(pu["boost"]) * idf)
+            u.members = mrows
+            total_blocks += sum(len(r.block_ns) for _, r in mrows)
+        elif kind == "phrase":
+            mrows = [(kk, reader.row(kk)) for kk in pu["keys"]]
+            if any(r is None for _, r in mrows):
+                if is_must:
+                    return None
+                continue
+            u = _Unit("phrase", is_must)
+            u.field = pu["field"]
+            u.keys = pu["keys"]
+            idf_sum = float(np.sum(np.array(
+                [stats.idf(kk) for kk in pu["keys"]],
+                dtype=np.float32).astype(np.float64)))
+            u.w = F32(pu["boost"]) * F32(idf_sum)
+            u.members = mrows
+            total_blocks += sum(len(r.block_ns)
+                                for _, r in {id(r): (k, r)
+                                             for k, r in mrows}.values())
+        elif kind == "dismax":
+            mrows, mws = [], []
+            for m in pu["members"]:
+                r = reader.row(m["key"])
+                if r is not None:
+                    mrows.append((m["key"], r))
+                    mws.append(F32(F32(m["boost"]) * stats.idf(m["key"])))
+            if not mrows:
+                if is_must:
+                    return None
+                continue
+            u = _Unit("dismax", is_must)
+            u.keys = [kk for kk, _ in mrows]
+            u.members = mrows
+            u.mws = mws
+            u.tie = pu["tie"]
+            u.field = None
+            total_blocks += sum(len(r.block_ns) for _, r in mrows)
+        else:  # pragma: no cover
+            return None
+        units.append(u)
+    return units, total_blocks
+
+
+def _unit_bounds(reader, stats, u: _Unit, int_hi: np.ndarray):
+    """Fill u.int_block/int_cov (per member) and u.ub/u.covered (per
+    elementary interval, float64 upper bound). The bound construction per
+    kind:
+      term:    w - w/(1 + block_max_x) — exact frontier dominance
+      synonym: w - w/(1 + X·(1+eps_K)), X = Σ member max_x (the merged-
+               impacts bound of SynonymQuery.java:305-360; the (1+eps_K)
+               guard covers float32 sum-of-freqs vs sum-of-products
+               rounding, K = member count)
+      phrase:  w_p - w_p/(1 + min member max_x) — phrase freq <= every
+               member's freq, so its x is dominated by each member's
+               (the conjunctive approximation ceiling of PhraseWeight)
+      dismax:  max_m ub_m + tie·(Σ ub_m - max) (MaxScoreSumPropagator)"""
+    one = np.float32(1.0)
+    n_int = len(int_hi)
+    per_member = []
+    for kk, r in u.members:
+        ends = np.asarray(r.block_max_docs, dtype=np.int64)
+        bi = np.searchsorted(ends, int_hi)
+        cov = bi < len(ends)
+        fld = key_field(kk)
+        bx = reader.block_max_x(kk, stats.cache_for(fld))
+        if bx is None:  # defensive: treat as unbounded-competitive
+            bx = np.full(len(ends), np.inf, dtype=np.float32)
+        per_member.append((bi, cov, bx))
+    u.int_block = per_member
+    if u.kind == "term":
+        bi, cov, bx = per_member[0]
+        w = np.float64(u.w)
+        ubb = (u.w - u.w / (one + bx)).astype(np.float64)
+        ub = np.zeros(n_int, dtype=np.float64)
+        ub[cov] = ubb[bi[cov]]
+        u.ub, u.covered = ub, cov
+    elif u.kind == "synonym":
+        X = np.zeros(n_int, dtype=np.float64)
+        any_cov = np.zeros(n_int, dtype=bool)
+        for bi, cov, bx in per_member:
+            X[cov] += bx[bi[cov]].astype(np.float64)
+            any_cov |= cov
+        eps = 1.0 + (len(u.members) + 2) * 2.0 ** -23
+        w = np.float64(u.w)
+        u.ub = np.where(any_cov, w - w / (1.0 + X * eps), 0.0)
+        u.covered = any_cov
+    elif u.kind == "phrase":
+        Xmin = np.full(n_int, np.inf, dtype=np.float64)
+        all_cov = np.ones(n_int, dtype=bool)
+        for bi, cov, bx in per_member:
+            xm = np.zeros(n_int, dtype=np.float64)
+            xm[cov] = bx[bi[cov]].astype(np.float64)
+            Xmin = np.minimum(Xmin, xm)
+            all_cov &= cov
+        w = np.float64(u.w)
+        u.ub = np.where(all_cov, w - w / (1.0 + Xmin), 0.0)
+        u.covered = all_cov
+    else:  # dismax
+        mx = np.full(n_int, 0.0, dtype=np.float64)
+        sm = np.zeros(n_int, dtype=np.float64)
+        any_cov = np.zeros(n_int, dtype=bool)
+        for (bi, cov, bx), w_m in zip(per_member, u.mws):
+            ubb = (w_m - w_m / (one + bx)).astype(np.float64)
+            v = np.zeros(n_int, dtype=np.float64)
+            v[cov] = ubb[bi[cov]]
+            mx = np.maximum(mx, v)
+            sm += v
+            any_cov |= cov
+        u.ub = np.where(any_cov, mx + u.tie * (sm - mx), 0.0)
+        u.covered = any_cov
+
+
+def _decode_unit_member(reader, kk, bi, cov, live, lo, hi):
+    """Decode the member's blocks needed by the live intervals and select
+    the docs inside the interval windows. Returns (docids, freqs)."""
+    need = np.unique(bi[live][cov[live]])
+    if len(need) == 0:
+        return None
+    d, f = reader.decode_blocks(kk, need)
+    take = _select_ranges(d, lo, hi)
+    if len(take) == 0:
+        return None
+    return d[take], f[take]
+
+
+def _score_unit_chunk(reader, stats, u: _Unit, live, lo, hi):
+    """(docids, float32 scores) of this unit over the live intervals —
+    same float32 op order as executor.evaluate for the sub-query."""
+    if u.kind == "term":
+        kk, _ = u.members[0]
+        bi, cov, _ = u.int_block[0]
+        got = _decode_unit_member(reader, kk, bi, cov, live, lo, hi)
+        if got is None:
+            return None
+        d, f = got
+        return d, bm25.score_term(f, reader.norms_for(u.field)[d], u.w,
+                                  stats.cache_for(u.field))
+    if u.kind == "synonym":
+        parts = []
+        for (kk, _), (bi, cov, _) in zip(u.members, u.int_block):
+            got = _decode_unit_member(reader, kk, bi, cov, live, lo, hi)
+            if got is not None:
+                parts.append(got)
+        if not parts:
+            return None
+        all_d = np.concatenate([p[0] for p in parts])
+        all_f = np.concatenate([p[1] for p in parts])
+        docids, inv = np.unique(all_d, return_inverse=True)
+        freqs = np.zeros(len(docids), dtype=np.int64)
+        np.add.at(freqs, inv, all_f)
+        return docids, bm25.score_term(
+            freqs, reader.norms_for(u.field)[docids], u.w,
+            stats.cache_for(u.field))
+    if u.kind == "dismax":
+        subs = []
+        for (kk, _), (bi, cov, _), w_m in zip(u.members, u.int_block, u.mws):
+            got = _decode_unit_member(reader, kk, bi, cov, live, lo, hi)
+            if got is None:
+                continue
+            d, f = got
+            fld = key_field(kk)
+            subs.append((d, bm25.score_term(
+                f, reader.norms_for(fld)[d], w_m, stats.cache_for(fld))))
+        if not subs:
+            return None
+        docids = np.unique(np.concatenate([d for d, _ in subs]))
+        mx = np.full(len(docids), -np.inf, dtype=np.float64)
+        sm = np.zeros(len(docids), dtype=np.float64)
+        for d, sc in subs:
+            pos = np.searchsorted(docids, d)
+            np.maximum.at(mx, pos, sc.astype(np.float64))
+            np.add.at(sm, pos, sc.astype(np.float64))
+        return docids, (mx + u.tie * (sm - mx)).astype(np.float32)
+    # phrase: one-time full flat-position decode (the .pos blob decodes in
+    # one vectorized pass anyway); per chunk only the candidate docs inside
+    # surviving intervals pay the (doc, pos)-key intersection
+    if u._phrase_cache is None:
+        flats = []
+        for kk in u.keys:
+            got = _flat_positions(reader, kk)
+            if got is None:
+                u._phrase_cache = (np.zeros(0, np.int64), [])
+                break
+            flats.append(got)
+        else:
+            cand = flats[0][0]
+            for d, _, _ in flats[1:]:
+                cand = cand[_in_sorted(cand, d)]
+            slices = []
+            for d, counts, flat in flats:
+                idx = np.searchsorted(d, cand)
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                slices.append((starts[idx], counts[idx], flat))
+            u._phrase_cache = (cand, slices)
+    cand, slices = u._phrase_cache
+    if len(cand) == 0:
+        return None
+    sel = _select_ranges(cand, lo, hi)
+    if len(sel) == 0:
+        return None
+    keys = []
+    for starts, counts, flat in slices:
+        take = _gather_ranges(starts[sel], counts[sel])
+        doc_rank = np.repeat(np.arange(len(sel), dtype=np.int64),
+                             counts[sel])
+        keys.append((doc_rank << _POS_SHIFT) | flat[take])
+    ok = keys[0]
+    for i in range(1, len(keys)):
+        ok = ok[_in_sorted(ok + i, keys[i])]
+        if len(ok) == 0:
+            return None
+    freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(sel))
+    m = freqs > 0
+    docids = cand[sel][m]
+    return docids, bm25.score_term(
+        freqs[m].astype(np.int64), reader.norms_for(u.field)[docids],
+        u.w, stats.cache_for(u.field))
 
 
 def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
@@ -234,68 +533,34 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
     deleted: sorted unique docids tombstoned in this segment (liveDocs);
     they are excluded like a MUST_NOT set, before top-k, so k semantics are
     exact. Returns (docids, scores, frac_blocks_decoded)."""
-    n_must_req = len(plan["must"])
-    scoring = []  # (key, weight, row, is_must)
-    for term, boost in plan["must"]:
-        r = reader.row(term)
-        if r is None:  # a required term absent from this segment -> no hits
-            return np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0
-        scoring.append((term, F32(F32(boost) * stats.idf(term)), r, True))
-    for term, boost in plan["should"]:
-        r = reader.row(term)
-        if r is not None:
-            scoring.append((term, F32(F32(boost) * stats.idf(term)), r, False))
-    if not scoring:
-        return np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0)
+    built = _build_units(reader, stats, plan)
+    if built is None:
+        return empty
+    units, total_blocks = built
+    if not units:
+        return empty
+    n_must_req = sum(1 for u in units if u.is_must)
     filt_terms = []
     for t in plan["filter"]:
         if reader.row(t) is None:
-            return np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0
+            return empty
         filt_terms.append(t)
 
-    # per-term per-block upper bounds from stored impact frontiers. The
-    # frontier reduction (max of x = f32(freq) * cache[norm] per block) is
-    # weight-independent and cached on the reader, so in search_many it runs
-    # ONCE per term per segment for the whole batch; applying the weight is
-    # one vectorized op per block. Monotonicity of w - w/(1+x) in x under
-    # float32 rounding makes this bit-identical to maximizing scored pairs
-    # (the MaxScoreCache fill, amortized across blocks AND queries)
-    one = np.float32(1.0)
-    term_ends, term_ubs = [], []
-    total_blocks = 0
-    for term, w, r, _ in scoring:
-        ends = np.asarray(r.block_max_docs, dtype=np.int64)
-        fcache = stats.cache_for(key_field(term))
-        bx = reader.block_max_x(term, fcache)
-        if bx is not None:
-            ub = (w - w / (one + bx)).astype(np.float64)
-        else:  # defensive: empty frontier block (shouldn't occur)
-            ub = np.array([bm25.max_score_for_block(
-                np.asarray(ff, dtype=np.int64),
-                np.asarray(nn, dtype=np.int64), w, fcache)
-                for ff, nn in zip(r.imp_freqs, r.imp_norms)],
-                dtype=np.float64)
-        term_ends.append(ends)
-        term_ubs.append(ub)
-        total_blocks += len(ends)
-
     # elementary intervals: interval i covers docids (bps[i-1], bps[i]]
-    bps = np.unique(np.concatenate(term_ends))
+    bps = np.unique(np.concatenate(
+        [np.asarray(r.block_max_docs, dtype=np.int64)
+         for u in units for _, r in u.members]))
     n_int = len(bps)
     int_lo = np.concatenate(([0], bps[:-1] + 1))
     int_hi = bps
     ub_int = np.zeros(n_int, dtype=np.float64)
     cover_cnt = np.zeros(n_int, dtype=np.int64)
-    term_block_of_int = []
-    for (term, w, r, is_must), ends, ub in zip(scoring, term_ends, term_ubs):
-        bi = np.searchsorted(ends, int_hi)
-        covered = bi < len(ends)
-        contrib = np.zeros(n_int, dtype=np.float64)
-        contrib[covered] = ub[bi[covered]]
-        ub_int += contrib
-        if is_must:
-            cover_cnt += covered.astype(np.int64)
-        term_block_of_int.append((bi, covered))
+    for u in units:
+        _unit_bounds(reader, stats, u, int_hi)
+        ub_int += u.ub
+        if u.is_must:
+            cover_cnt += u.covered.astype(np.int64)
     viable = cover_cnt == n_must_req
     ub_safe = np.nextafter(ub_int.astype(np.float32), np.float32(np.inf))
 
@@ -337,25 +602,14 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
             continue
         lo, hi = int_lo[live], int_hi[live]
         parts_d, parts_s, parts_is_must = [], [], []
-        for ti, (term, w, r, is_must) in enumerate(scoring):
-            bi, covered = term_block_of_int[ti]
-            need = np.unique(bi[live][covered[live]])
-            if len(need) == 0:
+        for u in units:
+            got = _score_unit_chunk(reader, stats, u, live, lo, hi)
+            if got is None:
                 continue
-            d, f = reader.decode_blocks(term, need)
-            a = np.searchsorted(d, lo)
-            b = np.searchsorted(d, hi, side="right")
-            segs = [np.arange(x, y) for x, y in zip(a, b) if y > x]
-            if not segs:
-                continue
-            take = np.concatenate(segs)
-            fld = key_field(term)
-            sc = bm25.score_term(f[take],
-                                 reader.norms_for(fld)[d[take]], w,
-                                 stats.cache_for(fld))
-            parts_d.append(d[take])
+            d, sc = got
+            parts_d.append(d)
             parts_s.append(sc)
-            parts_is_must.append(np.full(len(take), is_must))
+            parts_is_must.append(np.full(len(d), u.is_must))
         if not parts_d:
             continue
         cd = np.concatenate(parts_d)

@@ -14,9 +14,10 @@ from lucene_7_x_9_x_spark.operators.build import invert_segment
 from lucene_7_x_9_x_spark.operators.search import (SparkSegmentReader,
                                                    blockmax_topk,
                                                    classify_blockmax)
-from lucene_7_x_9_x_spark.plans.query import (BooleanQuery, Occur,
-                                              PhraseQuery, TermQuery,
-                                              rewrite)
+from lucene_7_x_9_x_spark.plans.query import (BooleanQuery,
+                                              DisjunctionMaxQuery, Occur,
+                                              PhraseQuery, SynonymQuery,
+                                              TermQuery, rewrite)
 
 CFG = AnalyzerConfig()
 
@@ -48,9 +49,25 @@ def _build_kernel_side(pdf):
 
 
 def _random_query(rng, hot, tail):
-    kind = rng.randint(6)
+    kind = rng.randint(10)
     pick = lambda n: [hot[rng.randint(len(hot))] if rng.rand() < 0.7
                       else tail[rng.randint(len(tail))] for _ in range(n)]
+    if kind == 6:  # synonym unit (merged-impacts block-max shape)
+        return SynonymQuery(pick(rng.randint(2, 4)))
+    if kind == 7:  # dismax of terms (max-score propagation shape)
+        return DisjunctionMaxQuery(
+            [TermQuery(t) for t in pick(rng.randint(2, 4))],
+            tie_breaker=float(rng.choice([0.0, 0.3])))
+    if kind == 8:  # exact phrase (conjunction-approximation shape)
+        return PhraseQuery([hot[rng.randint(len(hot))],
+                            hot[rng.randint(len(hot))]])
+    if kind == 9:  # mixed Boolean over composite units
+        return BooleanQuery(
+            [(Occur.MUST, SynonymQuery(pick(2))),
+             (Occur.SHOULD, PhraseQuery([hot[rng.randint(len(hot))],
+                                         hot[rng.randint(len(hot))]])),
+             (Occur.SHOULD, DisjunctionMaxQuery(
+                 [TermQuery(t) for t in pick(2)], tie_breaker=0.1))])
     if kind == 0:
         return TermQuery(pick(1)[0])
     if kind == 1:  # disjunction with boosts
@@ -95,6 +112,44 @@ def test_blockmax_equals_exhaustive_equals_oracle_random():
                     bd, bs, _ = blockmax_topk(reader, ostats, plan, k)
                     assert np.array_equal(bd, od), ("bm", trial, qi, q, k)
                     assert np.array_equal(bs, osc), ("bm", trial, qi, q, k)
+
+
+def test_blockmax_composite_shapes_classified():
+    # the r2 gap: synonym / dismax / exact-phrase shapes must not bail to
+    # exhaustive (SynonymQuery.java:305-360, MaxScoreSumPropagator.java:32,
+    # PhraseWeight impacts)
+    assert classify_blockmax(rewrite(SynonymQuery(["a", "b"]))) is not None
+    assert classify_blockmax(rewrite(
+        DisjunctionMaxQuery([TermQuery("a"), TermQuery("b")], 0.1)
+    )) is not None
+    assert classify_blockmax(rewrite(PhraseQuery(["a", "b"]))) is not None
+    assert classify_blockmax(rewrite(
+        PhraseQuery(["a", "b"], slop=2))) is None  # sloppy stays exhaustive
+    assert classify_blockmax(rewrite(BooleanQuery(
+        [(Occur.MUST, PhraseQuery(["a", "b"])),
+         (Occur.SHOULD, SynonymQuery(["c", "d"]))]))) is not None
+
+
+def test_blockmax_synonym_prunes():
+    # skewed frequencies so scores don't saturate at the idf ceiling (hot
+    # uniform terms give every interval the same bound and NOTHING can be
+    # pruned — that is data physics, not a kernel property)
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(4000):
+        f0 = 25 if i % 512 == 7 else 1
+        f1 = 20 if i % 512 == 9 else (2 if i % 7 == 0 else 0)
+        pad = rng.randint(5, 40)
+        rows.append(" ".join(["x"] * pad + ["s0"] * f0 + ["s1"] * f1))
+    pdf = pd.DataFrame({"id": [f"d{i:06d}" for i in range(4000)],
+                        "content": rows})
+    reader, oreader, ostats = _build_kernel_side(pdf)
+    q = rewrite(SynonymQuery(["s0", "s1"]))
+    plan = classify_blockmax(q)
+    d, s, frac = blockmax_topk(reader, ostats, plan, 1)
+    assert frac < 0.7, f"expected synonym pruning, decoded {frac:.0%}"
+    ed, esc = ex.top_k(ex.evaluate(reader, ostats, q), 1)
+    assert np.array_equal(d, ed) and np.array_equal(s, esc)
 
 
 def test_blockmax_actually_prunes():
