@@ -183,6 +183,38 @@ FROM scored WHERE nmatch >= 1
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _lmjm_sql(terms: list[str], k: int, lam: float = 0.1) -> str:
+    """LMJelinekMercer disjunctive top-k oracle: per-term
+    ln(1 + ((1-lam) * tf / qdl) / (lam * (ttf+1)/(sumTTF+1))), summed
+    (LMJelinekMercerSimilarity.java:60-68; docLen = quantized norm)."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    stat_cols = ", ".join(
+        f"sum(tf_{i}) AS ttf_{i}" for i in range(len(terms)))
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"ln(1 + (({1 - lam}) * tf_{i} / CAST(qdl AS DOUBLE))"
+        f" / ({lam} * (d.ttf_{i} + 1.0) / (s.sum_ttf + 1.0)))"
+        f" ELSE 0 END)"
+        for i in range(len(terms)))
+    nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                        for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
+dfs AS (SELECT {stat_cols} FROM tf),
+scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+           FROM tf, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _contains_sql(pred: str) -> str:
     return (f"SELECT doc_id FROM (SELECT doc_id, {TOKS} AS ts FROM documents)"
             f" WHERE {pred}")
@@ -374,6 +406,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lmdirichlet_top10(spark, sf):
         # third similarity: Dirichlet-smoothed language model (mu=2000)
         s = _get_searcher(spark, sf, similarity="lmdirichlet")
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
+             (O.SHOULD, T("window"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
+    def lmjm_top10(spark, sf):
+        # fourth similarity model: Jelinek-Mercer smoothed LM (lambda=0.1)
+        s = _get_searcher(spark, sf, similarity="lmjelinekmercer")
         r = s.search(Q.BooleanQuery(
             [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
              (O.SHOULD, T("window"))]), 10)
@@ -633,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonym_top10": bm25_synonym_top10,
         "classic_top10": classic_top10,
         "lmdirichlet_top10": lmdirichlet_top10,
+        "lmjm_top10": lmjm_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
         "field_term": field_term,
@@ -838,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
         "classic_top10": _classic_sql(["filter", "join", "window"], 10),
         "lmdirichlet_top10": _lmd_sql(["filter", "join", "window"], 10),
+        "lmjm_top10": _lmjm_sql(["filter", "join", "window"], 10),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
         # synonym pseudo-term: docFreq = max over terms, freq = sum
         # (SynonymQuery.java:233-252)

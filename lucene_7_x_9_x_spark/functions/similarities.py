@@ -57,6 +57,46 @@ class LMDirichletSimilarity:
         return np.where(s > 0.0, s, 0.0).astype(np.float32)
 
 
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer smoothed language model, float32-exact transcription
+    of solr-8.4.0/.../similarities/LMJelinekMercerSimilarity.java:60-68
+    (score = boost * log(1 + ((1-lambda) * freq / docLen) /
+    (lambda * p(w|C))), double math, final float cast) with
+    LMSimilarity.DefaultCollectionModel p(w|C) = (ttf+1)/(sumTTF+1) and
+    docLen = byte4ToInt(norm). log1p of a non-negative value, so no
+    clipping is needed (unlike Dirichlet). lambda = 0.1 suits short
+    queries (the class javadoc's guidance)."""
+
+    name = "lmjelinekmercer"
+
+    def __init__(self, lam: float = 0.1):
+        self.lam = float(lam)
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              ttf: int, sum_ttf: int, boost: np.float32) -> np.ndarray:
+        p_c = (ttf + 1.0) / (sum_ttf + 1.0)
+        dl = self._dl[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float64)
+        s = float(boost) * np.log(
+            1.0 + ((1.0 - self.lam) * f / dl) / (self.lam * p_c))
+        return s.astype(np.float32)
+
+
+class BooleanSimilarity:
+    """solr-8.4.0/.../similarities/BooleanSimilarity.java: every matching
+    doc scores exactly the query boost — no tf, no idf, no norms."""
+
+    name = "boolean"
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return F32(1.0)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              weight: np.float32) -> np.ndarray:
+        return np.full(len(np.asarray(freqs)), weight, dtype=np.float32)
+
+
 class ClassicSimilarity:
     name = "classic"
 

@@ -65,9 +65,15 @@ class SegmentStats:
         if similarity == "classic":
             from ..functions.similarities import ClassicSimilarity
             self._sim = ClassicSimilarity()
+        elif similarity == "boolean":
+            from ..functions.similarities import BooleanSimilarity
+            self._sim = BooleanSimilarity()
         elif similarity == "lmdirichlet":
             from ..functions.similarities import LMDirichletSimilarity
             self._lmd = LMDirichletSimilarity()
+        elif similarity == "lmjelinekmercer":
+            from ..functions.similarities import LMJelinekMercerSimilarity
+            self._lmd = LMJelinekMercerSimilarity()
         elif similarity != "bm25":
             raise ValueError(f"unknown similarity {similarity!r}")
 
@@ -447,10 +453,77 @@ def _sloppy_freq_doc(pos_arrays: list, slop: int,
     return F(0.0) if freq is None else freq
 
 
+def _sloppy_match_2(flats: list, cand: np.ndarray, slop: int):
+    """Vectorized 2-distinct-term sloppy matcher — the dominant case.
+
+    For two pps the PhraseQueue walk reduces to a two-pointer leapfrog
+    (end == max(posA, posB) always holds): each outer iteration pops the
+    minimum pointer, records ONE minimal window of length
+    other_pos - pred(other_pos) where pred is the largest active-array
+    element <= other_pos, then advances the active pointer to the first
+    element strictly greater; it stops after the iteration in which the
+    active array exhausts. We simulate that walk EXACTLY, but in lockstep
+    across all candidate docs: one round = one match per still-alive doc,
+    with the per-doc predecessor lookups done by a single searchsorted
+    over packed (doc_rank << 32 | adjusted_pos) keys. The float32
+    sloppyFreq fold happens round-by-round in match order, so results are
+    bit-identical to _sloppy_freq_doc (property-tested on random inputs).
+    Rounds = max matches over docs; docs drop out as they finish."""
+    F = np.float32
+    vals, offs, keys = [], [], []
+    n = len(cand)
+    for slot, (d, counts, flat) in enumerate(flats):
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        take = _gather_ranges(starts[idx], counts[idx])
+        cnt = counts[idx]
+        v = (flat[take] - slot + 1).astype(np.int64)  # +1: keep >= 0
+        rank = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        vals.append(v)
+        offs.append(np.concatenate(([0], np.cumsum(cnt))))
+        keys.append((rank << _POS_SHIFT) | v)
+    (va, offa, ka), (vb, offb, kb) = zip(vals, offs, keys)
+    ia, ea = offa[:-1].copy(), offa[1:]
+    ib, eb = offb[:-1].copy(), offb[1:]
+    freq = np.zeros(n, dtype=np.float32)
+    alive = (ea > ia) & (eb > ib)
+    one = F(1.0)
+    slop64 = np.int64(slop)
+    while alive.any():
+        aw = np.nonzero(alive)[0]
+        aval = va[ia[aw]]
+        bval = vb[ib[aw]]
+        amin = aval <= bval  # tie: slot 0 pops first ((position, offset))
+        other = np.where(amin, bval, aval)
+        q = (aw << _POS_SHIFT) | other
+        # predecessor of `other` in the ACTIVE array (>= current pointer,
+        # guaranteed: the active pointer's own value is <= other)
+        pa = np.searchsorted(ka, q, side="right") - 1
+        pb = np.searchsorted(kb, q, side="right") - 1
+        predpos = np.where(amin, pa, pb)
+        predval = np.where(amin, va[np.minimum(pa, len(va) - 1)],
+                           vb[np.minimum(pb, len(vb) - 1)])
+        mlen = other - predval
+        hit = mlen <= slop64
+        tgt = aw[hit]
+        freq[tgt] = (freq[tgt]
+                     + (one / (one + mlen[hit].astype(np.float32))))
+        nxt = predpos + 1
+        dead = np.where(amin, nxt >= ea[aw], nxt >= eb[aw])
+        ia[aw[amin]] = nxt[amin]
+        ib[aw[~amin]] = nxt[~amin]
+        alive[aw[dead]] = False
+    m = freq > 0
+    return cand[m], freq[m]
+
+
 def _sloppy_match(flats: list, cand: np.ndarray, slop: int, terms):
     """Sloppy path: per-candidate-doc PhraseQueue walk (the slow path —
     sloppy phrases are inherently per-window sequential; the exact path
-    below stays fully vectorized)."""
+    below stays fully vectorized). The dominant 2-distinct-term case is
+    fully vectorized in _sloppy_match_2."""
+    if len(terms) == 2 and terms[0] != terms[1]:
+        return _sloppy_match_2(flats, cand, slop)
     slices = []
     for d, counts, flat in flats:
         idx = np.searchsorted(d, cand)

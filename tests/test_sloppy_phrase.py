@@ -92,3 +92,42 @@ def test_engine_scores_with_sloppy_freq():
     # reordered match appears at slop 2
     m2 = eng.matches(PhraseQuery(["q", "e"], slop=2))
     assert m2.docids.tolist() == [0, 1, 2]
+
+
+def test_vectorized_2term_matches_heap_walk_random():
+    """Property: the vectorized 2-distinct-term closed form (tag-switch
+    boundary gaps in merged adjusted-position order) reproduces the
+    PhraseQueue heap walk (_sloppy_freq_doc) bit-for-bit — docids, float32
+    sloppyFreq, and fold order."""
+    from lucene_7_x_9_x_spark.operators.executor import (_sloppy_freq_doc,
+                                                         _sloppy_match_2)
+    rng = np.random.RandomState(424)
+    for trial in range(400):
+        n_docs = rng.randint(1, 6)
+        slop = int(rng.randint(0, 6))
+        flats_a, flats_b, docids = [], [], []
+        per_doc = []
+        for d in range(n_docs):
+            na, nb = rng.randint(1, 8), rng.randint(1, 8)
+            A = np.unique(rng.randint(0, 25, size=na)).astype(np.int64)
+            B = np.unique(rng.randint(0, 25, size=nb)).astype(np.int64)
+            docids.append(d)
+            flats_a.append(A)
+            flats_b.append(B)
+            per_doc.append((A, B))
+        d_arr = np.asarray(docids, np.int64)
+        flats = []
+        for plists in (flats_a, flats_b):
+            counts = np.asarray([len(x) for x in plists], np.int64)
+            flat = np.concatenate(plists)
+            flats.append((d_arr, counts, flat))
+        vd, vf = _sloppy_match_2(flats, d_arr, slop)
+        # reference: the heap walk per doc
+        exp_d, exp_f = [], []
+        for d, (A, B) in enumerate(per_doc):
+            f = _sloppy_freq_doc([A, B], slop)
+            if f > 0:
+                exp_d.append(d)
+                exp_f.append(f)
+        assert vd.tolist() == exp_d, (trial, slop, per_doc)
+        assert [F32(x) for x in vf] == exp_f, (trial, slop, per_doc)
