@@ -134,6 +134,31 @@ def main():
     extra["batched_qps"] = round(32 / q["batch_32_queries"], 1)
     extra["batch_result_rows"] = n_res
 
+    # hot-serving mode: postings persisted pre-partitioned by segment
+    # (cache_index=True) — the page-cache-resident dedicated-search-node
+    # shape; first query pays materialization (recorded as warmup)
+    s_hot = Searcher(sidx, cache_index=True)
+    timed("hot_warmup", lambda: s_hot.search(BooleanQuery(
+        [(Occur.SHOULD, TermQuery("return")),
+         (Occur.SHOULD, TermQuery("def"))]), 10).collect())
+    lat_h = []
+    for _ in range(BM25_RUNS):
+        t0 = time.time()
+        s_hot.search(BooleanQuery(
+            [(Occur.SHOULD, TermQuery("return")),
+             (Occur.SHOULD, TermQuery("def")),
+             (Occur.SHOULD, TermQuery("mutex"))]), 10).collect()
+        lat_h.append(time.time() - t0)
+    lat_h.sort()
+    q["bm25_hot_top10_p50"] = round(lat_h[len(lat_h) // 2], 3)
+    t0 = time.time()
+    n_hot = s_hot.search_many(batch, k=10).count()
+    q["batch_32_hot"] = round(time.time() - t0, 3)
+    extra["batched_hot_qps"] = round(32 / q["batch_32_hot"], 1)
+    extra["batch_hot_rows"] = n_hot
+    s_hot._post_src.unpersist()
+    s_hot._terms_src.unpersist()
+
     # ---- pipeline ops ---------------------------------------------------
     timed("dedup_exact", lambda: dedup.exact_dup_groups(
         docs, "doc_id", "text").count())

@@ -223,7 +223,35 @@ def build_index(
         cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
                 + [n for n, _ in id_fields]
                 + ["dl", "norm", "extra_norms", "content_sha256_out"])
-        return pd.concat([postings[cols], dm[cols]], ignore_index=True)
+        # per-(segment, field) norms blobs emitted straight from the build
+        # pass (docmap is already in docid order), so finalize needs NO
+        # docmap shuffle to write segnorms — this was the dominant
+        # size-independent finalize tail. Column reuse in the union table:
+        # docid carries max_doc, pos_data carries the packed norm bytes.
+        sn = pd.DataFrame({"kind": "segnorms", "term": None,
+                           "field": pd.Series([None] + [n for n, _ in xf_inv],
+                                              dtype=object),
+                           "segment": np.int32(seg)})
+        for c in ["doc_freq", "total_term_freq", "block_max_docs",
+                  "block_ns", "block_docs", "block_freqs", "imp_freqs",
+                  "imp_norms", "pos_offsets", "dl", "norm", "extra_norms",
+                  "content_sha256_out"]:
+            sn[c] = None
+        for n, _ in id_fields:
+            sn[n] = None
+        sn["docid"] = np.int64(len(docmap))
+        blobs = [(docmap["norm"].to_numpy(np.int64) & 0xFF)
+                 .astype(np.uint8).tobytes()]
+        if xf_inv:
+            en = (np.asarray([list(x) for x in docmap["extra_norms"]],
+                             dtype=np.int64).reshape(len(docmap), len(xf_inv))
+                  if len(docmap) else
+                  np.zeros((0, len(xf_inv)), dtype=np.int64))
+            for i in range(len(xf_inv)):
+                blobs.append((en[:, i] & 0xFF).astype(np.uint8).tobytes())
+        sn["pos_data"] = pd.Series(blobs, dtype=object)
+        return pd.concat([postings[cols], dm[cols], sn[cols]],
+                         ignore_index=True)
 
     def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _combine(int(key[0]), pdf)
@@ -338,8 +366,16 @@ def build_index(
         F.sum("dl").alias("sum_total_term_freq"), *xf_counts).collect()[0]
     phase_secs["finalize_stats"] = round(time.time() - t_fin, 2)
     t_fin = time.time()
-    write_segnorms(all_docmap, os.path.join(out_dir, "segnorms"),
-                   extra_field_names=[n for n, _ in extra_fields])
+    # segnorm rows were emitted by the build pass itself: one tiny
+    # column-pruned scan rewrites them into the segnorms table — no docmap
+    # shuffle (the r2 finalize-tail fix)
+    sn_src = spark.read.parquet(
+        *[os.path.join(out_dir, d, "kind=segnorms") for d in batches])
+    (sn_src.select("segment", "field",
+                   F.col("docid").cast("long").alias("max_doc"),
+                   F.col("pos_data").alias("norms"))
+     .coalesce(1)
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "segnorms")))
     phase_secs["finalize_segnorms"] = round(time.time() - t_fin, 2)
 
     stats = {

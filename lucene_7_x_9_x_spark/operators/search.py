@@ -528,11 +528,18 @@ def _score_unit_chunk(reader, stats, u: _Unit, live, lo, hi):
 
 def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
                   plan: dict, k: int, chunk_intervals: int = 32,
-                  deleted: np.ndarray | None = None):
+                  deleted: np.ndarray | None = None,
+                  theta0: float | None = None):
     """Vectorized block-max top-k, rank-identical to exhaustive evaluation.
     deleted: sorted unique docids tombstoned in this segment (liveDocs);
     they are excluded like a MUST_NOT set, before top-k, so k semantics are
-    exact. Returns (docids, scores, frac_blocks_decoded)."""
+    exact. theta0 seeds the competitive threshold with a score floor
+    gathered OUTSIDE this segment (the MaxScoreAccumulator cross-slice
+    sharing of IndexSearcher.java:399-402): any k-th-best score over a
+    subset of segments lower-bounds the global k-th best, and the skip
+    test stays strict (ub_safe < theta), so exactness is unaffected — the
+    returned set may then hold fewer than k local docs, all globally
+    competitive. Returns (docids, scores, frac_blocks_decoded)."""
     empty = (np.zeros(0, np.int64), np.zeros(0, np.float32), 0.0)
     built = _build_units(reader, stats, plan)
     if built is None:
@@ -575,7 +582,8 @@ def blockmax_topk(reader: SparkSegmentReader, stats: SegmentStats,
     msm = max(plan["msm"], 0)
     top_d = np.zeros(0, np.int64)
     top_s = np.zeros(0, np.float32)
-    theta = None  # min competitive score once heap is full
+    # min competitive score; starts at the cross-segment seed when given
+    theta = None if theta0 is None else np.float32(theta0)
 
     # best-first interval order (a strengthening over Lucene's doc-order
     # traversal that our precomputed bounds allow): theta converges after

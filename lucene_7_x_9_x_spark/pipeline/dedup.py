@@ -32,9 +32,16 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3
              ) -> DataFrame:
-    """(id, shingle) pairs: n-gram shingles over analyzer tokens."""
-    toks = df.select(F.col(id_col),
-                     tokens_col(text_col).alias("ts"))
+    """(id, shingle) pairs: n-gram shingles over analyzer tokens.
+
+    The repartition after tokenization is load-bearing twice over: it
+    spreads the regex-tokenize across all cores even when the source is a
+    single parquet file (one scan partition), and it is an exchange
+    barrier that stops CollapseProject from inlining the tokenize
+    expression into the per-shingle transform lambda (which would
+    re-tokenize the full text once per shingle — quadratic per doc)."""
+    toks = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
+            .repartition(df.sparkSession.sparkContext.defaultParallelism))
     # guard: sequence(0, -1) would DESCEND in Spark, so gate on size >= n
     idxs = F.when(F.size("ts") >= n,
                   F.sequence(F.lit(0), F.size("ts") - n)
@@ -229,8 +236,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Shuffle volume is exactly the (doc, token) tf frame: the per-bit votes
     are folded into one groupBy with 60 conditional-sum aggregate
     expressions — never an explode of one row per bit."""
-    tf = (df.select(F.col(id_col), F.explode(tokens_col(text_col))
-                    .alias("tok"))
+    # same single-scan-partition guard as shingles(): parallelize the
+    # tokenize before the explode fan-out
+    tf = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
+          .repartition(df.sparkSession.sparkContext.defaultParallelism)
+          .select(F.col(id_col), F.explode("ts").alias("tok"))
           .groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
           .withColumn("h", md5_hash60(F.col("tok"))))
     votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(1) == 1,

@@ -315,6 +315,13 @@ class Searcher:
                 [], "segment int, docid long, score float")
 
         del_bc = self._deleted_broadcast()
+        # task-local theta floor: this dict is pickled into each task's
+        # closure copy, so segments processed by the SAME task seed each
+        # other's competitive threshold (the MaxScoreAccumulator slice-
+        # sharing analogue, IndexSearcher.java:399-402) with zero
+        # cross-task coordination; exact because any subset's k-th score
+        # lower-bounds the global k-th and skips stay strict
+        task_theta: dict = {}
 
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
@@ -326,7 +333,11 @@ class Searcher:
                                         field_norms=fnorms)
             dele = del_bc.value.get(seg) if del_bc is not None else None
             if use_blockmax:
-                d, s, _ = blockmax_topk(reader, stats, plan, k, deleted=dele)
+                d, s, _ = blockmax_topk(reader, stats, plan, k, deleted=dele,
+                                        theta0=task_theta.get("q"))
+                if len(d) == k:
+                    task_theta["q"] = max(task_theta.get("q", 0.0),
+                                          float(s[-1]))
             else:
                 m = ex.evaluate(reader, stats, query)
                 d, s = m.docids, m.scores
@@ -486,6 +497,7 @@ class Searcher:
               .join(post.select("segment").distinct(), "segment"))
 
         del_bc = self._deleted_broadcast()
+        task_theta: dict = {}  # per-qid cross-segment theta (see _run)
 
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
@@ -502,7 +514,11 @@ class Searcher:
                 plan = plans[qid]
                 if plan is not None:
                     d, s_, _ = blockmax_topk(reader, stats, plan, k,
-                                             deleted=dele)
+                                             deleted=dele,
+                                             theta0=task_theta.get(qid))
+                    if len(d) == k:
+                        task_theta[qid] = max(task_theta.get(qid, 0.0),
+                                              float(s_[-1]))
                 else:
                     m = ex.evaluate(reader, stats, q)
                     if dele is not None:

@@ -16,6 +16,7 @@ import os
 import time
 import uuid
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -83,7 +84,31 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
         cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
                 + [n for n, _ in id_fields]
                 + ["dl", "norm", "extra_norms", "content_sha256_out"])
-        return pd.concat([postings[cols], dm[cols]], ignore_index=True)
+        sn = pd.DataFrame({"kind": "segnorms", "term": None,
+                           "field": pd.Series([None] + [n for n, _ in xf_inv],
+                                              dtype=object),
+                           "segment": docmap["segment"].iloc[0]
+                           if len(docmap) else seg})
+        for c in ["doc_freq", "total_term_freq", "block_max_docs",
+                  "block_ns", "block_docs", "block_freqs", "imp_freqs",
+                  "imp_norms", "pos_offsets", "dl", "norm", "extra_norms",
+                  "content_sha256_out"]:
+            sn[c] = None
+        for n, _ in id_fields:
+            sn[n] = None
+        sn["docid"] = np.int64(len(docmap))
+        blobs = [(docmap["norm"].to_numpy(np.int64) & 0xFF)
+                 .astype(np.uint8).tobytes()]
+        if xf_inv:
+            en = (np.asarray([list(x) for x in docmap["extra_norms"]],
+                             dtype=np.int64).reshape(len(docmap), len(xf_inv))
+                  if len(docmap) else
+                  np.zeros((0, len(xf_inv)), dtype=np.int64))
+            for i in range(len(xf_inv)):
+                blobs.append((en[:, i] & 0xFF).astype(np.uint8).tobytes())
+        sn["pos_data"] = pd.Series(blobs, dtype=object)
+        return pd.concat([postings[cols], dm[cols], sn[cols]],
+                         ignore_index=True)
 
     batch_name = f"batch_inc_{len(idx.manifest['batches'])}"
     out = (prepared.groupBy("segment")
@@ -137,9 +162,22 @@ def finalize(spark: SparkSession, index_dir: str) -> IndexSnapshot:
     final_terms = os.path.join(index_dir, "terms")
     shutil.rmtree(final_terms, ignore_errors=True)
     os.replace(tmp_terms, final_terms)
-    from ..index import write_segnorms
-    write_segnorms(dm, os.path.join(index_dir, "segnorms"),
-                   extra_field_names=[n for n, _ in extra_fields])
+    # build/append passes emit kind=segnorms rows; compact/merge-produced
+    # batches do not — fall back to the docmap shuffle only then
+    sn_dirs = [os.path.join(index_dir, d, "kind=segnorms")
+               for d in idx.manifest["batches"]]
+    if all(os.path.exists(d) for d in sn_dirs):
+        (spark.read.parquet(*sn_dirs)
+         .select("segment", "field",
+                 F.col("docid").cast("long").alias("max_doc"),
+                 F.col("pos_data").alias("norms"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(
+             os.path.join(index_dir, "segnorms")))
+    else:
+        from ..index import write_segnorms
+        write_segnorms(dm, os.path.join(index_dir, "segnorms"),
+                       extra_field_names=[n for n, _ in extra_fields])
     m = dict(idx.manifest)
     m["stats"] = {"max_doc": srow["max_doc"],
                   "doc_count": int(srow["doc_count"] or 0),
