@@ -391,6 +391,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(
             spark, sf, parse('filter AND (join OR "the fast") -window'))
 
+    def span_near(spark, sf):
+        # ordered span-near (NearSpansOrdered): key ... hash ... row with
+        # total gap <= 6
+        return _match_ids(spark, sf, Q.SpanNearQuery(
+            ["key", "hash", "row"], slop=6))
+
     def bm25_top10(spark, sf):
         return _topk_ids(spark, sf, Q.BooleanQuery(
             [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
@@ -669,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range": numeric_range,
         "parse_query_topk": parse_query_topk,
         "parse_query_matches": parse_query_matches,
+        "span_near": span_near,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
@@ -877,6 +884,21 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(range(1, len(ts)), "
             "i -> ts[i] = 'the' AND ts[i+1] = 'fast')) > 0) "
             "AND NOT list_contains(ts, 'window')"),
+        "span_near": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            p AS (SELECT doc_id,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'key')
+                      AS pa,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'hash')
+                      AS pb,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'row')
+                      AS pc
+                  FROM t)
+            SELECT doc_id FROM p
+            WHERE len(list_filter(pa, p1 ->
+                    len(list_filter(pb, p2 -> p2 > p1 AND
+                      len(list_filter(pc, p3 -> p3 > p2 AND
+                        p3 - p1 - 2 <= 6)) > 0)) > 0)) > 0""",
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
         "classic_top10": _classic_sql(["filter", "join", "window"], 10),
         "lmdirichlet_top10": _lmd_sql(["filter", "join", "window"], 10),

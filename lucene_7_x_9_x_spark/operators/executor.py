@@ -27,8 +27,8 @@ from ..functions.bm25 import F32
 from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                            DisjunctionMaxQuery, MatchAllDocsQuery,
                            MatchNoDocsQuery, Occur, PhraseQuery, Query,
-                           SynonymQuery, TermInSetQuery, TermQuery,
-                           key_field, term_key)
+                           SpanNearQuery, SynonymQuery, TermInSetQuery,
+                           TermQuery, key_field, term_key)
 
 
 class SegmentStats:
@@ -248,6 +248,16 @@ def evaluate(reader, stats: SegmentStats, q: Query,
             return Matches.empty()
         docids = np.unique(np.concatenate(parts))
         return Matches(docids, np.full(len(docids), b32, dtype=np.float32))
+
+    if isinstance(q, SpanNearQuery):
+        docids = _span_near_match(reader, q)
+        if len(docids) == 0:
+            return Matches.empty()
+        # constant-score matching (SpanNearQuery's SpanScorer sloppyFreq
+        # accumulation is not transcribed; the MATCH SET is exact per
+        # NearSpansOrdered's width-<=-slop criterion)
+        return Matches(docids, np.full(len(docids), F32(b32 * F32(q.boost)),
+                                       dtype=np.float32))
 
     if isinstance(q, PhraseQuery):
         docids, freqs = _phrase_match(reader, q)
@@ -586,6 +596,48 @@ def _phrase_match(reader, q: PhraseQuery):
     freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(cand))
     m = freqs > 0
     return cand[m], freqs[m].astype(np.int64)
+
+
+def _span_near_match(reader, q: SpanNearQuery) -> np.ndarray:
+    """Docs with an ordered chain p_1 < p_2 < ... < p_k and total gap
+    p_k - p_1 - (k-1) <= slop (NearSpansOrdered.java:40 width semantics,
+    unit-length term spans). Greedy minimal chains, vectorized over all
+    candidate anchors of all docs at once: one packed searchsorted per
+    subsequent term finds the smallest strictly-greater occurrence."""
+    flats = []
+    for t in q.terms:
+        got = _flat_positions(reader, term_key(q.field, t))
+        if got is None:
+            return np.zeros(0, np.int64)
+        flats.append(got)
+    cand = flats[0][0]
+    for d, _, _ in flats[1:]:
+        cand = cand[_in_sorted(cand, d)]
+    if len(cand) == 0:
+        return cand
+    packed = []
+    sel = []
+    for d, counts, flat in flats:
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        take = _gather_ranges(starts[idx], counts[idx])
+        rank = np.repeat(np.arange(len(cand), dtype=np.int64), counts[idx])
+        packed.append((rank << _POS_SHIFT) | flat[take])
+        sel.append((rank, flat[take]))
+    rank0, p0 = sel[0]
+    prev = packed[0]
+    alive = np.ones(len(prev), dtype=bool)
+    for kp in packed[1:]:
+        nxt = np.searchsorted(kp, prev, side="right")
+        ok = nxt < len(kp)
+        val = kp[np.minimum(nxt, len(kp) - 1)]
+        ok &= (val >> _POS_SHIFT) == (prev >> _POS_SHIFT)
+        alive &= ok
+        prev = np.where(ok, val, prev)
+    width = ((prev & ((np.int64(1) << _POS_SHIFT) - 1)) - p0
+             - (len(flats) - 1))
+    hit = alive & (width <= q.slop)
+    return cand[np.unique(rank0[hit])]
 
 
 def _evaluate_boolean(reader, stats, q: BooleanQuery, boost, needs_scores):

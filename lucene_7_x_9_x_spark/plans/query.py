@@ -131,6 +131,32 @@ class FuzzyQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Ordered proximity over term spans (solr-8.4.0/.../search/spans/
+    SpanNearQuery.java + NearSpansOrdered.java:40): matches docs holding
+    occurrences p_1 < p_2 < ... < p_k (one per clause, non-overlapping
+    unit-length term spans) whose total gap
+    sum(start_{i+1} - end_i) = p_k - p_1 - (k-1) is <= slop. Matching
+    semantics are exact; scoring is constant-score (the SpanScorer
+    sloppyFreq accumulation is not transcribed — see executor)."""
+    terms: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+    field: str | None = None
+
+    def __init__(self, terms, slop=0, in_order=True, boost=1.0, field=None):
+        if not in_order:
+            raise NotImplementedError(
+                "only ordered span-near (NearSpansOrdered) is implemented")
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "in_order", in_order)
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 
@@ -301,7 +327,7 @@ def scoring_terms(q: Query) -> set:
     default field, (field, term) tuple = named field; see term_key)."""
     if isinstance(q, TermQuery):
         return {term_key(q.field, q.term)}
-    if isinstance(q, (PhraseQuery, SynonymQuery)):
+    if isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
         return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, TermInSetQuery):
         return {term_key(q.field, t) for t in q.terms}
@@ -335,6 +361,9 @@ def map_fields(q: Query, f) -> Query:
     if isinstance(q, TermRangeQuery):
         return TermRangeQuery(q.lower, q.upper, q.include_lower,
                               q.include_upper, f(q.field))
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(q.terms, q.slop, q.in_order, q.boost,
+                             f(q.field))
     if isinstance(q, FuzzyQuery):
         return FuzzyQuery(q.term, q.max_edits, q.transpositions,
                           q.prefix_length, f(q.field))

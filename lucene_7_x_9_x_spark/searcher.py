@@ -710,7 +710,7 @@ def _contains_matchall(q) -> bool:
 
 
 def _needs_positions(q) -> bool:
-    if isinstance(q, Q.PhraseQuery):
+    if isinstance(q, (Q.PhraseQuery, Q.SpanNearQuery)):
         return True
     if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
         return _needs_positions(q.query)
