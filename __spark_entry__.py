@@ -235,13 +235,16 @@ def _emb(spark, sf_dir) -> DataFrame:
 _FORMAT_VERSION = 2
 
 
-def _cache_is_stale(out: str) -> bool:
+def _cache_is_stale(out: str, require_offsets: bool = False) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
         return True
     with open(mpath) as f:
-        return json.load(f).get("format_version") != _FORMAT_VERSION
+        m = json.load(f)
+    if require_offsets and not m.get("with_offsets"):
+        return True
+    return m.get("format_version") != _FORMAT_VERSION
 
 
 def _get_searcher(spark: SparkSession, sf_dir: str,
@@ -252,7 +255,7 @@ def _get_searcher(spark: SparkSession, sf_dir: str,
     if key in _INDEXES:
         return _INDEXES[key]
     out = os.path.join(_CACHE_ROOT, os.path.basename(key[0]))
-    if _cache_is_stale(out):
+    if _cache_is_stale(out, require_offsets=True):
         import shutil
         shutil.rmtree(out, ignore_errors=True)
         # range-partition by doc_id so that (segment asc, docid asc) ==
@@ -261,7 +264,7 @@ def _get_searcher(spark: SparkSession, sf_dir: str,
         docs = (_docs(spark, sf_dir)
                 .repartitionByRange(8, F.col("doc_id")))
         build_index(spark, docs, out, id_cols=["doc_id"],
-                    text_col="text", segment_by="input")
+                    text_col="text", segment_by="input", with_offsets=True)
     s = Searcher(IndexSnapshot(spark, out), similarity=similarity)
     _INDEXES[key] = s
     return s
@@ -609,6 +612,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("doc_id").cast("long"), "term", "tf",
                         "positions"))
 
+    def term_offsets(spark, sf):
+        # index-stored character offsets (IndexOptions ..._AND_OFFSETS):
+        # per matching doc, the ascending char starts of 'filter'
+        s = _get_searcher(spark, sf)
+        o = s.term_offsets("filter")
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        return (o.join(dm, ["segment", "docid"])
+                .select("doc_id",
+                        F.array_join(F.col("starts"), ",")
+                        .alias("starts_csv")))
+
     def highlight(spark, sf):
         from lucene_7_x_9_x_spark.functions.highlight import \
             highlight_snippets
@@ -704,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
         "term_vectors": term_vectors_q,
+        "term_offsets": term_offsets,
         "highlight": highlight,
         "sort_by_field": sort_by_field,
         "events_windowed": events_windowed,
@@ -1101,6 +1117,17 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                          unnest(list_zip(ts, range(len(ts)))) AS u
                   FROM (SELECT doc_id, {TOKS} AS ts FROM documents))
             GROUP BY doc_id, u[1]""",
+        "term_offsets": """
+            WITH p AS (SELECT doc_id,
+                         ' ' || regexp_replace(lower(text), '[^a-z0-9_]',
+                                               ' ', 'g') || ' ' AS pad
+                       FROM documents)
+            SELECT doc_id, array_to_string(list_transform(
+                     list_filter(range(1, length(pad) + 1),
+                                 i -> substr(pad, i, 8) = ' filter '),
+                     i -> i - 1), ',') AS starts_csv
+            FROM p
+            WHERE strpos(pad, ' filter ') > 0""",
         "highlight": """
             SELECT doc_id,
                    regexp_replace(

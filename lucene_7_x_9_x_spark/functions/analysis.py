@@ -97,3 +97,53 @@ def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
         row_idx, pos, flat = row_idx[keep], pos[keep], flat[keep]
     dl = np.bincount(row_idx, minlength=len(toks)).astype(np.int64)
     return row_idx, pos, flat, dl
+
+
+def tokenize_to_flat_with_offsets(content: pd.Series,
+                                  cfg: AnalyzerConfig | None = None):
+    """tokenize_to_flat plus per-token CHARACTER offsets (start, end) into
+    the original text — the IndexOptions ..._AND_OFFSETS analogue
+    (solr-8.4.0/.../index/IndexOptions.java:25-53,
+    StandardTokenizer's offset attributes). Token text comes from the
+    LOWERCASED string but offsets index the original (lower() is
+    length-preserving for this ASCII token charset). Uses re.finditer per
+    doc — a build-time-only cost paid when an index opts into stored
+    offsets; the offset-less default path stays fully vectorized."""
+    import re
+    cfg = cfg or AnalyzerConfig()
+    rx = re.compile(cfg.token_regex)
+    sw = cfg.stopwords
+    ml = cfg.max_token_length
+    rows_i: list = []
+    rows_p: list = []
+    rows_t: list = []
+    rows_s: list = []
+    rows_e: list = []
+    dl = np.zeros(len(content), dtype=np.int64)
+    for i, txt in enumerate(content.fillna("").str.lower().to_numpy()):
+        pos = 0
+        kept = 0
+        for m in rx.finditer(txt):
+            pieces = [(m.group(0), m.start(), m.end())]
+            if ml and m.end() - m.start() > ml:
+                t, a, _ = pieces[0]
+                pieces = [(t[j:j + ml], a + j, a + min(j + ml, len(t)))
+                          for j in range(0, len(t), ml)]
+            for t, a, b in pieces:
+                if sw and t in sw:
+                    pos += 1  # stopword hole keeps the position increment
+                    continue
+                rows_i.append(i)
+                rows_p.append(pos)
+                rows_t.append(t)
+                rows_s.append(a)
+                rows_e.append(b)
+                pos += 1
+                kept += 1
+        dl[i] = kept
+    return (np.asarray(rows_i, dtype=np.int64),
+            np.asarray(rows_p, dtype=np.int32),
+            np.asarray(rows_t, dtype=object),
+            dl,
+            np.asarray(rows_s, dtype=np.int64),
+            np.asarray(rows_e, dtype=np.int64))

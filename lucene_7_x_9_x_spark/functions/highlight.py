@@ -36,3 +36,56 @@ def highlight_snippets(df: DataFrame, terms: list[str],
     snip = F.regexp_replace(raw, pat, pre + "$1" + post)
     return (df.where(first.isNotNull())
             .select(F.col(id_col), snip.alias("snippet")))
+
+
+def highlight_from_index(searcher, source_df: DataFrame, terms: list[str],
+                         text_col: str = "text", id_col: str = "doc_id",
+                         width: int = 80, lead: int = 20,
+                         pre: str = "<b>", post: str = "</b>") -> DataFrame:
+    """Index-offsets highlighter (the unified-highlighter consumption model:
+    IndexOptions ..._AND_OFFSETS): occurrence character offsets come from
+    the index's stored offset payloads — the documents are NOT re-analyzed
+    or regex-scanned at query time; the stored text is only sliced. Window =
+    `width` chars starting `lead` before the first occurrence; every
+    occurrence fully inside the window is wrapped pre..post."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    offs = None
+    for t in terms:
+        o = searcher.term_offsets(t)
+        offs = o if offs is None else offs.unionByName(o)
+    merged = (offs.select("segment", "docid",
+                          F.explode(F.arrays_zip("starts", "ends"))
+                          .alias("se"))
+              .groupBy("segment", "docid")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct(F.col("se.starts").alias("s"),
+                           F.col("se.ends").alias("e")))).alias("occ")))
+    dm = searcher.index.docmap().select("segment", "docid", id_col)
+    joined = (merged.join(dm, ["segment", "docid"])
+              .join(source_df.select(id_col, text_col), id_col))
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _snip(text, occ):
+        import pandas as pd
+        out = []
+        for txt, oc in zip(text, occ):
+            s0 = max(0, int(oc[0]["s"]) - lead)
+            e0 = s0 + width
+            parts, cur = [], s0
+            for so in oc:
+                a, b = int(so["s"]), int(so["e"])
+                if a < cur or b > e0:
+                    continue
+                parts.append(txt[cur:a])
+                parts.append(pre + txt[a:b] + post)
+                cur = b
+            parts.append(txt[cur:e0])
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    snip_udf = pandas_udf(_snip, "string")
+    return joined.select(F.col(id_col),
+                         snip_udf(F.col(text_col), F.col("occ"))
+                         .alias("snippet"))

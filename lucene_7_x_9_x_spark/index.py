@@ -130,6 +130,7 @@ def build_index(
     resume: bool = False,
     segment_by: str = "hash",
     extra_fields: list | None = None,
+    with_offsets: bool = False,
 ) -> IndexSnapshot:
     """One-shot (optionally batched + resumable) index build.
 
@@ -200,13 +201,15 @@ def build_index(
     def _combine(seg: int, pdf: pd.DataFrame) -> pd.DataFrame:
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
-            cfg=cfg, with_positions=with_positions, extra_fields=xf_inv)
+            cfg=cfg, with_positions=with_positions, extra_fields=xf_inv,
+            with_offsets=with_offsets)
         postings.insert(0, "kind", "postings")
         dm = pd.DataFrame({"kind": "docmap", "term": None, "field": None,
                            "segment": docmap["segment"],
                            "doc_freq": None, "total_term_freq": None})
         for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
-                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data"]:
+                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data",
+                  "off_offsets", "off_data"]:
             dm[c] = None
         dm["docid"] = docmap["docid"]
         for n, _ in id_fields:
@@ -234,8 +237,8 @@ def build_index(
                            "segment": np.int32(seg)})
         for c in ["doc_freq", "total_term_freq", "block_max_docs",
                   "block_ns", "block_docs", "block_freqs", "imp_freqs",
-                  "imp_norms", "pos_offsets", "dl", "norm", "extra_norms",
-                  "content_sha256_out"]:
+                  "imp_norms", "pos_offsets", "off_offsets", "off_data",
+                  "dl", "norm", "extra_norms", "content_sha256_out"]:
             sn[c] = None
         for n, _ in id_fields:
             sn[n] = None
@@ -400,6 +403,7 @@ def build_index(
         "segment_by": segment_by,
         "batches": batches,
         "with_positions": with_positions,
+        "with_offsets": with_offsets,
         "analyzer": {"token_regex": cfg.token_regex,
                      "max_token_length": cfg.max_token_length,
                      "stopwords": sorted(cfg.stopwords)},

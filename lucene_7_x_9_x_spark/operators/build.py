@@ -42,6 +42,8 @@ POSTINGS_COLS = [
     ("imp_norms", "array<array<int>>"),
     ("pos_offsets", "array<long>"),
     ("pos_data", "binary"),
+    ("off_offsets", "array<long>"),  # char-offset blob slicing (optional)
+    ("off_data", "binary"),          # interleaved (start delta, len) vints
 ]
 
 
@@ -60,7 +62,8 @@ def _vint_lengths(vals: np.ndarray) -> np.ndarray:
 def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
                    text_col: str, cfg: AnalyzerConfig,
                    with_positions: bool = True,
-                   extra_fields: list | None = None):
+                   extra_fields: list | None = None,
+                   with_offsets: bool = False):
     """Build one segment from its documents. Returns (postings_df, docmap_df).
 
     docid = ordinal after a deterministic sort on id_cols (Lucene assigns by
@@ -74,7 +77,16 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
     (docmap.extra_norms, aligned with extra_fields order)."""
     pdf = pdf.sort_values(id_cols, kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
-    row_idx, pos, terms_flat, dl = tokenize_to_flat(pdf[text_col], cfg)
+    char_offs = None
+    if with_offsets:
+        # stored character offsets (IndexOptions ..._AND_OFFSETS analogue)
+        # for the DEFAULT field; extra fields stay offset-less
+        from ..functions.analysis import tokenize_to_flat_with_offsets
+        row_idx, pos, terms_flat, dl, c_start, c_end = \
+            tokenize_to_flat_with_offsets(pdf[text_col], cfg)
+        char_offs = (c_start, c_end)
+    else:
+        row_idx, pos, terms_flat, dl = tokenize_to_flat(pdf[text_col], cfg)
     norms = int_to_byte4(dl)
 
     docmap = pd.DataFrame({
@@ -91,7 +103,7 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
 
     if extra_fields:
         parts = [_invert_tokens(row_idx, pos, terms_flat, norms, segment,
-                                with_positions)]
+                                with_positions, char_offs=char_offs)]
         parts[0]["field"] = None
         extra_norm_cols = []
         for fname, fcol in extra_fields:
@@ -110,15 +122,18 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
 
     docmap["extra_norms"] = None
     postings = _invert_tokens(row_idx, pos, terms_flat, norms, segment,
-                              with_positions)
+                              with_positions, char_offs=char_offs)
     postings["field"] = None
     return postings[[c for c, _ in POSTINGS_COLS]], docmap
 
 
 def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
-                   with_positions: bool):
+                   with_positions: bool, char_offs=None):
     """Sort-based inversion of one field's flattened token stream into
-    postings rows (no field column — the caller stamps it)."""
+    postings rows (no field column — the caller stamps it). char_offs =
+    (start, end) int64 arrays aligned with the token stream: stored as a
+    per-term blob of interleaved (start delta, length) vints parallel to
+    the positions payload."""
     if len(terms_flat) == 0:
         return pd.DataFrame({n: pd.Series(dtype=object)
                              for n, _ in POSTINGS_COLS if n != "field"})
@@ -154,6 +169,27 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
         post_start = np.nonzero(new_post)[0]
         post_pos_offsets = np.concatenate(
             [tok_off[post_start], [tok_off[-1]]])
+
+    # --- character offsets: same one-pass delta encode as positions ---
+    off_data_all = b""
+    post_off_offsets = None
+    if char_offs is not None:
+        s_s = char_offs[0][order]
+        e_s = char_offs[1][order]
+        dso = np.empty(len(s_s), dtype=np.int64)
+        dso[0] = s_s[0]
+        dso[1:] = s_s[1:] - s_s[:-1]
+        dso[new_post] = s_s[new_post]  # first start per posting absolute
+        inter = np.empty(2 * len(s_s), dtype=np.uint64)
+        inter[0::2] = dso.astype(np.uint64)
+        inter[1::2] = (e_s - s_s).astype(np.uint64)
+        off_data_all = codec.vint_encode(inter)
+        byte_lens_o = (_vint_lengths(inter[0::2].astype(np.int64))
+                       + _vint_lengths(inter[1::2].astype(np.int64)))
+        tok_off_o = np.concatenate(([0], np.cumsum(byte_lens_o)))
+        post_start_o = np.nonzero(new_post)[0]
+        post_off_offsets = np.concatenate(
+            [tok_off_o[post_start_o], [tok_off_o[-1]]])
 
     # --- per-term boundaries among postings ---
     new_term = np.empty(len(post_term), dtype=bool)
@@ -271,6 +307,18 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
     else:
         col_poff = [None] * n_terms
         col_pdat = [None] * n_terms
+    if char_offs is not None:
+        mvo = memoryview(off_data_all)
+        oo = post_off_offsets
+        os_ = oo[term_start].tolist()
+        oe = oo[term_end].tolist()
+        col_ooff: list = [oo[s:e + 1] - oo[s]
+                          for s, e in zip(term_start.tolist(),
+                                          term_end.tolist())]
+        col_odat: list = [bytes(mvo[a:b]) for a, b in zip(os_, oe)]
+    else:
+        col_ooff = [None] * n_terms
+        col_odat = [None] * n_terms
 
     def S(col: list) -> pd.Series:
         # Series (always 1-D) keeps list elements as objects; a DataFrame
@@ -291,6 +339,8 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
         "imp_norms": S(col_impn),
         "pos_offsets": S(col_poff),
         "pos_data": S(col_pdat),
+        "off_offsets": S(col_ooff),
+        "off_data": S(col_odat),
     })
 
 

@@ -160,19 +160,21 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
             out["block_freqs"].append(fblocks)
             out["imp_freqs"].append(impf)
             out["imp_norms"].append(impn)
-            if getattr(r, "pos_data", None) is not None:
-                offs = np.asarray(r.pos_offsets, np.int64)
-                data = bytes(r.pos_data)
-                parts = [data[offs[i]:offs[i + 1]]
-                         for i in np.nonzero(keep)[0]]
-                lens = np.fromiter((len(p) for p in parts), np.int64,
-                                   len(parts))
-                out["pos_offsets"].append(
-                    np.concatenate(([0], np.cumsum(lens))))
-                out["pos_data"].append(b"".join(parts))
-            else:
-                out["pos_offsets"].append(None)
-                out["pos_data"].append(None)
+            for ocol, dcol in (("pos_offsets", "pos_data"),
+                               ("off_offsets", "off_data")):
+                if getattr(r, dcol, None) is not None:
+                    offs = np.asarray(getattr(r, ocol), np.int64)
+                    data = bytes(getattr(r, dcol))
+                    parts = [data[offs[i]:offs[i + 1]]
+                             for i in np.nonzero(keep)[0]]
+                    lens = np.fromiter((len(p) for p in parts), np.int64,
+                                       len(parts))
+                    out[ocol].append(
+                        np.concatenate(([0], np.cumsum(lens))))
+                    out[dcol].append(b"".join(parts))
+                else:
+                    out[ocol].append(None)
+                    out[dcol].append(None)
         res = pd.DataFrame({c: pd.Series(v, dtype=object)
                             for c, v in out.items()})
         if len(res):

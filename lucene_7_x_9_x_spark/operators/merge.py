@@ -86,18 +86,20 @@ def _concat_rows(rows: list[dict], term, new_segment: int,
         "imp_freqs": [x for r in rows for x in r["imp_freqs"]],
         "imp_norms": [x for r in rows for x in r["imp_norms"]],
     }
-    if rows[0].get("pos_data") is not None:
-        offs, data, shift = [], [], 0
-        for r in rows:
-            o = np.asarray(r["pos_offsets"], np.int64)
-            offs.append(o[:-1] + shift)
-            data.append(bytes(r["pos_data"]))
-            shift += o[-1]
-        out["pos_offsets"] = np.concatenate(offs + [np.array([shift])])
-        out["pos_data"] = b"".join(data)
-    else:
-        out["pos_offsets"] = None
-        out["pos_data"] = None
+    for ocol, dcol in (("pos_offsets", "pos_data"),
+                       ("off_offsets", "off_data")):
+        if rows[0].get(dcol) is not None:
+            offs, data, shift = [], [], 0
+            for r in rows:
+                o = np.asarray(r[ocol], np.int64)
+                offs.append(o[:-1] + shift)
+                data.append(bytes(r[dcol]))
+                shift += o[-1]
+            out[ocol] = np.concatenate(offs + [np.array([shift])])
+            out[dcol] = b"".join(data)
+        else:
+            out[ocol] = None
+            out[dcol] = None
     return out
 
 

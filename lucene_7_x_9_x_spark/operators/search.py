@@ -167,6 +167,35 @@ class SparkSegmentReader:
         self._full_cache[key] = out
         return out
 
+    def flat_offsets(self, term):
+        """(docids, counts, starts, ends): stored CHARACTER offsets of every
+        occurrence of the term (indexes with with_offsets=True only). Same
+        one-pass decode shape as flat_positions: interleaved (start delta,
+        length) vints, segmented cumsum restores absolute starts."""
+        key = ("__flatoff__", term)
+        got = self._full_cache.get(key)
+        if got is not None:
+            return got
+        r = self._rows.get(term)
+        if r is None or getattr(r, "off_data", None) is None:
+            return None
+        p = self.postings(term)
+        if p is None:
+            return None
+        docids, freqs = p
+        offs = np.asarray(r.off_offsets, dtype=np.int64)
+        inter = codec.vint_decode(
+            bytes(r.off_data)[offs[0]:offs[-1]]).astype(np.int64)
+        sd, ln = inter[0::2], inter[1::2]
+        counts = freqs.astype(np.int64)
+        cs = np.cumsum(sd)
+        starts_idx = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        bases = np.where(starts_idx > 0, cs[starts_idx - 1], 0)
+        starts = cs - np.repeat(bases, counts)
+        out = (docids, counts, starts, starts + ln)
+        self._full_cache[key] = out
+        return out
+
     def positions(self, term):
         fp = self.flat_positions(term)
         if fp is None:

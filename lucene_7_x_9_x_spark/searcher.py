@@ -431,6 +431,51 @@ class Searcher:
             dm = dm.where(c <= upper if include_upper else c < upper)
         return dm.select("segment", "docid", *self.index.id_cols, col)
 
+    def term_offsets(self, term: str, field: str | None = None
+                     ) -> DataFrame:
+        """Stored character offsets of every occurrence of `term` — the
+        index-stored offsets capability (IndexOptions ..._AND_OFFSETS,
+        solr-8.4.0/.../index/IndexOptions.java:25-53). Requires an index
+        built with with_offsets=True. Returns DataFrame(segment, docid,
+        starts array<long>, ends array<long>) with per-doc ascending
+        occurrence offsets. No norms side is needed: this is a plain
+        per-segment postings kernel."""
+        if not self.index.manifest.get("with_offsets"):
+            raise ValueError("index was built without stored offsets "
+                             "(build_index(with_offsets=True))")
+        if field is not None and field == self._default_field:
+            field = None
+        key = term_key(field, term)
+        post = self._post_src.where(self._key_filter({key}))
+        cols = ["term", "segment", "doc_freq", "total_term_freq",
+                "block_max_docs", "block_ns", "block_docs", "block_freqs",
+                "imp_freqs", "imp_norms", "off_offsets", "off_data"]
+        if self._has_field_col:
+            cols.insert(1, "field")
+        post = post.select(*cols)
+
+        def kernel(pkey, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pkey[0])
+            reader = SparkSegmentReader(post_pdf,
+                                        np.zeros(0, np.uint8), 0)
+            fo = reader.flat_offsets(key)
+            if fo is None:
+                return pd.DataFrame({"segment": [], "docid": [],
+                                     "starts": [], "ends": []})
+            docids, counts, starts, ends = fo
+            bounds = np.cumsum(counts)[:-1]
+            return pd.DataFrame({
+                "segment": np.full(len(docids), seg, dtype=np.int32),
+                "docid": docids,
+                "starts": pd.Series(np.split(starts, bounds), dtype=object),
+                "ends": pd.Series(np.split(ends, bounds), dtype=object)})
+
+        return (post.groupBy("segment")
+                .applyInPandas(kernel,
+                               schema="segment int, docid long, "
+                                      "starts array<long>, "
+                                      "ends array<long>"))
+
     def count(self, query) -> int:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()

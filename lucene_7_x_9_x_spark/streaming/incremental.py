@@ -37,6 +37,7 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
     extra_fields = [tuple(x) for x in idx.manifest.get("extra_fields", [])]
     seg_base = idx.manifest["num_segments"]
     with_positions = idx.manifest["with_positions"]
+    with_offsets = idx.manifest.get("with_offsets", False)
     n_seg = segments_in_batch or max(
         spark.sparkContext.defaultParallelism // 4, 1)
 
@@ -61,13 +62,15 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
         seg = int(key[0])
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
-            cfg=cfg, with_positions=with_positions, extra_fields=xf_inv)
+            cfg=cfg, with_positions=with_positions, extra_fields=xf_inv,
+            with_offsets=with_offsets)
         postings.insert(0, "kind", "postings")
         dm = pd.DataFrame({"kind": "docmap", "term": None, "field": None,
                            "segment": docmap["segment"],
                            "doc_freq": None, "total_term_freq": None})
         for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
-                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data"]:
+                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data",
+                  "off_offsets", "off_data"]:
             dm[c] = None
         dm["docid"] = docmap["docid"]
         for n, _ in id_fields:
@@ -91,8 +94,8 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
                            if len(docmap) else seg})
         for c in ["doc_freq", "total_term_freq", "block_max_docs",
                   "block_ns", "block_docs", "block_freqs", "imp_freqs",
-                  "imp_norms", "pos_offsets", "dl", "norm", "extra_norms",
-                  "content_sha256_out"]:
+                  "imp_norms", "pos_offsets", "off_offsets", "off_data",
+                  "dl", "norm", "extra_norms", "content_sha256_out"]:
             sn[c] = None
         for n, _ in id_fields:
             sn[n] = None

@@ -1,0 +1,68 @@
+"""Index-stored character offsets (IndexOptions ..._AND_OFFSETS analogue)
+and the index-offsets highlighter: the documents are never re-analyzed at
+query time — occurrence offsets come from the per-posting payload."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_7_x_9_x_spark.functions.highlight import highlight_from_index
+from lucene_7_x_9_x_spark.index import build_index
+from lucene_7_x_9_x_spark.searcher import Searcher
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def offset_searcher(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("offs")
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, str(tmp / "i"), id_cols=["doc_id"],
+                      text_col="text", segment_by="input",
+                      with_offsets=True)
+    return Searcher(idx), docs
+
+
+def test_offsets_roundtrip_exact(offset_searcher, spark):
+    s, docs = offset_searcher
+    rows = s.term_offsets("filter").collect()
+    id_of = {(r["segment"], r["docid"]): r["doc_id"] for r in
+             s.index.docmap().select("segment", "docid", "doc_id").collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rx = re.compile(r"[a-z0-9_]+")
+    assert rows
+    for r in rows:
+        did = id_of[(r["segment"], r["docid"])]
+        exp = [(m.start(), m.end())
+               for m in rx.finditer(texts[did].lower())
+               if m.group(0) == "filter"]
+        assert list(zip(r["starts"], r["ends"])) == exp
+
+
+def test_offsets_require_opt_in(spark, tmp_path):
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .limit(50))
+    idx = build_index(spark, docs, str(tmp_path / "no_off"),
+                      id_cols=["doc_id"], text_col="text", num_segments=2)
+    with pytest.raises(ValueError, match="without stored offsets"):
+        Searcher(idx).term_offsets("filter")
+
+
+def test_highlighter_wraps_exact_token_occurrences(offset_searcher):
+    s, docs = offset_searcher
+    out = highlight_from_index(s, docs, ["filter", "join"],
+                               width=60, lead=10).collect()
+    assert out
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out[:50]:
+        snip = r["snippet"]
+        # every wrapped token is exactly a query term from thesource text
+        for m in re.finditer(r"<b>([^<]*)</b>", snip):
+            assert m.group(1).lower() in ("filter", "join")
+        # the unwrapped snippet is a contiguous slice of the source text
+        plain = snip.replace("<b>", "").replace("</b>", "")
+        assert plain in texts[r["doc_id"]]
