@@ -215,6 +215,42 @@ FROM scored WHERE nmatch >= 1
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _dfr_sql(terms: list[str], k: int, c: float = 1.0) -> str:
+    """DFR I(n)L2 disjunctive top-k oracle (DFRSimilarity.java:96-120,
+    BasicModelIn + AfterEffectL + NormalizationH2):
+    tfn = tf * log2(1 + c * avgdl / qdl);
+    score = (tfn/(1+tfn)) * log2((doc_count+1)/(df+0.5)), summed."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(terms)))
+    tfn = (lambda i:
+           f"(tf_{i} * log2(1 + {c} * (s.sum_ttf / CAST(s.doc_count AS "
+           f"DOUBLE)) / CAST(qdl AS DOUBLE)))")
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN ({tfn(i)} / (1 + {tfn(i)}))"
+        f" * log2((s.doc_count + 1.0) / (d.df_{i} + 0.5)) ELSE 0 END)"
+        for i in range(len(terms)))
+    nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                        for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
+dfs AS (SELECT {df_cols} FROM tf),
+scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+           FROM tf, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _contains_sql(pred: str) -> str:
     return (f"SELECT doc_id FROM (SELECT doc_id, {TOKS} AS ts FROM documents)"
             f" WHERE {pred}")
@@ -430,6 +466,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long"),
                         F.col("doc_id").cast("long"))
 
+    def dfr_top10(spark, sf):
+        # fifth scoring model: DFR I(n)L2 (BasicModelIn + AfterEffectL +
+        # NormalizationH2)
+        s = _get_searcher(spark, sf, similarity="dfr_inl2")
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
+             (O.SHOULD, T("window"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
     def classic_top10(spark, sf):
         # pluggable similarity: ClassicSimilarity (TF-IDF) over the same
         # index/norm bytes (IndexSearcher.setSimilarity analogue)
@@ -584,6 +630,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("rank").cast("long"),
                         F.col("vec_id").cast("long")))
 
+    def ann_ivf_top10(spark, sf):
+        # IVF with externally supplied centroids (the distributed operators
+        # under test are the assignment pass + probed search; Lloyd
+        # training is a driver-side preprocessing step, exercised in
+        # test_ivf.py). Centroids = embeddings of vec_id 0..7; corpus =
+        # vec_id >= 8; query = vec_id 0; nprobe = 2.
+        import numpy as np
+        from lucene_7_x_9_x_spark.pipeline.similarity import (ivf_assign,
+                                                              ivf_topk)
+        emb = _emb(spark, sf)
+        rows = (emb.where(F.col("vec_id") < 8)
+                .orderBy("vec_id").collect())
+        cents = np.array([[float(x) for x in r["embedding"]] for r in rows],
+                         dtype=np.float64)
+        qvec = [float(x) for x in rows[0]["embedding"]]
+        corpus = (emb.where(F.col("vec_id") >= 8)
+                  .withColumn("embedding",
+                              F.transform("embedding",
+                                          lambda x: x.cast("double"))))
+        assigned = ivf_assign(corpus, cents)
+        return (ivf_topk(assigned, cents, qvec, k=10, nprobe=2)
+                .select(F.col("rank").cast("long"),
+                        F.col("vec_id").cast("long")))
+
     def token_stats_q(spark, sf):
         from lucene_7_x_9_x_spark.pipeline.textstats import token_stats
         return token_stats(_docs(spark, sf), "doc_id", "text").select(
@@ -697,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_top10": classic_top10,
         "lmdirichlet_top10": lmdirichlet_top10,
         "lmjm_top10": lmjm_top10,
+        "dfr_top10": dfr_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
         "field_term": field_term,
@@ -714,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "ann_top10": ann_top10,
         "ann_lsh_top10": ann_lsh_top10,
+        "ann_ivf_top10": ann_ivf_top10,
         "token_stats": token_stats_q,
         "quality": quality_q,
         "lang_id": lang_id_q,
@@ -919,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_top10": _classic_sql(["filter", "join", "window"], 10),
         "lmdirichlet_top10": _lmd_sql(["filter", "join", "window"], 10),
         "lmjm_top10": _lmjm_sql(["filter", "join", "window"], 10),
+        "dfr_top10": _dfr_sql(["filter", "join", "window"], 10),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
         # synonym pseudo-term: docFreq = max over terms, freq = sum
         # (SynonymQuery.java:233-252)
@@ -1061,6 +1134,30 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _emb_neardup_sql(),
         "ann_lsh_top10": _ann_lsh_sql(),
+        "ann_ivf_top10": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 8),
+            a AS (SELECT e.vec_id, e.embedding,
+                    (SELECT c.cid FROM c
+                     ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                              c.cid LIMIT 1) AS list_id
+                  FROM embeddings e WHERE e.vec_id >= 8),
+            probes AS (SELECT c.cid FROM c, q
+                       ORDER BY list_distance(q.qv::DOUBLE[], c.cv), c.cid
+                       LIMIT 2),
+            cand AS (SELECT a.vec_id, a.embedding FROM a
+                     WHERE a.list_id IN (SELECT cid FROM probes))
+            SELECT CAST(row_number() OVER (ORDER BY
+                     list_cosine_similarity(cand.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]) DESC,
+                     cand.vec_id) AS BIGINT) AS rank, cand.vec_id
+            FROM cand, q
+            ORDER BY list_cosine_similarity(cand.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]) DESC,
+                     cand.vec_id
+            LIMIT 10""",
         "ann_top10": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0)

@@ -83,6 +83,38 @@ class LMJelinekMercerSimilarity:
         return s.astype(np.float32)
 
 
+class DFRInL2Similarity:
+    """Divergence-from-Randomness I(n)L2 — DFRSimilarity composed of
+    BasicModelIn + AfterEffectL + NormalizationH2(c=1), float32-exact
+    transcription of solr-8.4.0/.../similarities/DFRSimilarity.java:96-120
+    (score = boost * basicModel.score(stats, tfn, aeTimes1pTfn)) with
+      NormalizationH2.tfn = freq * log2(1 + c * avgFieldLength / docLen)
+      BasicModelIn.score  = (tfn / (1 + tfn)) * log2((N + 1) / (df + 0.5))
+        (AfterEffectL folds to tfn/(1+tfn): scoreTimes1pTfn == 1)
+    double math throughout, final float cast (SimilarityBase.BasicSimScorer);
+    docLen = byte4ToInt(norm), avgFieldLength = sumTTF / (double) docCount
+    (BasicStats)."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              df: int, doc_count: int, sum_ttf: int,
+              boost: np.float32) -> np.ndarray:
+        if df <= 0:
+            return np.zeros(len(np.asarray(freqs)), dtype=np.float32)
+        avg_dl = sum_ttf / float(max(doc_count, 1))
+        dl = self._dl[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * np.log2(1.0 + self.c * avg_dl / dl)
+        s = (float(boost) * (tfn / (1.0 + tfn))
+             * np.log2((doc_count + 1.0) / (df + 0.5)))
+        return np.where(s > 0.0, s, 0.0).astype(np.float32)
+
+
 class BooleanSimilarity:
     """solr-8.4.0/.../similarities/BooleanSimilarity.java: every matching
     doc scores exactly the query boost — no tf, no idf, no norms."""

@@ -62,6 +62,7 @@ class SegmentStats:
         self._field_caches: dict = {None: self.cache}
         self._sim = None
         self._lmd = None
+        self._dfr = None
         if similarity == "classic":
             from ..functions.similarities import ClassicSimilarity
             self._sim = ClassicSimilarity()
@@ -74,12 +75,16 @@ class SegmentStats:
         elif similarity == "lmjelinekmercer":
             from ..functions.similarities import LMJelinekMercerSimilarity
             self._lmd = LMJelinekMercerSimilarity()
+        elif similarity == "dfr_inl2":
+            from ..functions.similarities import DFRInL2Similarity
+            self._dfr = DFRInL2Similarity()
         elif similarity != "bm25":
             raise ValueError(f"unknown similarity {similarity!r}")
 
     @property
     def is_bm25(self) -> bool:
-        return self._sim is None and self._lmd is None
+        return self._sim is None and self._lmd is None \
+            and self._dfr is None
 
     def doc_count_for(self, field: str | None) -> int:
         if field is None:
@@ -130,6 +135,10 @@ class SegmentStats:
         probability), so the boost passes through unfolded."""
         if self._lmd is not None:
             return self._lmd.score(freqs, norm_bytes, ttf,
+                                   self.sum_ttf_for(field), boost32)
+        if self._dfr is not None:
+            return self._dfr.score(freqs, norm_bytes, df,
+                                   self.doc_count_for(field),
                                    self.sum_ttf_for(field), boost32)
         if df <= 0:
             return np.zeros(len(freqs), dtype=np.float32)
