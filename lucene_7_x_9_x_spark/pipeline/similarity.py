@@ -200,7 +200,9 @@ def cosine_topk_lsh_many(bucketed: DataFrame, queries: dict, dim: int,
     rows = []
     for qid, qv in queries.items():
         qv = [float(x) for x in qv]
-        qn = float(np.sqrt(sum(x * x for x in qv)))
+        # np.dot (not a left fold) to match cosine_topk_bruteforce's query
+        # norm bit-for-bit — the corpus-side folds stay sequential
+        qn = float(np.sqrt(np.dot(qv, qv)))
         for bk in _probe_set(planes, qv, n_planes, probe_hamming):
             rows.append((str(qid), int(bk), qv, qn))
     spark = bucketed.sparkSession
