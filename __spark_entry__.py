@@ -436,6 +436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=6))
 
+    def span_near_unordered(spark, sf):
+        # unordered span-near (NearSpansUnordered): one occurrence of each
+        # of key/hash/row in any order, window width <= 4
+        return _match_ids(spark, sf, Q.SpanNearQuery(
+            ["key", "hash", "row"], slop=4, in_order=False))
+
     def bm25_top10(spark, sf):
         return _topk_ids(spark, sf, Q.BooleanQuery(
             [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
@@ -761,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_query_topk": parse_query_topk,
         "parse_query_matches": parse_query_matches,
         "span_near": span_near,
+        "span_near_unordered": span_near_unordered,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
@@ -987,6 +994,22 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(pb, p2 -> p2 > p1 AND
                       len(list_filter(pc, p3 -> p3 > p2 AND
                         p3 - p1 - 2 <= 6)) > 0)) > 0)) > 0""",
+        "span_near_unordered": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            p AS (SELECT doc_id,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'key')
+                      AS pa,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'hash')
+                      AS pb,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'row')
+                      AS pc
+                  FROM t)
+            SELECT doc_id FROM p
+            WHERE len(list_filter(pa, p1 ->
+                    len(list_filter(pb, p2 ->
+                      len(list_filter(pc, p3 ->
+                        greatest(p1, p2, p3) - least(p1, p2, p3) - 2
+                          <= 4)) > 0)) > 0)) > 0""",
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
         "classic_top10": _classic_sql(["filter", "join", "window"], 10),
         "lmdirichlet_top10": _lmd_sql(["filter", "join", "window"], 10),

@@ -259,7 +259,8 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         return Matches(docids, np.full(len(docids), b32, dtype=np.float32))
 
     if isinstance(q, SpanNearQuery):
-        docids = _span_near_match(reader, q)
+        docids = (_span_near_match(reader, q) if q.in_order
+                  else _span_near_unordered_match(reader, q))
         if len(docids) == 0:
             return Matches.empty()
         # constant-score matching (SpanNearQuery's SpanScorer sloppyFreq
@@ -647,6 +648,76 @@ def _span_near_match(reader, q: SpanNearQuery) -> np.ndarray:
              - (len(flats) - 1))
     hit = alive & (width <= q.slop)
     return cand[np.unique(rank0[hit])]
+
+
+def _span_near_unordered_match(reader, q: SpanNearQuery) -> np.ndarray:
+    """Docs holding one occurrence of EACH term (any order) inside a window
+    with (max_p - min_p + 1) - k <= slop (NearSpansUnordered.atMatch, unit
+    spans). k=2 runs fully vectorized (min adjacent opposite-tag gap in the
+    merged order decides existence); k>=3 uses the classic minimal-covering-
+    window heap walk per candidate doc."""
+    flats = []
+    for t in q.terms:
+        got = _flat_positions(reader, term_key(q.field, t))
+        if got is None:
+            return np.zeros(0, np.int64)
+        flats.append(got)
+    cand = flats[0][0]
+    for d, _, _ in flats[1:]:
+        cand = cand[_in_sorted(cand, d)]
+    if len(cand) == 0:
+        return cand
+    k = len(flats)
+    sel = []
+    for d, counts, flat in flats:
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        sel.append((starts[idx], counts[idx], flat))
+    if k == 2:
+        # merged order: a doc matches iff some ADJACENT pair of opposite
+        # tags has (hi - lo + 1) - 2 <= slop — the minimal covering window
+        # of two lists is always an adjacent opposite-tag pair
+        keys, tags = [], []
+        for tag, (starts, counts, flat) in enumerate(sel):
+            take = _gather_ranges(starts, counts)
+            rank = np.repeat(np.arange(len(cand), dtype=np.int64), counts)
+            keys.append((rank << _POS_SHIFT) | flat[take])
+            tags.append(np.full(len(take), tag, dtype=np.int8))
+        ks = np.concatenate(keys)
+        ts = np.concatenate(tags)
+        order = np.argsort(ks, kind="stable")
+        ks, ts = ks[order], ts[order]
+        if len(ks) < 2:
+            return np.zeros(0, np.int64)
+        MASK = (np.int64(1) << _POS_SHIFT) - 1
+        same_doc = (ks[1:] >> _POS_SHIFT) == (ks[:-1] >> _POS_SHIFT)
+        opp = (ts[1:] != ts[:-1]) & same_doc
+        width = (ks[1:] & MASK) - (ks[:-1] & MASK) - 1
+        hit = opp & (width <= q.slop)
+        return cand[np.unique((ks[1:] >> _POS_SHIFT)[hit])]
+    out = []
+    import heapq
+    for j in range(len(cand)):
+        lists = [flat[s[j]:s[j] + c[j]] for (s, c, flat) in sel]
+        ptr = [0] * k
+        heap = [(int(lists[i][0]), i) for i in range(k)]
+        heapq.heapify(heap)
+        mx = max(int(lists[i][0]) for i in range(k))
+        matched = False
+        while True:
+            lo, i = heap[0]
+            if (mx - lo + 1) - k <= q.slop:
+                matched = True
+                break
+            ptr[i] += 1
+            if ptr[i] >= len(lists[i]):
+                break
+            v = int(lists[i][ptr[i]])
+            mx = max(mx, v)
+            heapq.heapreplace(heap, (v, i))
+        if matched:
+            out.append(int(cand[j]))
+    return np.asarray(out, dtype=np.int64)
 
 
 def _evaluate_boolean(reader, stats, q: BooleanQuery, boost, needs_scores):

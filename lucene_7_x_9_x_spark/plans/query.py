@@ -132,13 +132,17 @@ class FuzzyQuery(Query):
 
 @dataclass(frozen=True)
 class SpanNearQuery(Query):
-    """Ordered proximity over term spans (solr-8.4.0/.../search/spans/
-    SpanNearQuery.java + NearSpansOrdered.java:40): matches docs holding
-    occurrences p_1 < p_2 < ... < p_k (one per clause, non-overlapping
-    unit-length term spans) whose total gap
-    sum(start_{i+1} - end_i) = p_k - p_1 - (k-1) is <= slop. Matching
-    semantics are exact; scoring is constant-score (the SpanScorer
-    sloppyFreq accumulation is not transcribed — see executor)."""
+    """Proximity over term spans (solr-8.4.0/.../search/spans/
+    SpanNearQuery.java). in_order=True (NearSpansOrdered.java:40): docs
+    holding occurrences p_1 < p_2 < ... < p_k (one per clause,
+    non-overlapping unit-length term spans) whose total gap
+    sum(start_{i+1} - end_i) = p_k - p_1 - (k-1) is <= slop.
+    in_order=False (NearSpansUnordered.atMatch): one occurrence per clause
+    in ANY order with maxEnd - minStart - k = (max_p - min_p + 1) - k <=
+    slop; duplicate terms are rejected (distinct sub-spans would be
+    needed). Matching semantics are exact; scoring is constant-score (the
+    SpanScorer sloppyFreq accumulation is not transcribed — see
+    executor)."""
     terms: tuple
     slop: int = 0
     in_order: bool = True
@@ -146,9 +150,9 @@ class SpanNearQuery(Query):
     field: str | None = None
 
     def __init__(self, terms, slop=0, in_order=True, boost=1.0, field=None):
-        if not in_order:
+        if not in_order and len(set(terms)) != len(tuple(terms)):
             raise NotImplementedError(
-                "only ordered span-near (NearSpansOrdered) is implemented")
+                "unordered span-near with repeated terms is not supported")
         object.__setattr__(self, "terms", tuple(terms))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "in_order", in_order)

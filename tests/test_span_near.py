@@ -53,3 +53,21 @@ def test_repeated_anchor_uses_best_chain():
     eng = oracle.OracleEngine(*oracle.index_token_lists(docs))
     assert eng.matches(
         SpanNearQuery(["a", "b"], slop=0)).docids.tolist() == [0]
+
+
+def test_unordered_any_order_and_width():
+    docs = [["b", "x", "a"], ["a", "b"], ["a", "x", "x", "b"],
+            ["c", "a", "x", "b"], ["a", "x", "b", "x", "c"]]
+    eng = oracle.OracleEngine(*oracle.index_token_lists(docs))
+    u = lambda ts, s: SpanNearQuery(ts, slop=s, in_order=False)
+    assert eng.matches(u(["a", "b"], 0)).docids.tolist() == [1]
+    assert eng.matches(u(["a", "b"], 1)).docids.tolist() == [0, 1, 3, 4]
+    # k=3 heap-walk path
+    assert eng.matches(u(["a", "b", "c"], 1)).docids.tolist() == [3]
+    assert eng.matches(u(["a", "b", "c"], 2)).docids.tolist() == [3, 4]
+
+
+def test_unordered_rejects_repeats():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        SpanNearQuery(["a", "a"], slop=2, in_order=False)
