@@ -104,14 +104,20 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
     """tokenize_to_flat plus per-token CHARACTER offsets (start, end) into
     the original text — the IndexOptions ..._AND_OFFSETS analogue
     (solr-8.4.0/.../index/IndexOptions.java:25-53,
-    StandardTokenizer's offset attributes). Token text comes from the
-    LOWERCASED string but offsets index the original (lower() is
-    length-preserving for this ASCII token charset). Uses re.finditer per
-    doc — a build-time-only cost paid when an index opts into stored
-    offsets; the offset-less default path stays fully vectorized."""
+    StandardTokenizer's offset attributes). The ORIGINAL text is tokenized
+    with a case-insensitive regex and each token is lowercased afterwards
+    — Lucene's actual order (tokenizer, THEN LowerCaseFilter) — so offsets
+    index the original exactly even when lower() is not length-preserving
+    (e.g. U+0130 lowers to two chars; the lowered-first vectorized path
+    would shift every later offset). For ASCII text the tokens are
+    identical to tokenize_to_flat's; exotic one-char-to-many case foldings
+    may tokenize slightly differently (parity asserted on ASCII in tests).
+    Uses re.finditer per doc — a build-time-only cost paid when an index
+    opts into stored offsets; the offset-less default path stays fully
+    vectorized."""
     import re
     cfg = cfg or AnalyzerConfig()
-    rx = re.compile(cfg.token_regex)
+    rx = re.compile(cfg.token_regex, re.IGNORECASE)
     sw = cfg.stopwords
     ml = cfg.max_token_length
     rows_i: list = []
@@ -120,14 +126,18 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
     rows_s: list = []
     rows_e: list = []
     dl = np.zeros(len(content), dtype=np.int64)
-    for i, txt in enumerate(content.fillna("").str.lower().to_numpy()):
+    for i, txt in enumerate(content.fillna("").to_numpy()):
         pos = 0
         kept = 0
         for m in rx.finditer(txt):
-            pieces = [(m.group(0), m.start(), m.end())]
-            if ml and m.end() - m.start() > ml:
+            pieces = [(m.group(0).lower(), m.start(), m.end())]
+            if ml and len(pieces[0][0]) > ml:
                 t, a, _ = pieces[0]
-                pieces = [(t[j:j + ml], a + j, a + min(j + ml, len(t)))
+                # split boundaries follow the LOWERED token text (same
+                # pieces as the vectorized path); offsets approximate by
+                # the same indices into the original span, clamped
+                pieces = [(t[j:j + ml], min(a + j, m.end()),
+                           min(a + min(j + ml, len(t)), m.end()))
                           for j in range(0, len(t), ml)]
             for t, a, b in pieces:
                 if sw and t in sw:

@@ -50,10 +50,8 @@ def highlight_from_index(searcher, source_df: DataFrame, terms: list[str],
     occurrence fully inside the window is wrapped pre..post."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    offs = None
-    for t in terms:
-        o = searcher.term_offsets(t)
-        offs = o if offs is None else offs.unionByName(o)
+    # ONE postings scan + kernel for all query terms
+    offs = searcher.terms_offsets(terms)
     merged = (offs.select("segment", "docid",
                           F.explode(F.arrays_zip("starts", "ends"))
                           .alias("se"))

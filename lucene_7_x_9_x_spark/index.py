@@ -34,8 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions.analysis import AnalyzerConfig
-from .operators.build import (POSTINGS_COLS, invert_segment,
-                              postings_schema_ddl)
+from .operators.build import (combine_segment_rows, combined_schema_ddl,
+                              invert_segment)
 
 MANIFEST = "manifest.json"
 
@@ -192,69 +192,15 @@ def build_index(
             seg_col.alias("segment"),
         )
 
-    combined_ddl = (
-        "kind string, " + postings_schema_ddl() + ", docid long, "
-        + ", ".join(f"{n} {t}" for n, t in id_fields)
-        + ", dl long, norm int, extra_norms array<int>,"
-        + " content_sha256_out string")
+    combined_ddl = combined_schema_ddl(id_fields)
 
     def _combine(seg: int, pdf: pd.DataFrame) -> pd.DataFrame:
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
             cfg=cfg, with_positions=with_positions, extra_fields=xf_inv,
             with_offsets=with_offsets)
-        postings.insert(0, "kind", "postings")
-        dm = pd.DataFrame({"kind": "docmap", "term": None, "field": None,
-                           "segment": docmap["segment"],
-                           "doc_freq": None, "total_term_freq": None})
-        for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
-                  "imp_freqs", "imp_norms", "pos_offsets", "pos_data",
-                  "off_offsets", "off_data"]:
-            dm[c] = None
-        dm["docid"] = docmap["docid"]
-        for n, _ in id_fields:
-            dm[n] = docmap[n]
-        dm["dl"] = docmap["dl"]
-        dm["norm"] = docmap["norm"]
-        dm["extra_norms"] = docmap["extra_norms"]
-        dm["content_sha256_out"] = docmap["content_sha256"]
-        for col in ["docid", "dl", "norm", "extra_norms",
-                    "content_sha256_out"]:
-            postings[col] = None
-        for n, _ in id_fields:
-            postings[n] = None
-        cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
-                + [n for n, _ in id_fields]
-                + ["dl", "norm", "extra_norms", "content_sha256_out"])
-        # per-(segment, field) norms blobs emitted straight from the build
-        # pass (docmap is already in docid order), so finalize needs NO
-        # docmap shuffle to write segnorms — this was the dominant
-        # size-independent finalize tail. Column reuse in the union table:
-        # docid carries max_doc, pos_data carries the packed norm bytes.
-        sn = pd.DataFrame({"kind": "segnorms", "term": None,
-                           "field": pd.Series([None] + [n for n, _ in xf_inv],
-                                              dtype=object),
-                           "segment": np.int32(seg)})
-        for c in ["doc_freq", "total_term_freq", "block_max_docs",
-                  "block_ns", "block_docs", "block_freqs", "imp_freqs",
-                  "imp_norms", "pos_offsets", "off_offsets", "off_data",
-                  "dl", "norm", "extra_norms", "content_sha256_out"]:
-            sn[c] = None
-        for n, _ in id_fields:
-            sn[n] = None
-        sn["docid"] = np.int64(len(docmap))
-        blobs = [(docmap["norm"].to_numpy(np.int64) & 0xFF)
-                 .astype(np.uint8).tobytes()]
-        if xf_inv:
-            en = (np.asarray([list(x) for x in docmap["extra_norms"]],
-                             dtype=np.int64).reshape(len(docmap), len(xf_inv))
-                  if len(docmap) else
-                  np.zeros((0, len(xf_inv)), dtype=np.int64))
-            for i in range(len(xf_inv)):
-                blobs.append((en[:, i] & 0xFF).astype(np.uint8).tobytes())
-        sn["pos_data"] = pd.Series(blobs, dtype=object)
-        return pd.concat([postings[cols], dm[cols], sn[cols]],
-                         ignore_index=True)
+        return combine_segment_rows(postings, docmap, id_fields,
+                                    [n for n, _ in xf_inv])
 
     def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _combine(int(key[0]), pdf)

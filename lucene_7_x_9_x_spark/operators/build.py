@@ -344,6 +344,76 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
     })
 
 
+def combine_segment_rows(postings: pd.DataFrame, docmap: pd.DataFrame,
+                         id_fields: list, xf_names: list) -> pd.DataFrame:
+    """Union-table rows for one built segment, kind-discriminated:
+    postings rows + docmap rows + one segnorm row per field. Column reuse
+    in the union: segnorm rows carry max_doc in `docid` and the packed
+    norm bytes in `pos_data` (field NULL = default field). Shared by the
+    one-shot builder (index.build_index) and streaming appends
+    (streaming.incremental.append_batch) so the row shapes can never
+    drift apart."""
+    postings = postings.copy()
+    postings.insert(0, "kind", "postings")
+    dm = pd.DataFrame({"kind": "docmap", "term": None, "field": None,
+                       "segment": docmap["segment"],
+                       "doc_freq": None, "total_term_freq": None})
+    for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
+              "imp_freqs", "imp_norms", "pos_offsets", "pos_data",
+              "off_offsets", "off_data"]:
+        dm[c] = None
+    dm["docid"] = docmap["docid"]
+    for n, _ in id_fields:
+        dm[n] = docmap[n]
+    dm["dl"] = docmap["dl"]
+    dm["norm"] = docmap["norm"]
+    dm["extra_norms"] = docmap["extra_norms"]
+    dm["content_sha256_out"] = docmap["content_sha256"]
+    for col in ["docid", "dl", "norm", "extra_norms",
+                "content_sha256_out"]:
+        postings[col] = None
+    for n, _ in id_fields:
+        postings[n] = None
+    cols = (["kind"] + [c for c, _ in POSTINGS_COLS] + ["docid"]
+            + [n for n, _ in id_fields]
+            + ["dl", "norm", "extra_norms", "content_sha256_out"])
+    # per-(segment, field) norms blobs emitted straight from the build
+    # pass (docmap is already in docid order), so finalize needs NO
+    # docmap shuffle to write segnorms
+    seg = int(docmap["segment"].iloc[0]) if len(docmap) else 0
+    sn = pd.DataFrame({"kind": "segnorms", "term": None,
+                       "field": pd.Series([None] + list(xf_names),
+                                          dtype=object),
+                       "segment": np.int32(seg)})
+    for c in ["doc_freq", "total_term_freq", "block_max_docs",
+              "block_ns", "block_docs", "block_freqs", "imp_freqs",
+              "imp_norms", "pos_offsets", "off_offsets", "off_data",
+              "dl", "norm", "extra_norms", "content_sha256_out"]:
+        sn[c] = None
+    for n, _ in id_fields:
+        sn[n] = None
+    sn["docid"] = np.int64(len(docmap))
+    blobs = [(docmap["norm"].to_numpy(np.int64) & 0xFF)
+             .astype(np.uint8).tobytes()]
+    if xf_names:
+        en = (np.asarray([list(x) for x in docmap["extra_norms"]],
+                         dtype=np.int64).reshape(len(docmap), len(xf_names))
+              if len(docmap) else
+              np.zeros((0, len(xf_names)), dtype=np.int64))
+        for i in range(len(xf_names)):
+            blobs.append((en[:, i] & 0xFF).astype(np.uint8).tobytes())
+    sn["pos_data"] = pd.Series(blobs, dtype=object)
+    return pd.concat([postings[cols], dm[cols], sn[cols]],
+                     ignore_index=True)
+
+
+def combined_schema_ddl(id_fields: list) -> str:
+    return ("kind string, " + postings_schema_ddl() + ", docid long, "
+            + ", ".join(f"{n} {t}" for n, t in id_fields)
+            + ", dl long, norm int, extra_norms array<int>,"
+            + " content_sha256_out string")
+
+
 def make_build_udfs(id_fields, text_col, cfg, with_positions=True):
     """Two applyInPandas bodies sharing one inversion: Spark calls them on
     the same grouped data; kind-discriminated single-pass variant below."""

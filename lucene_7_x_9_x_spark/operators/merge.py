@@ -141,7 +141,10 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
               .withColumnRenamed("new_docid", "docid"))
 
     # ---- postings: rebase (narrow) then salted grouped concat -----------
-    post = (index.postings()
+    post = index.postings()
+    if "field" not in post.columns:  # format-1 snapshot: single field
+        post = post.withColumn("field", F.lit(None).cast("string"))
+    post = (post
             .withColumn("old_segment", F.col("segment"))
             .withColumn("base", bmap[F.col("segment")])
             .withColumn("segment", smap[F.col("segment")]))

@@ -123,7 +123,7 @@ def _term_clause(text: str):
 
 def _boost(q, b: float):
     if isinstance(q, Q.TermQuery):
-        return Q.TermQuery(q.term, q.boost * b)
+        return Q.TermQuery(q.term, q.boost * b, q.field)
     return Q.BoostQuery(q, b)
 
 

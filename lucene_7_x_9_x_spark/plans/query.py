@@ -233,7 +233,7 @@ def _rewrite_once(q: Query, ctx) -> Query:
     if isinstance(q, BoostQuery):
         inner = _rewrite_once(q.query, ctx)
         if isinstance(inner, TermQuery):
-            return TermQuery(inner.term, inner.boost * q.boost)
+            return TermQuery(inner.term, inner.boost * q.boost, inner.field)
         if isinstance(inner, MatchNoDocsQuery):
             return inner
         if isinstance(inner, BoostQuery):

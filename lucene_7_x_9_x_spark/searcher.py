@@ -445,16 +445,23 @@ class Searcher:
         index-stored offsets capability (IndexOptions ..._AND_OFFSETS,
         solr-8.4.0/.../index/IndexOptions.java:25-53). Requires an index
         built with with_offsets=True. Returns DataFrame(segment, docid,
-        starts array<long>, ends array<long>) with per-doc ascending
+        term, starts array<long>, ends array<long>) with per-doc ascending
         occurrence offsets. No norms side is needed: this is a plain
         per-segment postings kernel."""
+        return self.terms_offsets([term], field)
+
+    def terms_offsets(self, terms: list, field: str | None = None
+                      ) -> DataFrame:
+        """term_offsets for MANY terms in ONE postings scan + kernel
+        (one row per (segment, docid, term) holding that term's
+        occurrence offsets)."""
         if not self.index.manifest.get("with_offsets"):
             raise ValueError("index was built without stored offsets "
                              "(build_index(with_offsets=True))")
         if field is not None and field == self._default_field:
             field = None
-        key = term_key(field, term)
-        post = self._post_src.where(self._key_filter({key}))
+        keys = [term_key(field, t) for t in terms]
+        post = self._post_src.where(self._key_filter(set(keys)))
         cols = ["term", "segment", "doc_freq", "total_term_freq",
                 "block_max_docs", "block_ns", "block_docs", "block_freqs",
                 "imp_freqs", "imp_norms", "off_offsets", "off_data"]
@@ -466,22 +473,30 @@ class Searcher:
             seg = int(pkey[0])
             reader = SparkSegmentReader(post_pdf,
                                         np.zeros(0, np.uint8), 0)
-            fo = reader.flat_offsets(key)
-            if fo is None:
-                return pd.DataFrame({"segment": [], "docid": [],
+            outs = []
+            for kk in keys:
+                fo = reader.flat_offsets(kk)
+                if fo is None:
+                    continue
+                docids, counts, starts, ends = fo
+                bounds = np.cumsum(counts)[:-1]
+                outs.append(pd.DataFrame({
+                    "segment": np.full(len(docids), seg, dtype=np.int32),
+                    "docid": docids,
+                    "term": key_term(kk),
+                    "starts": pd.Series(np.split(starts, bounds),
+                                        dtype=object),
+                    "ends": pd.Series(np.split(ends, bounds),
+                                      dtype=object)}))
+            if not outs:
+                return pd.DataFrame({"segment": [], "docid": [], "term": [],
                                      "starts": [], "ends": []})
-            docids, counts, starts, ends = fo
-            bounds = np.cumsum(counts)[:-1]
-            return pd.DataFrame({
-                "segment": np.full(len(docids), seg, dtype=np.int32),
-                "docid": docids,
-                "starts": pd.Series(np.split(starts, bounds), dtype=object),
-                "ends": pd.Series(np.split(ends, bounds), dtype=object)})
+            return pd.concat(outs, ignore_index=True)
 
         return (post.groupBy("segment")
                 .applyInPandas(kernel,
                                schema="segment int, docid long, "
-                                      "starts array<long>, "
+                                      "term string, starts array<long>, "
                                       "ends array<long>"))
 
     def count(self, query) -> int:

@@ -124,3 +124,19 @@ def test_parser_field_syntax_end_to_end(corpora):
         [(Occur.MUST, TermQuery("fast", field="head")),
          (Occur.MUST, TermQuery("en", field="lang"))])).count()
     assert n == both > 0
+
+
+def test_boost_preserves_field_everywhere(corpora):
+    # review regression: both the parser's ^boost path and the rewrite
+    # BoostQuery->TermQuery collapse used to drop the field scope
+    from lucene_7_x_9_x_spark.plans.parser import parse
+    from lucene_7_x_9_x_spark.plans.query import BoostQuery, rewrite
+    q = parse("head:fast^2")
+    assert q.field == "head" and q.boost == 2.0
+    q2 = rewrite(BoostQuery(TermQuery("fast", field="head"), 2.0))
+    assert q2.field == "head" and q2.boost == 2.0
+    s_mf, s_head = corpora
+    a = s_mf.search(parse("head:fast^2"), 5).collect()
+    b = s_head.search(TermQuery("fast", boost=2.0), 5).collect()
+    assert ([(r["rank"], r["doc_id"], float(r["score"])) for r in a]
+            == [(r["rank"], r["doc_id"], float(r["score"])) for r in b])

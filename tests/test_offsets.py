@@ -66,3 +66,16 @@ def test_highlighter_wraps_exact_token_occurrences(offset_searcher):
         # the unwrapped snippet is a contiguous slice of the source text
         plain = snip.replace("<b>", "").replace("</b>", "")
         assert plain in texts[r["doc_id"]]
+
+
+def test_offsets_exact_on_non_length_preserving_lowercase():
+    # review regression: lowercasing first shifted offsets after U+0130
+    import pandas as pd
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        AnalyzerConfig, tokenize_to_flat_with_offsets)
+    texts = pd.Series(["İstanbul filter code"])
+    _, _, toks, _, starts, ends = tokenize_to_flat_with_offsets(
+        texts, AnalyzerConfig())
+    for t, a, b in zip(toks, starts, ends):
+        assert texts.iloc[0][a:b].lower() == t
+    assert "filter" in list(toks)
