@@ -79,3 +79,48 @@ def test_offsets_exact_on_non_length_preserving_lowercase():
     for t, a, b in zip(toks, starts, ends):
         assert texts.iloc[0][a:b].lower() == t
     assert "filter" in list(toks)
+
+
+def test_offsets_survive_merge_and_compaction(offset_searcher, spark,
+                                              tmp_path):
+    import shutil
+    from lucene_7_x_9_x_spark.operators.deletes import (compact_index,
+                                                        delete_by_ids)
+    from lucene_7_x_9_x_spark.operators.merge import merge_index
+    from lucene_7_x_9_x_spark.index import IndexSnapshot
+    s, docs = offset_searcher
+    rx = re.compile(r"[a-z0-9_]+")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def assert_exact(searcher):
+        id_of = {(r["segment"], r["docid"]): r["doc_id"] for r in
+                 searcher.index.docmap()
+                 .select("segment", "docid", "doc_id").collect()}
+        rows = searcher.term_offsets("filter").collect()
+        assert rows
+        for r in rows:
+            did = id_of[(r["segment"], r["docid"])]
+            exp = [(m.start(), m.end())
+                   for m in rx.finditer(texts[did].lower())
+                   if m.group(0) == "filter"]
+            assert list(zip(r["starts"], r["ends"])) == exp, did
+
+    # merge 4 segments -> 2: offset blobs concat + re-offset
+    merged = merge_index(spark, s.index, str(tmp_path / "m"),
+                         target_segments=2)
+    assert_exact(Searcher(merged))
+
+    # tombstone a third of the docs, compact: per-doc slice filtering
+    work = str(tmp_path / "w")
+    shutil.copytree(merged.root, work)
+    idx = IndexSnapshot(spark, work)
+    dels = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    delete_by_ids(spark, work, dels)
+    compacted = compact_index(spark, IndexSnapshot(spark, work),
+                              str(tmp_path / "c"))
+    sc = Searcher(compacted)
+    assert_exact(sc)
+    # deleted docs are physically gone
+    kept = {r["doc_id"] for r in compacted.docmap()
+            .select("doc_id").collect()}
+    assert all(d % 3 != 0 for d in kept)
