@@ -524,6 +524,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
         return m.join(dm, ["segment", "docid"]).select("doc_id")
 
+    def suggest(spark, sf):
+        # prefix suggester over the term dictionary (docFreq-weighted)
+        s = _get_searcher(spark, sf)
+        return (s.suggest("s", 10)
+                .select(F.col("rank").cast("long"), "term",
+                        F.col("weight").cast("long")))
+
+    def grouped_topk(spark, sf):
+        # grouping module TopGroups: 2 best BM25 hits per lang for a
+        # disjunctive query
+        from lucene_7_x_9_x_spark.functions.facets import top_hits_per_group
+        s = _get_searcher(spark, sf)
+        m = s.matches(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join"))]))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang")
+        meta = dm.join(docs, "doc_id")
+        out = top_hits_per_group(m, meta.select("segment", "docid",
+                                                "doc_id", "lang"),
+                                 ["segment", "docid"], "lang", 2)
+        dm2 = meta.select("segment", "docid", "doc_id")
+        return (out.join(dm2, ["segment", "docid"])
+                .select(F.col("grp").alias("lang"),
+                        F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long")))
+
     def facet_lang(spark, sf):
         ids = _match_ids(spark, sf, T("filter"))
         docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang")
@@ -780,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_term": field_term,
         "multi_field_bool": multi_field_bool,
         "parse_field_query": parse_field_query,
+        "suggest": suggest,
+        "grouped_topk": grouped_topk,
         "facet_lang": facet_lang,
         "facet_range": facet_range,
         "collection_stats": collection_stats,
@@ -1100,6 +1129,43 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                   FROM documents)
             WHERE len(list_filter(hs, t -> t = 'fast')) > 0
               AND list_contains(ls, 'de')""",
+        "suggest": f"""
+            SELECT CAST(row_number() OVER (ORDER BY weight DESC, term)
+                     AS BIGINT) AS rank, term, weight
+            FROM (SELECT t AS term,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS weight
+                  FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
+                  WHERE t LIKE 's%'
+                  GROUP BY t)
+            ORDER BY weight DESC, term LIMIT 10""",
+        "grouped_topk": f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, lang, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, lang, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, lang, qdl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_0,
+         len(list_filter(ts, t -> t = 'join')) AS tf_1 FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_0 > 0) AS df_0,
+               count(*) FILTER (WHERE tf_1 > 0) AS df_1 FROM tf),
+scored AS (SELECT doc_id, lang,
+    (CASE WHEN tf_0 > 0 THEN
+       ln(1 + (s.doc_count - d.df_0 + 0.5) / (d.df_0 + 0.5)) * tf_0
+         / (tf_0 + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+            / CAST(s.sum_ttf AS DOUBLE))) ELSE 0 END)
+  + (CASE WHEN tf_1 > 0 THEN
+       ln(1 + (s.doc_count - d.df_1 + 0.5) / (d.df_1 + 0.5)) * tf_1
+         / (tf_1 + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+            / CAST(s.sum_ttf AS DOUBLE))) ELSE 0 END) AS score,
+    tf_0 + tf_1 AS any_tf
+    FROM tf, stats s, dfs d)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+FROM (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY score DESC, doc_id) AS rank
+      FROM scored WHERE any_tf > 0)
+WHERE rank <= 2""",
         "facet_lang": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, lang, {TOKS} AS ts FROM documents)

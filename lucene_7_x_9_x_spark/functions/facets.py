@@ -46,3 +46,22 @@ def range_facets(matches: DataFrame, docmap: DataFrame, field: str,
                            for i, (label, _, _) in enumerate(ranges))
     return row.selectExpr(
         f"stack({len(ranges)}, {stack_args}) AS (range_label, cnt)")
+
+
+def top_hits_per_group(scored: DataFrame, meta: DataFrame,
+                       join_cols: list, group_col: str,
+                       k_per_group: int = 2) -> DataFrame:
+    """Grouped top-k — the grouping module's TopGroups capability
+    (solr-8.4.0/lucene/grouping GroupingSearch): the scored match set is
+    joined to the per-doc metadata and reduced to the k best hits of each
+    group with one window (score desc, docid asc within group — the same
+    HitQueue tie order per group). Returns (group, rank, segment, docid,
+    score)."""
+    from pyspark.sql import Window
+    j = scored.join(meta, join_cols)
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc("score"), "segment", "docid"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_per_group)
+            .select(F.col(group_col).alias("grp"), "rank", "segment",
+                    "docid", "score"))

@@ -503,6 +503,27 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def suggest(self, prefix: str, k: int = 10,
+                field: str | None = None) -> DataFrame:
+        """Prefix suggester over the term dictionary, weighted by document
+        frequency — the Lucene suggest module's TermFreq model
+        (lucene/suggest FreqV2 suggesters consume (term, weight=docFreq)
+        iterators built from the index terms). Returns
+        DataFrame(rank, term, weight) ordered (weight desc, term asc);
+        the sorted terms parquet prunes the prefix scan (FST-walk role)."""
+        t = self._terms_src
+        if self._has_field_col:
+            fld = None if (field is None or field == self._default_field) \
+                else field
+            t = t.where(F.col("field").isNull() if fld is None
+                        else (F.col("field") == fld))
+        t = (t.where(F.col("term").startswith(prefix))
+             .select("term", F.col("doc_freq").alias("weight"))
+             .orderBy(F.desc("weight"), "term").limit(k))
+        w = Window.orderBy(F.desc("weight"), "term")
+        return (t.withColumn("rank", F.row_number().over(w))
+                .select("rank", "term", "weight"))
+
     def search_many(self, queries: dict, k: int = 10) -> DataFrame:
         """Batched top-k for MANY queries in ONE Spark job — the query-
         throughput path: per-query driver/scheduling overhead is amortized
