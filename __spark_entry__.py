@@ -524,6 +524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
         return m.join(dm, ["segment", "docid"]).select("doc_id")
 
+    def mlt_top10(spark, sf):
+        # MoreLikeThis: query built from doc 7's text (tf>=2, df>=5,
+        # top-25 interesting terms), searched with BM25
+        s = _get_searcher(spark, sf)
+        text = (_docs(spark, sf).where(F.col("doc_id") == 7)
+                .select("text").collect()[0][0])
+        q = s.more_like_this(text)
+        return _topk_ids(spark, sf, q, 10)
+
     def suggest(spark, sf):
         # prefix suggester over the term dictionary (docFreq-weighted)
         s = _get_searcher(spark, sf)
@@ -807,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_term": field_term,
         "multi_field_bool": multi_field_bool,
         "parse_field_query": parse_field_query,
+        "mlt_top10": mlt_top10,
         "suggest": suggest,
         "grouped_topk": grouped_topk,
         "facet_lang": facet_lang,
@@ -1129,6 +1139,34 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                   FROM documents)
             WHERE len(list_filter(hs, t -> t = 'fast')) > 0
               AND list_contains(ls, 'de')""",
+        "mlt_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, {QDL} AS qdl FROM dl_t),
+ex AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+src_tf AS (SELECT t, count(*) AS qtf
+           FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id = 7)
+           GROUP BY t HAVING count(*) >= 2),
+dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM ex
+        WHERE t IN (SELECT t FROM src_tf) GROUP BY t),
+mlt AS (SELECT s.t, d.df FROM src_tf s JOIN dfs d ON s.t = d.t, stats st
+        WHERE d.df >= 5
+        ORDER BY s.qtf * (ln(st.doc_count / (d.df + 1.0)) + 1.0) DESC, s.t
+        LIMIT 25),
+doc_tf AS (SELECT e.doc_id, e.t, count(*) AS tf FROM ex e
+           JOIN mlt m ON e.t = m.t GROUP BY 1, 2),
+scored AS (SELECT dt.doc_id, sum(
+    ln(1 + (st.doc_count - m.df + 0.5) / (m.df + 0.5)) * dt.tf
+      / (dt.tf + {K1} * ({1 - B} + {B} * q.qdl * st.doc_count
+         / CAST(st.sum_ttf AS DOUBLE)))) AS score
+  FROM doc_tf dt JOIN mlt m ON dt.t = m.t JOIN q ON q.doc_id = dt.doc_id,
+       stats st
+  GROUP BY dt.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "suggest": f"""
             SELECT CAST(row_number() OVER (ORDER BY weight DESC, term)
                      AS BIGINT) AS rank, term, weight

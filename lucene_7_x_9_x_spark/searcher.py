@@ -503,6 +503,44 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def more_like_this(self, text: str, field: str | None = None,
+                       min_term_freq: int = 2, min_doc_freq: int = 5,
+                       max_query_terms: int = 25):
+        """MoreLikeThis.like(Reader) — the queries/mlt module's behavior
+        (solr-8.4.0/lucene/queries/.../mlt/MoreLikeThis.java defaults:
+        minTermFreq=2, minDocFreq=5, maxQueryTerms=25): analyze the input
+        text, keep terms with tf >= minTermFreq and global df >=
+        minDocFreq, rank them by tf * (ln(docCount / (df + 1)) + 1) (the
+        classic-idf interestingness score, createQueue), and build a
+        SHOULD-of-TermQuery Boolean from the top maxQueryTerms (ties:
+        term asc — a deterministic stand-in for the reference's queue
+        insertion order). Returns the Query; run it through search()."""
+        import math
+        from collections import Counter
+        from .functions.analysis import tokenize_to_flat
+        _, _, toks, _ = tokenize_to_flat(pd.Series([text]),
+                                         self.index.analyzer)
+        tf = Counter(toks.tolist())
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return Q.MatchNoDocsQuery()
+        keys = [term_key(field, t) for t in cand]
+        stats = self._global_stats(set(keys))
+        n = stats.doc_count_for(field)
+        scored = []
+        for t, kk in zip(cand, keys):
+            df = stats.doc_freqs.get(kk, 0)
+            if df < min_doc_freq:
+                continue
+            idf = math.log(n / (df + 1.0)) + 1.0
+            scored.append((-tf[t] * idf, t))
+        scored.sort()
+        top = [t for _, t in scored[:max_query_terms]]
+        if not top:
+            return Q.MatchNoDocsQuery()
+        return Q.BooleanQuery([(Q.Occur.SHOULD, Q.TermQuery(t, field=field))
+                               for t in top])
+
     def suggest(self, prefix: str, k: int = 10,
                 field: str | None = None) -> DataFrame:
         """Prefix suggester over the term dictionary, weighted by document
