@@ -251,6 +251,83 @@ FROM scored WHERE nmatch >= 1
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _ib_sql(terms: list[str], k: int, c: float = 1.0) -> str:
+    """IB LL-DF-H2 disjunctive top-k oracle (IBSimilarity.java:99-105,
+    DistributionLL + LambdaDF + NormalizationH2):
+    lambda = float32((df+1)/(doc_count+1)) (LambdaDF.java:32-38);
+    tfn = tf * log2(1 + c * avgdl / qdl);
+    score = -ln(lambda / (tfn + lambda)), summed."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(terms)))
+    lam = (lambda i:
+           f"CAST((d.df_{i} + 1.0) / (s.doc_count + 1.0) AS FLOAT)")
+    tfn = (lambda i:
+           f"(tf_{i} * log2(1 + {c} * (s.sum_ttf / CAST(s.doc_count AS "
+           f"DOUBLE)) / CAST(qdl AS DOUBLE)))")
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN -ln({lam(i)}"
+        f" / ({tfn(i)} + {lam(i)})) ELSE 0 END)"
+        for i in range(len(terms)))
+    nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                        for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
+dfs AS (SELECT {df_cols} FROM tf),
+scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+           FROM tf, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _axiomatic_sql(terms: list[str], k: int) -> str:
+    """Axiomatic F2EXP disjunctive top-k oracle (AxiomaticF2EXP.java:60-87,
+    Axiomatic.java:104-113): per-term
+    (tf / (tf + s + s * qdl / avgdl)) * pow((doc_count+1)/df, k), summed;
+    s and k are the float32 defaults 0.25f / 0.35f."""
+    import numpy as _np
+    s_, k_ = float(_np.float32(0.25)), float(_np.float32(0.35))
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(terms)))
+    avgdl = "(s.sum_ttf / CAST(s.doc_count AS DOUBLE))"
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"(tf_{i} / (tf_{i} + {s_!r} + {s_!r} * CAST(qdl AS DOUBLE)"
+        f" / {avgdl})) * pow((s.doc_count + 1.0)"
+        f" / CAST(d.df_{i} AS DOUBLE), {k_!r}) ELSE 0 END)"
+        for i in range(len(terms)))
+    nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                        for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
+dfs AS (SELECT {df_cols} FROM tf),
+scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+           FROM tf, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _contains_sql(pred: str) -> str:
     return (f"SELECT doc_id FROM (SELECT doc_id, {TOKS} AS ts FROM documents)"
             f" WHERE {pred}")
@@ -476,6 +553,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fifth scoring model: DFR I(n)L2 (BasicModelIn + AfterEffectL +
         # NormalizationH2)
         s = _get_searcher(spark, sf, similarity="dfr_inl2")
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
+             (O.SHOULD, T("window"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
+    def ib_top10(spark, sf):
+        # seventh scoring model: information-based IB LL-DF-H2
+        # (DistributionLL + LambdaDF + NormalizationH2)
+        s = _get_searcher(spark, sf, similarity="ib_ll")
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
+             (O.SHOULD, T("window"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
+    def axiomatic_top10(spark, sf):
+        # eighth scoring model: Axiomatic F2EXP (s=0.25, k=0.35)
+        s = _get_searcher(spark, sf, similarity="axiomatic_f2exp")
         r = s.search(Q.BooleanQuery(
             [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
              (O.SHOULD, T("window"))]), 10)
@@ -811,6 +907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmdirichlet_top10": lmdirichlet_top10,
         "lmjm_top10": lmjm_top10,
         "dfr_top10": dfr_top10,
+        "ib_top10": ib_top10,
+        "axiomatic_top10": axiomatic_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
         "field_term": field_term,
@@ -1054,6 +1152,8 @@ def oracle_sql() -> dict[str, str]:
         "lmdirichlet_top10": _lmd_sql(["filter", "join", "window"], 10),
         "lmjm_top10": _lmjm_sql(["filter", "join", "window"], 10),
         "dfr_top10": _dfr_sql(["filter", "join", "window"], 10),
+        "ib_top10": _ib_sql(["filter", "join", "window"], 10),
+        "axiomatic_top10": _axiomatic_sql(["filter", "join", "window"], 10),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
         # synonym pseudo-term: docFreq = max over terms, freq = sum
         # (SynonymQuery.java:233-252)

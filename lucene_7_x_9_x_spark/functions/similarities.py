@@ -115,6 +115,76 @@ class DFRInL2Similarity:
         return np.where(s > 0.0, s, 0.0).astype(np.float32)
 
 
+class IBSimilarityLLH2:
+    """Information-based model IB LL-DF-H2 — IBSimilarity composed of
+    DistributionLL + LambdaDF + NormalizationH2(c=1), float32-exact
+    transcription of solr-8.4.0/.../similarities/IBSimilarity.java:99-105
+    (score = boost * distribution.score(stats, tfn, lambda)) with
+      NormalizationH2.tfn   = freq * log2(1 + c * avgFieldLength / docLen)
+      LambdaDF.lambda       = float32((df + 1) / (numberOfDocuments + 1)),
+                              nextDown'ed if it rounds to exactly 1
+                              (LambdaDF.java:32-38)
+      DistributionLL.score  = -log(lambda / (tfn + lambda))
+                              (DistributionLL.java:33-34)
+    double math throughout, final float cast (SimilarityBase.BasicSimScorer);
+    docLen = byte4ToInt(norm), avgFieldLength = sumTTF / (double) docCount
+    (SimilarityBase.fillBasicStats:104-114)."""
+
+    name = "ib_ll"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              df: int, doc_count: int, sum_ttf: int,
+              boost: np.float32) -> np.ndarray:
+        if df <= 0:
+            return np.zeros(len(np.asarray(freqs)), dtype=np.float32)
+        lam = F32((df + 1.0) / (doc_count + 1.0))
+        if lam == F32(1.0):
+            lam = np.nextafter(lam, F32(0.0), dtype=np.float32)
+        lam = float(lam)
+        avg_dl = sum_ttf / float(max(doc_count, 1))
+        dl = self._dl[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float64)
+        tfn = f * np.log2(1.0 + self.c * avg_dl / dl)
+        s = float(boost) * -np.log(lam / (tfn + lam))
+        return s.astype(np.float32)
+
+
+class AxiomaticF2EXP:
+    """Axiomatic retrieval model F2EXP, float32-exact transcription of
+    solr-8.4.0/.../similarities/AxiomaticF2EXP.java:60-87 with the
+    Axiomatic.java:104-113 composition
+      score = max(0, boost * tf * ln * tfln * idf - gamma)  where for F2EXP
+        tf = ln = 1, gamma = 0,
+        tfln = freq / (freq + s + s * docLen / avgFieldLength)
+        idf  = pow((N + 1) / df, k)
+    defaults s=0.25f, k=0.35f (Axiomatic.java:100-101); double math, final
+    float cast (SimilarityBase.BasicSimScorer); docLen = byte4ToInt(norm),
+    avgFieldLength = sumTTF / (double) docCount."""
+
+    name = "axiomatic_f2exp"
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        self.s = float(F32(s))
+        self.k = float(F32(k))
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              df: int, doc_count: int, sum_ttf: int,
+              boost: np.float32) -> np.ndarray:
+        if df <= 0:
+            return np.zeros(len(np.asarray(freqs)), dtype=np.float32)
+        avg_dl = sum_ttf / float(max(doc_count, 1))
+        dl = self._dl[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float64)
+        tfln = f / (f + self.s + self.s * dl / avg_dl)
+        s = float(boost) * tfln * ((doc_count + 1.0) / df) ** self.k
+        return np.where(s > 0.0, s, 0.0).astype(np.float32)
+
+
 class BooleanSimilarity:
     """solr-8.4.0/.../similarities/BooleanSimilarity.java: every matching
     doc scores exactly the query boost — no tf, no idf, no norms."""

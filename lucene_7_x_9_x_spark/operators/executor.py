@@ -36,7 +36,8 @@ class SegmentStats:
     segments), term stats too — Lucene gathers them once per query at the
     IndexSearcher level (IndexSearcher.java:790,803).
 
-    similarity: "bm25" (default), "classic" (TF-IDF), or "lmdirichlet"
+    similarity: "bm25" (default), "classic", "boolean", "lmdirichlet",
+    "lmjelinekmercer", "dfr_inl2", "ib_ll", or "axiomatic_f2exp"
     (functions/similarities.py). Block-max pruning is BM25-specific; other
     similarities run the exhaustive path."""
 
@@ -78,6 +79,12 @@ class SegmentStats:
         elif similarity == "dfr_inl2":
             from ..functions.similarities import DFRInL2Similarity
             self._dfr = DFRInL2Similarity()
+        elif similarity == "ib_ll":
+            from ..functions.similarities import IBSimilarityLLH2
+            self._dfr = IBSimilarityLLH2()
+        elif similarity == "axiomatic_f2exp":
+            from ..functions.similarities import AxiomaticF2EXP
+            self._dfr = AxiomaticF2EXP()
         elif similarity != "bm25":
             raise ValueError(f"unknown similarity {similarity!r}")
 

@@ -46,6 +46,46 @@ def test_dfr_inl2_formula():
         assert F32(got) == want
 
 
+def test_ib_ll_formula():
+    eng = _eng("ib_ll")
+    m = eng.matches(TermQuery("q"))
+    st = eng.stats
+    df, n = st.doc_freqs["q"], st.doc_count
+    lam = float(F32((df + 1.0) / (n + 1.0)))
+    avgdl = st.sum_total_term_freq / float(n)
+    for docid, tf in [(0, 2), (1, 1)]:
+        dl = float(LENGTH_TABLE[int(eng.reader.norms()[docid])])
+        tfn = tf * np.log2(1.0 + avgdl / dl)
+        want = F32(-np.log(lam / (tfn + lam)))
+        got = m.scores[list(m.docids).index(docid)]
+        assert F32(got) == want
+
+
+def test_ib_lambda_one_is_nexted_down():
+    # every doc contains the term -> lambda rounds to exactly 1f and must
+    # be nextDown'ed (LambdaDF.java:34-37); score stays finite positive
+    eng = oracle.OracleEngine(*oracle.index_token_lists(
+        [["q"], ["q", "q"], ["q", "x"]], similarity="ib_ll"))
+    m = eng.matches(TermQuery("q"))
+    assert len(m.docids) == 3
+    assert np.all(np.isfinite(m.scores)) and np.all(m.scores > 0)
+
+
+def test_axiomatic_f2exp_formula():
+    eng = _eng("axiomatic_f2exp")
+    m = eng.matches(TermQuery("q"))
+    st = eng.stats
+    df, n = st.doc_freqs["q"], st.doc_count
+    avgdl = st.sum_total_term_freq / float(n)
+    s_, k_ = float(F32(0.25)), float(F32(0.35))
+    for docid, tf in [(0, 2), (1, 1)]:
+        dl = float(LENGTH_TABLE[int(eng.reader.norms()[docid])])
+        want = F32((tf / (tf + s_ + s_ * dl / avgdl))
+                   * ((n + 1.0) / df) ** k_)
+        got = m.scores[list(m.docids).index(docid)]
+        assert F32(got) == want
+
+
 def test_boolean_similarity_scores_boost():
     eng = _eng("boolean")
     m = eng.matches(BooleanQuery([(Occur.SHOULD, TermQuery("q", boost=2.5)),
@@ -58,7 +98,7 @@ def test_boolean_similarity_scores_boost():
 
 def test_all_models_dispatch():
     for sim in ("bm25", "classic", "boolean", "lmdirichlet",
-                "lmjelinekmercer", "dfr_inl2"):
+                "lmjelinekmercer", "dfr_inl2", "ib_ll", "axiomatic_f2exp"):
         eng = _eng(sim)
         assert len(eng.search(TermQuery("q"), 2)) == 2, sim
     with pytest.raises(ValueError):
