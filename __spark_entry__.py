@@ -519,6 +519,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
 
+    def span_near_scored_top10(spark, sf):
+        # SpanScorer sloppyFreq scoring: slop=1 makes every span weight
+        # dyadic (1 or 1/2), so the float32 freq accumulation is exactly
+        # the oracle's double sum — a bit-safe scored gate
+        return _topk_ids(spark, sf,
+                         Q.SpanNearQuery(("key", "hash"), slop=1), 10)
+
     def bm25_top10(spark, sf):
         return _topk_ids(spark, sf, Q.BooleanQuery(
             [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
@@ -900,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_query_matches": parse_query_matches,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
+        "span_near_scored_top10": span_near_scored_top10,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
@@ -1147,6 +1155,39 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # SpanScorer sloppyFreq (SpanScorer.java:109): per first-term
+        # anchor, the greedy next 'hash' occurrence; weight 1/(1+width);
+        # weight = summed idfs (SpanWeight.buildSimWeight). slop=1 keeps
+        # every addend dyadic so double == float32 accumulation exactly
+        "span_near_scored_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+p AS (SELECT doc_id, qdl, ts,
+        list_filter(range(1, len(ts)+1), i -> ts[i] = 'key') AS pa,
+        list_filter(range(1, len(ts)+1), i -> ts[i] = 'hash') AS pb
+      FROM q),
+tf AS (SELECT doc_id, qdl,
+         list_sum(list_transform(pa, p1 ->
+           CASE WHEN len(list_filter(pb, p2 -> p2 > p1)) > 0
+                 AND list_min(list_filter(pb, p2 -> p2 > p1)) - p1 <= 2
+                THEN 1.0 / (list_min(list_filter(pb, p2 -> p2 > p1)) - p1)
+                ELSE 0 END)) AS sfreq,
+         len(list_filter(ts, t -> t = 'key')) AS tf_a,
+         len(list_filter(ts, t -> t = 'hash')) AS tf_b FROM p),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a,
+               count(*) FILTER (WHERE tf_b > 0) AS df_b FROM tf),
+scored AS (SELECT doc_id,
+    (ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5))
+     + ln(1 + (s.doc_count - d.df_b + 0.5) / (d.df_b + 0.5))) * sfreq
+      / (sfreq + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE sfreq > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_top10": _bm25_sql(["filter", "join", "window"], 10, False),
         "classic_top10": _classic_sql(["filter", "join", "window"], 10),
         "lmdirichlet_top10": _lmd_sql(["filter", "join", "window"], 10),

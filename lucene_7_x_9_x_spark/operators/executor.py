@@ -266,15 +266,44 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         return Matches(docids, np.full(len(docids), b32, dtype=np.float32))
 
     if isinstance(q, SpanNearQuery):
-        docids = (_span_near_match(reader, q) if q.in_order
-                  else _span_near_unordered_match(reader, q))
+        docids, sfreqs = (_span_near_freqs(reader, q) if q.in_order
+                          else _span_near_unordered_freqs(reader, q))
         if len(docids) == 0:
             return Matches.empty()
-        # constant-score matching (SpanNearQuery's SpanScorer sloppyFreq
-        # accumulation is not transcribed; the MATCH SET is exact per
-        # NearSpansOrdered's width-<=-slop criterion)
-        return Matches(docids, np.full(len(docids), F32(b32 * F32(q.boost)),
-                                       dtype=np.float32))
+        if not needs_scores:
+            return Matches(docids)
+        # SpanScorer.scoreCurrentDoc (spans/SpanScorer.java:74-76): score
+        # the slop-adjusted freq with the SpanWeight sim scorer, which is
+        # built over the stats of every DISTINCT query term with df > 0
+        # (SpanWeight.buildSimWeight). BM25/Classic sum the per-term idfs
+        # into one weight (BM25Similarity.idfExplain array form); the
+        # SimilarityBase models (LM/DFR/IB/Axiomatic) become a
+        # MultiSimilarity.MultiSimScorer — a float32-accumulated SUM of
+        # per-term scores at the same (freq, norm)
+        # (MultiSimilarity.java MultiSimScorer.score); BooleanSimilarity
+        # scores the boost outright.
+        total_boost = F32(b32 * F32(q.boost))
+        keys = [kk for kk in dict.fromkeys(term_key(q.field, t)
+                                           for t in q.terms)
+                if stats.doc_freqs.get(kk, 0) > 0]
+        norms = _norms_for(reader, q.field)[docids]
+        if stats.similarity == "boolean":
+            scores = np.full(len(docids), total_boost, dtype=np.float32)
+        elif stats._lmd is not None or stats._dfr is not None:
+            acc = np.zeros(len(docids), dtype=np.float32)
+            for kk in keys:  # f32 running sum, query term order
+                acc = acc + stats.pseudo_score(
+                    stats.doc_freqs.get(kk, 0),
+                    stats.total_term_freqs.get(kk, 0), total_boost,
+                    sfreqs, norms, field=q.field)
+            scores = acc
+        else:
+            idf_sum = float(np.sum(np.array(
+                [stats.idf(kk) for kk in keys],
+                dtype=np.float32).astype(np.float64)))
+            w = total_boost * F32(idf_sum)
+            scores = stats.score_arr(sfreqs, norms, w, field=q.field)
+        return Matches(docids, scores)
 
     if isinstance(q, PhraseQuery):
         docids, freqs = _phrase_match(reader, q)
@@ -615,23 +644,51 @@ def _phrase_match(reader, q: PhraseQuery):
     return cand[m], freqs[m].astype(np.int64)
 
 
-def _span_near_match(reader, q: SpanNearQuery) -> np.ndarray:
-    """Docs with an ordered chain p_1 < p_2 < ... < p_k and total gap
-    p_k - p_1 - (k-1) <= slop (NearSpansOrdered.java:40 width semantics,
-    unit-length term spans). Greedy minimal chains, vectorized over all
-    candidate anchors of all docs at once: one packed searchsorted per
-    subsequent term finds the smallest strictly-greater occurrence."""
+def _span_freq_f32(ranks: np.ndarray, widths: np.ndarray,
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(unique_ranks, float32 freqs): per-candidate SpanScorer freq from the
+    (rank, width) pairs of the enumerated matching spans, IN enumeration
+    order — freq = float32(freq + 1.0 / (1.0 + width)) per match (double
+    addend, float32 store; spans/SpanScorer.java:109). Single-match docs
+    (the common case) vectorize to one rounding; multi-match docs replay
+    the sequential accumulation."""
+    uniq, idx, counts = np.unique(ranks, return_index=True,
+                                  return_counts=True)
+    freqs = np.zeros(len(uniq), dtype=np.float32)
+    one = counts == 1
+    freqs[one] = (1.0 / (1.0 + widths[idx[one]])).astype(np.float32)
+    for j in np.flatnonzero(~one):
+        f = np.float32(0.0)
+        for w in widths[idx[j]:idx[j] + counts[j]]:
+            f = np.float32(np.float64(f) + 1.0 / (1.0 + float(w)))
+        freqs[j] = f
+    return uniq, freqs
+
+
+def _span_near_freqs(reader, q: SpanNearQuery
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, sloppy freqs) of docs with an ordered chain p_1 < p_2 < ...
+    < p_k and total gap p_k - p_1 - (k-1) <= slop (NearSpansOrdered.java:40
+    width semantics, unit-length term spans). Greedy minimal chains,
+    vectorized over all candidate anchors of all docs at once: one packed
+    searchsorted per subsequent term finds the smallest strictly-greater
+    occurrence. NearSpansOrdered enumerates exactly one stretchToOrder
+    chain per first-term occurrence (forward-only sub-iterators whose
+    "first position >= prev end" targets are monotone in the anchor, so
+    the independent per-anchor searchsorted reproduces the walk), and
+    SpanScorer accumulates 1/(1+width) over the chains with width <= slop
+    — which is what this computes, in anchor order."""
     flats = []
     for t in q.terms:
         got = _flat_positions(reader, term_key(q.field, t))
         if got is None:
-            return np.zeros(0, np.int64)
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
         flats.append(got)
     cand = flats[0][0]
     for d, _, _ in flats[1:]:
         cand = cand[_in_sorted(cand, d)]
     if len(cand) == 0:
-        return cand
+        return cand, np.zeros(0, np.float32)
     packed = []
     sel = []
     for d, counts, flat in flats:
@@ -654,26 +711,38 @@ def _span_near_match(reader, q: SpanNearQuery) -> np.ndarray:
     width = ((prev & ((np.int64(1) << _POS_SHIFT) - 1)) - p0
              - (len(flats) - 1))
     hit = alive & (width <= q.slop)
-    return cand[np.unique(rank0[hit])]
+    uniq, freqs = _span_freq_f32(rank0[hit], width[hit])
+    return cand[uniq], freqs
 
 
-def _span_near_unordered_match(reader, q: SpanNearQuery) -> np.ndarray:
-    """Docs holding one occurrence of EACH term (any order) inside a window
-    with (max_p - min_p + 1) - k <= slop (NearSpansUnordered.atMatch, unit
-    spans). k=2 runs fully vectorized (min adjacent opposite-tag gap in the
-    merged order decides existence); k>=3 uses the classic minimal-covering-
-    window heap walk per candidate doc."""
+def _span_near_unordered_freqs(reader, q: SpanNearQuery
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, sloppy freqs) of docs holding one occurrence of EACH term
+    (any order) inside a window with (max_p - min_p + 1) - k <= slop
+    (NearSpansUnordered.atMatch, unit spans).
+
+    The reference walk advances the min-start sub-span one step at a time
+    (SpanTotalLengthEndPositionWindow.nextPosition), checks atMatch at
+    every queue state, and stops when the advanced list exhausts; each
+    matching state contributes 1/(1+width) with width = maxEnd - minStart
+    (NearSpansUnordered.width:163-166; for unit spans the running maxEnd
+    equals the current max position + 1). k=2 reproduces that walk fully
+    vectorized: the visited states are exactly the merged-order elements
+    up to the FIRST element that is the last of its own list, each paired
+    with the next opposite-tag element. k>=3 replays the heap walk per
+    candidate doc."""
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.float32))
     flats = []
     for t in q.terms:
         got = _flat_positions(reader, term_key(q.field, t))
         if got is None:
-            return np.zeros(0, np.int64)
+            return empty
         flats.append(got)
     cand = flats[0][0]
     for d, _, _ in flats[1:]:
         cand = cand[_in_sorted(cand, d)]
     if len(cand) == 0:
-        return cand
+        return cand, np.zeros(0, np.float32)
     k = len(flats)
     sel = []
     for d, counts, flat in flats:
@@ -681,9 +750,6 @@ def _span_near_unordered_match(reader, q: SpanNearQuery) -> np.ndarray:
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         sel.append((starts[idx], counts[idx], flat))
     if k == 2:
-        # merged order: a doc matches iff some ADJACENT pair of opposite
-        # tags has (hi - lo + 1) - 2 <= slop — the minimal covering window
-        # of two lists is always an adjacent opposite-tag pair
         keys, tags = [], []
         for tag, (starts, counts, flat) in enumerate(sel):
             take = _gather_ranges(starts, counts)
@@ -694,15 +760,34 @@ def _span_near_unordered_match(reader, q: SpanNearQuery) -> np.ndarray:
         ts = np.concatenate(tags)
         order = np.argsort(ks, kind="stable")
         ks, ts = ks[order], ts[order]
-        if len(ks) < 2:
-            return np.zeros(0, np.int64)
+        n = len(ks)
+        if n < 2:
+            return empty
         MASK = (np.int64(1) << _POS_SHIFT) - 1
-        same_doc = (ks[1:] >> _POS_SHIFT) == (ks[:-1] >> _POS_SHIFT)
-        opp = (ts[1:] != ts[:-1]) & same_doc
-        width = (ks[1:] & MASK) - (ks[:-1] & MASK) - 1
-        hit = opp & (width <= q.slop)
-        return cand[np.unique((ks[1:] >> _POS_SHIFT)[hit])]
-    out = []
+        r, pos = ks >> _POS_SHIFT, ks & MASK
+        idxs = np.arange(n, dtype=np.int64)
+        # nxt[t][m] = smallest index >= m holding tag t (n = none)
+        nxt = []
+        for t in (0, 1):
+            a = np.where(ts == t, idxs, n)
+            nxt.append(np.minimum.accumulate(a[::-1])[::-1])
+        pad = lambda a: np.concatenate((a[1:], [np.int64(n)]))
+        next_same = np.where(ts == 0, pad(nxt[0]), pad(nxt[1]))
+        next_opp = np.where(ts == 0, pad(nxt[1]), pad(nxt[0]))
+        # a state exists for element m iff no earlier element of ITS rank
+        # was the last of its own list (the walk ends there)
+        tag_final = (next_same >= n) | (r[np.minimum(next_same, n - 1)] != r)
+        grp_start = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        gid = np.cumsum(np.r_[True, r[1:] != r[:-1]]) - 1
+        cum = np.concatenate(([0], np.cumsum(tag_final)))
+        finals_before = cum[idxs] - cum[grp_start[gid]]
+        enumerated = finals_before == 0
+        valid = (next_opp < n) & (r[np.minimum(next_opp, n - 1)] == r)
+        W = pos[np.minimum(next_opp, n - 1)] + 1 - pos  # maxEnd - minStart
+        hit = enumerated & valid & ((W - 2) <= q.slop)
+        uniq, freqs = _span_freq_f32(r[hit], W[hit])
+        return cand[uniq], freqs
+    out_d, out_f = [], []
     import heapq
     for j in range(len(cand)):
         lists = [flat[s[j]:s[j] + c[j]] for (s, c, flat) in sel]
@@ -710,21 +795,23 @@ def _span_near_unordered_match(reader, q: SpanNearQuery) -> np.ndarray:
         heap = [(int(lists[i][0]), i) for i in range(k)]
         heapq.heapify(heap)
         mx = max(int(lists[i][0]) for i in range(k))
-        matched = False
+        f = np.float32(0.0)
         while True:
             lo, i = heap[0]
             if (mx - lo + 1) - k <= q.slop:
-                matched = True
-                break
+                f = np.float32(np.float64(f)
+                               + 1.0 / (1.0 + (mx + 1 - lo)))
             ptr[i] += 1
             if ptr[i] >= len(lists[i]):
                 break
             v = int(lists[i][ptr[i]])
             mx = max(mx, v)
             heapq.heapreplace(heap, (v, i))
-        if matched:
-            out.append(int(cand[j]))
-    return np.asarray(out, dtype=np.int64)
+        if f > 0:
+            out_d.append(int(cand[j]))
+            out_f.append(f)
+    return (np.asarray(out_d, dtype=np.int64),
+            np.asarray(out_f, dtype=np.float32))
 
 
 def _evaluate_boolean(reader, stats, q: BooleanQuery, boost, needs_scores):

@@ -140,9 +140,10 @@ class SpanNearQuery(Query):
     in_order=False (NearSpansUnordered.atMatch): one occurrence per clause
     in ANY order with maxEnd - minStart - k = (max_p - min_p + 1) - k <=
     slop; duplicate terms are rejected (distinct sub-spans would be
-    needed). Matching semantics are exact; scoring is constant-score (the
-    SpanScorer sloppyFreq accumulation is not transcribed — see
-    executor)."""
+    needed). Matching AND scoring are exact: SpanScorer's sloppyFreq
+    (float32-accumulated sum of 1/(1+width) over the enumerated spans,
+    SpanScorer.java:83-121) scored with the SpanWeight sim scorer over
+    every distinct term's stats (see executor)."""
     terms: tuple
     slop: int = 0
     in_order: bool = True
