@@ -251,6 +251,40 @@ FROM scored WHERE nmatch >= 1
 ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
+def _dfi_sql(terms: list[str], k: int) -> str:
+    """DFI chi-squared disjunctive top-k oracle (DFISimilarity.java:42-50,
+    IndependenceChiSquared.java:26-29): expected = (ttf+1)*qdl/(sumTTF+1);
+    score = log2((tf-expected)^2/expected + 1) when tf > expected else 0,
+    summed."""
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    stat_cols = ", ".join(
+        f"sum(tf_{i}) AS ttf_{i}" for i in range(len(terms)))
+    exp = (lambda i:
+           f"((d.ttf_{i} + 1.0) * qdl / (s.sum_ttf + 1.0))")
+    score_terms = " + ".join(
+        f"(CASE WHEN tf_{i} > {exp(i)} THEN "
+        f"log2((tf_{i} - {exp(i)}) * (tf_{i} - {exp(i)}) / {exp(i)} + 1.0)"
+        f" ELSE 0 END)"
+        for i in range(len(terms)))
+    nmatch = " + ".join(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+                        for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, {tf_cols} FROM q),
+dfs AS (SELECT {stat_cols} FROM tf),
+scored AS (SELECT doc_id, {score_terms} AS score, {nmatch} AS nmatch
+           FROM tf, stats s, dfs d)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored WHERE nmatch >= 1
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _ib_sql(terms: list[str], k: int, c: float = 1.0) -> str:
     """IB LL-DF-H2 disjunctive top-k oracle (IBSimilarity.java:99-105,
     DistributionLL + LambdaDF + NormalizationH2):
@@ -560,6 +594,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fifth scoring model: DFR I(n)L2 (BasicModelIn + AfterEffectL +
         # NormalizationH2)
         s = _get_searcher(spark, sf, similarity="dfr_inl2")
+        r = s.search(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
+             (O.SHOULD, T("window"))]), 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
+    def dfi_top10(spark, sf):
+        # ninth scoring model: divergence from independence (chi-squared)
+        s = _get_searcher(spark, sf, similarity="dfi_chisquared")
         r = s.search(Q.BooleanQuery(
             [(O.SHOULD, T("filter")), (O.SHOULD, T("join")),
              (O.SHOULD, T("window"))]), 10)
@@ -917,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_top10": dfr_top10,
         "ib_top10": ib_top10,
         "axiomatic_top10": axiomatic_top10,
+        "dfi_top10": dfi_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
         "field_term": field_term,
@@ -1195,6 +1239,7 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "dfr_top10": _dfr_sql(["filter", "join", "window"], 10),
         "ib_top10": _ib_sql(["filter", "join", "window"], 10),
         "axiomatic_top10": _axiomatic_sql(["filter", "join", "window"], 10),
+        "dfi_top10": _dfi_sql(["filter", "join", "window"], 10),
         "bm25_conj_top10": _bm25_sql(["group", "query"], 10, True),
         # synonym pseudo-term: docFreq = max over terms, freq = sum
         # (SynonymQuery.java:233-252)

@@ -115,6 +115,34 @@ class DFRInL2Similarity:
         return np.where(s > 0.0, s, 0.0).astype(np.float32)
 
 
+class DFIChiSquaredSimilarity:
+    """Divergence-from-Independence with the chi-squared measure,
+    float32-exact transcription of
+    solr-8.4.0/.../similarities/DFISimilarity.java:42-50 +
+    IndependenceChiSquared.java:26-29:
+      expected = (ttf + 1) * docLen / (numberOfFieldTokens + 1)
+      score    = 0                          if freq <= expected
+               = boost * log2(((freq - expected)^2 / expected) + 1)
+    double math, final float cast (SimilarityBase.BasicSimScorer);
+    docLen = byte4ToInt(norm), numberOfFieldTokens = sumTTF
+    (SimilarityBase.fillBasicStats)."""
+
+    name = "dfi_chisquared"
+
+    def __init__(self):
+        self._dl = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              ttf: int, sum_ttf: int, boost: np.float32) -> np.ndarray:
+        dl = self._dl[np.asarray(norm_bytes).astype(np.int64) & 0xFF]
+        f = np.asarray(freqs, dtype=np.float64)
+        expected = (ttf + 1.0) * dl / (sum_ttf + 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            measure = (f - expected) ** 2 / expected
+            s = float(boost) * np.log2(measure + 1.0)
+        return np.where(f > expected, s, 0.0).astype(np.float32)
+
+
 class IBSimilarityLLH2:
     """Information-based model IB LL-DF-H2 — IBSimilarity composed of
     DistributionLL + LambdaDF + NormalizationH2(c=1), float32-exact

@@ -76,6 +76,9 @@ class SegmentStats:
         elif similarity == "lmjelinekmercer":
             from ..functions.similarities import LMJelinekMercerSimilarity
             self._lmd = LMJelinekMercerSimilarity()
+        elif similarity == "dfi_chisquared":
+            from ..functions.similarities import DFIChiSquaredSimilarity
+            self._lmd = DFIChiSquaredSimilarity()
         elif similarity == "dfr_inl2":
             from ..functions.similarities import DFRInL2Similarity
             self._dfr = DFRInL2Similarity()

@@ -46,6 +46,20 @@ def test_dfr_inl2_formula():
         assert F32(got) == want
 
 
+def test_dfi_chisquared_formula():
+    eng = _eng("dfi_chisquared")
+    m = eng.matches(TermQuery("q"))
+    st = eng.stats
+    ttf = st.total_term_freqs["q"]
+    got = dict(zip(m.docids.tolist(), [F32(x) for x in m.scores]))
+    for docid, tf in [(0, 2), (1, 1)]:
+        dl = float(LENGTH_TABLE[int(eng.reader.norms()[docid])])
+        expected = (ttf + 1.0) * dl / (st.sum_total_term_freq + 1.0)
+        want = (F32(np.log2((tf - expected) ** 2 / expected + 1.0))
+                if tf > expected else F32(0.0))
+        assert got[docid] == want
+
+
 def test_ib_ll_formula():
     eng = _eng("ib_ll")
     m = eng.matches(TermQuery("q"))
@@ -98,7 +112,8 @@ def test_boolean_similarity_scores_boost():
 
 def test_all_models_dispatch():
     for sim in ("bm25", "classic", "boolean", "lmdirichlet",
-                "lmjelinekmercer", "dfr_inl2", "ib_ll", "axiomatic_f2exp"):
+                "lmjelinekmercer", "dfr_inl2", "ib_ll", "axiomatic_f2exp",
+                "dfi_chisquared"):
         eng = _eng(sim)
         assert len(eng.search(TermQuery("q"), 2)) == 2, sim
     with pytest.raises(ValueError):
