@@ -79,8 +79,8 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
     n_docs = len(pdf)
     char_offs = None
     if with_offsets:
-        # stored character offsets (IndexOptions ..._AND_OFFSETS analogue)
-        # for the DEFAULT field; extra fields stay offset-less
+        # stored character offsets (IndexOptions ..._AND_OFFSETS analogue),
+        # on the default field and every extra field alike
         from ..functions.analysis import tokenize_to_flat_with_offsets
         row_idx, pos, terms_flat, dl, c_start, c_end = \
             tokenize_to_flat_with_offsets(pdf[text_col], cfg)
@@ -107,10 +107,19 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
         parts[0]["field"] = None
         extra_norm_cols = []
         for fname, fcol in extra_fields:
-            ri, po, tf, fdl = tokenize_to_flat(pdf[fcol], cfg)
+            f_offs = None
+            if with_offsets:
+                from ..functions.analysis import (
+                    tokenize_to_flat_with_offsets)
+                ri, po, tf, fdl, fcs, fce = \
+                    tokenize_to_flat_with_offsets(pdf[fcol], cfg)
+                f_offs = (fcs, fce)
+            else:
+                ri, po, tf, fdl = tokenize_to_flat(pdf[fcol], cfg)
             fnorms = int_to_byte4(fdl)
             extra_norm_cols.append(fnorms.astype(np.int32))
-            fp = _invert_tokens(ri, po, tf, fnorms, segment, with_positions)
+            fp = _invert_tokens(ri, po, tf, fnorms, segment, with_positions,
+                                char_offs=f_offs)
             fp["field"] = fname
             parts.append(fp)
         docmap["extra_norms"] = pd.Series(

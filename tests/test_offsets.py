@@ -124,3 +124,36 @@ def test_offsets_survive_merge_and_compaction(offset_searcher, spark,
     kept = {r["doc_id"] for r in compacted.docmap()
             .select("doc_id").collect()}
     assert all(d % 3 != 0 for d in kept)
+
+
+def test_offsets_on_named_fields(spark, tmp_path):
+    """with_offsets=True stores offsets for EVERY indexed field; a named
+    field's offsets address positions within THAT field's source text."""
+    from pyspark.sql import functions as F
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != "")
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .withColumn("head", F.concat_ws(" ", F.slice(toks, 1, 16)))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, str(tmp_path / "i"), id_cols=["doc_id"],
+                      text_col="text", segment_by="input",
+                      extra_fields=[("head", "head"), ("lang", "lang")],
+                      with_offsets=True)
+    s = Searcher(idx)
+    rx = re.compile(r"[a-z0-9_]+")
+    id_of = {(r["segment"], r["docid"]): r["doc_id"] for r in
+             idx.docmap().select("segment", "docid", "doc_id").collect()}
+    for fld, src in [("head", "head"), ("lang", "lang")]:
+        texts = {r["doc_id"]: r[src] for r in
+                 docs.select("doc_id", src).collect()}
+        term = "fast" if fld == "head" else "de"
+        rows = s.term_offsets(term, field=fld).collect()
+        assert rows, fld
+        for r in rows:
+            did = id_of[(r["segment"], r["docid"])]
+            exp = [(m.start(), m.end())
+                   for m in rx.finditer(texts[did].lower())
+                   if m.group(0) == term]
+            assert list(zip(r["starts"], r["ends"])) == exp, (fld, did)
+    # the default field still answers too
+    assert s.term_offsets("filter").count() > 0
