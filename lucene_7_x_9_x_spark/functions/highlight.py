@@ -41,17 +41,21 @@ def highlight_snippets(df: DataFrame, terms: list[str],
 def highlight_from_index(searcher, source_df: DataFrame, terms: list[str],
                          text_col: str = "text", id_col: str = "doc_id",
                          width: int = 80, lead: int = 20,
-                         pre: str = "<b>", post: str = "</b>") -> DataFrame:
+                         pre: str = "<b>", post: str = "</b>",
+                         field: str | None = None) -> DataFrame:
     """Index-offsets highlighter (the unified-highlighter consumption model:
     IndexOptions ..._AND_OFFSETS): occurrence character offsets come from
     the index's stored offset payloads — the documents are NOT re-analyzed
     or regex-scanned at query time; the stored text is only sliced. Window =
     `width` chars starting `lead` before the first occurrence; every
-    occurrence fully inside the window is wrapped pre..post."""
+    occurrence fully inside the window is wrapped pre..post.
+
+    field selects which indexed field's offsets to use (None = default);
+    text_col must be that field's source text column in source_df."""
     if not terms:
         raise ValueError("terms must be non-empty")
     # ONE postings scan + kernel for all query terms
-    offs = searcher.terms_offsets(terms)
+    offs = searcher.terms_offsets(terms, field)
     merged = (offs.select("segment", "docid",
                           F.explode(F.arrays_zip("starts", "ends"))
                           .alias("se"))

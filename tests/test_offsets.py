@@ -157,3 +157,26 @@ def test_offsets_on_named_fields(spark, tmp_path):
             assert list(zip(r["starts"], r["ends"])) == exp, (fld, did)
     # the default field still answers too
     assert s.term_offsets("filter").count() > 0
+
+
+def test_highlight_from_named_field(spark, tmp_path):
+    from pyspark.sql import functions as F
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                    lambda x: x != "")
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .withColumn("head", F.concat_ws(" ", F.slice(toks, 1, 16)))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, str(tmp_path / "i"), id_cols=["doc_id"],
+                      text_col="text", segment_by="input",
+                      extra_fields=[("head", "head")], with_offsets=True)
+    s = Searcher(idx)
+    snips = {r["doc_id"]: r["snippet"] for r in
+             highlight_from_index(s, docs, ["fast"], text_col="head",
+                                  field="head").collect()}
+    assert snips
+    heads = {r["doc_id"]: r["head"] for r in
+             docs.select("doc_id", "head").collect()}
+    for did, sn in snips.items():
+        assert "<b>" in sn
+        # the wrapped token really is a 'fast' occurrence in the head text
+        assert sn.replace("<b>", "").replace("</b>", "") in heads[did]
