@@ -92,6 +92,8 @@ class Searcher:
         self._field_stats = (index.field_stats()
                              if hasattr(index, "field_stats") else {})
         self._has_field_col = "field" in self._post_src.columns
+        self._hot = bool(cache_index)
+        self._norms_bc = None  # hot-mode broadcast segnorms (lazy)
         if cache_index:
             # exactly one cached partition per core: fewer tasks per query
             # than one-per-segment (measured p50 0.93 s vs 1.30 s at 64
@@ -275,15 +277,29 @@ class Searcher:
             similarity=self.similarity, field_stats=self._field_stats)
 
     # ---------------- kernels
-    def _kernel_frame(self, query, terms: set) -> DataFrame:
+    def _segnorms_broadcast(self):
+        """Hot-serving norms: the per-(segment, field) blobs parsed once at
+        the driver and BROADCAST, so hot queries skip the segnorms cogroup
+        side entirely (one stage per query instead of a cogroup exchange).
+        ~1 byte/doc/field — in-memory-index scale by construction (hot mode
+        already persists the full postings table in executor storage)."""
+        if self._norms_bc is None:
+            pdf = self.index.segnorms().toPandas()
+            by_seg = {int(seg): _parse_segnorms(g)
+                      for seg, g in pdf.groupby("segment")}
+            self._norms_bc = self.index.spark.sparkContext.broadcast(by_seg)
+        return self._norms_bc
+
+    def _posting_frame(self, query, terms: set) -> DataFrame:
+        """Pruned postings scan for a query: pushed-down key filter plus
+        column pruning — the positions column (the .pos file analogue) is
+        only read when the query actually needs positions (SURVEY.md
+        §3.3.4 lazy-positions); docmap-only union columns never are."""
         post = self._post_src
         if terms:
             post = post.where(self._key_filter(terms))
         else:  # match-all style queries need no postings
             post = post.where(F.lit(False))
-        # column pruning: the positions column (the .pos file analogue) is
-        # only read when the query actually needs positions (SURVEY.md
-        # §3.3.4 lazy-positions); docmap-only union columns never are
         cols = ["term", "segment", "doc_freq", "total_term_freq",
                 "block_max_docs", "block_ns", "block_docs", "block_freqs",
                 "imp_freqs", "imp_norms"]
@@ -291,7 +307,10 @@ class Searcher:
             cols.insert(1, "field")
         if _needs_positions(query):
             cols += ["pos_offsets", "pos_data"]
-        post = post.select(*cols)
+        return post.select(*cols)
+
+    def _kernel_frame(self, query, terms: set) -> DataFrame:
+        post = self._posting_frame(query, terms)
         # norms come from the tiny per-segment blob table (1 row/segment),
         # NOT the docmap — a query never shuffles per-doc rows. The blob
         # side is semi-joined down to segments that actually hold matching
@@ -331,12 +350,8 @@ class Searcher:
         # lower-bounds the global k-th and skips stay strict
         task_theta: dict = {}
 
-        def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
-                   ) -> pd.DataFrame:
-            seg = int(key[0])
-            if len(sn_pdf) == 0:
-                return pd.DataFrame({"segment": [], "docid": [], "score": []})
-            norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
+        def kernel_body(seg: int, post_pdf: pd.DataFrame, norms, max_doc,
+                        fnorms) -> pd.DataFrame:
             reader = SparkSegmentReader(post_pdf, norms, max_doc,
                                         field_norms=fnorms)
             dele = del_bc.value.get(seg) if del_bc is not None else None
@@ -367,15 +382,53 @@ class Searcher:
                 "segment": np.full(len(d), seg, dtype=np.int32),
                 "docid": d, "score": s.astype(np.float32)})
 
-        if empty_postings:  # MatchAll-containing query: norms-only kernel
-            def kernel_sn(key, sn_pdf: pd.DataFrame) -> pd.DataFrame:
-                return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
+        def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
+                   ) -> pd.DataFrame:
+            if len(sn_pdf) == 0:
+                return pd.DataFrame({"segment": [], "docid": [], "score": []})
+            return kernel_body(int(key[0]), post_pdf,
+                               *_parse_segnorms(sn_pdf))
+
+        def kernel_sn(key, sn_pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
+
+        schema = "segment int, docid long, score float"
+        if empty_postings:  # MatchAll-only query: norms-only kernel
             return (self.index.segnorms().groupBy("segment")
-                    .applyInPandas(kernel_sn,
-                                   schema="segment int, docid long,"
-                                          " score float"))
-        return self._kernel_frame(query, terms).applyInPandas(
-            kernel, schema="segment int, docid long, score float")
+                    .applyInPandas(kernel_sn, schema=schema))
+        if self._hot:
+            # hot-serving fast path: norms ride a broadcast instead of a
+            # cogroup side, so the query is ONE stage over the persisted
+            # pre-partitioned postings (groupBy reuses its partitioning —
+            # no exchange, no second input)
+            bc = self._segnorms_broadcast()
+
+            def kernel_hot(key, post_pdf: pd.DataFrame) -> pd.DataFrame:
+                got = bc.value.get(int(key[0]))
+                if got is None:
+                    return pd.DataFrame(
+                        {"segment": [], "docid": [], "score": []})
+                return kernel_body(int(key[0]), post_pdf, *got)
+
+            main = (self._posting_frame(query, terms).groupBy("segment")
+                    .applyInPandas(kernel_hot, schema=schema))
+        else:
+            main = self._kernel_frame(query, terms).applyInPandas(
+                kernel, schema=schema)
+        if _contains_matchall(query):
+            # segments holding NONE of the query's terms still match
+            # through the MatchAll clause (term clauses contribute nothing
+            # there): run them on the norms-only kernel and union — the
+            # postings-driven cogroup above cannot cover them, and feeding
+            # it zero-postings groups would hit the zero-batch Arrow bug
+            seg_with = (self._post_src.where(self._key_filter(terms))
+                        .select("segment").distinct())
+            rest = self.index.segnorms().join(seg_with, "segment",
+                                              "left_anti")
+            main = main.unionByName(
+                rest.groupBy("segment").applyInPandas(kernel_sn,
+                                                      schema=schema))
+        return main
 
     # ---------------- public API
     def search(self, query, k: int = 10, mode: str = "auto",
@@ -626,14 +679,9 @@ class Searcher:
         del_bc = self._deleted_broadcast()
         task_theta: dict = {}  # per-qid cross-segment theta (see _run)
 
-        def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
-                   ) -> pd.DataFrame:
-            seg = int(key[0])
+        def kernel_body(seg: int, post_pdf: pd.DataFrame, norms, max_doc,
+                        fnorms) -> pd.DataFrame:
             out = []
-            if len(sn_pdf) == 0:
-                return pd.DataFrame({"qid": [], "segment": [], "docid": [],
-                                     "score": []})
-            norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
             reader = SparkSegmentReader(post_pdf, norms, max_doc,
                                         field_norms=fnorms)
             dele = del_bc.value.get(seg) if del_bc is not None else None
@@ -660,9 +708,30 @@ class Searcher:
                 pd.DataFrame({"qid": [], "segment": [], "docid": [],
                               "score": []})
 
-        res = (post.groupBy("segment").cogroup(sn.groupBy("segment"))
-               .applyInPandas(kernel, schema="qid string, segment int,"
-                                             " docid long, score float"))
+        def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
+                   ) -> pd.DataFrame:
+            if len(sn_pdf) == 0:
+                return pd.DataFrame({"qid": [], "segment": [], "docid": [],
+                                     "score": []})
+            return kernel_body(int(key[0]), post_pdf,
+                               *_parse_segnorms(sn_pdf))
+
+        qschema = "qid string, segment int, docid long, score float"
+        if self._hot:  # broadcast norms: one stage, no cogroup (see _run)
+            bc = self._segnorms_broadcast()
+
+            def kernel_hot(key, post_pdf: pd.DataFrame) -> pd.DataFrame:
+                got = bc.value.get(int(key[0]))
+                if got is None:
+                    return pd.DataFrame({"qid": [], "segment": [],
+                                         "docid": [], "score": []})
+                return kernel_body(int(key[0]), post_pdf, *got)
+
+            res = (post.groupBy("segment")
+                   .applyInPandas(kernel_hot, schema=qschema))
+        else:
+            res = (post.groupBy("segment").cogroup(sn.groupBy("segment"))
+                   .applyInPandas(kernel, schema=qschema))
         w = Window.partitionBy("qid").orderBy(F.desc("score"), "segment",
                                               "docid")
         return _with_extra(
@@ -779,8 +848,22 @@ class Searcher:
 
         res = (self._kernel_frame(query2, terms)
                .applyInPandas(kernel,
-                              schema="segment int, docid long, score float")
-               .orderBy(F.desc("score"), "segment", "docid").limit(k))
+                              schema="segment int, docid long, score float"))
+        if _contains_matchall(query2):
+            # same coverage rule as _run: first-pass docs in segments that
+            # hold NONE of query2's terms still get query2's MatchAll
+            # contribution through a norms-only kernel
+            def kernel_sn(key, sn_pdf):
+                return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
+            seg_with = (self._post_src.where(self._key_filter(terms))
+                        .select("segment").distinct())
+            rest = self.index.segnorms().join(seg_with, "segment",
+                                              "left_anti")
+            res = res.unionByName(
+                rest.groupBy("segment").applyInPandas(
+                    kernel_sn, schema="segment int, docid long,"
+                                      " score float"))
+        res = res.orderBy(F.desc("score"), "segment", "docid").limit(k)
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         return res.withColumn("rank", F.row_number().over(w))
 
