@@ -103,6 +103,42 @@ def _concat_rows(rows: list[dict], term, new_segment: int,
     return out
 
 
+def _balanced_contiguous_groups(segs: list[int], sizes: dict,
+                                m: int) -> list[np.ndarray]:
+    """Contiguous partition of the segments (in segment order) into m
+    groups minimizing the LARGEST group's total doc count — the
+    TieredMergePolicy size-scoring role (candidate merges are scored by
+    skew so one oversized merge never dominates,
+    solr-8.4.0/.../index/TieredMergePolicy.java:88-101,444-539) expressed
+    under this engine's contiguity invariant: merges must preserve global
+    (segment, docid) order so tie order and the SQL oracles stay
+    bit-identical. Exact O(n^2 * m) DP (n = #segments, driver-side)."""
+    n = len(segs)
+    if n <= m:
+        return [np.array([s]) for s in segs] + \
+            [np.array([], dtype=np.int64)] * (m - n)
+    w = np.array([sizes[s] for s in segs], dtype=np.int64)
+    pre = np.concatenate(([0], np.cumsum(w)))
+    INF = float("inf")
+    # best[j][i] = minimal max-group-sum partitioning segs[:i] into j groups
+    best = np.full((m + 1, n + 1), INF)
+    cut = np.zeros((m + 1, n + 1), dtype=np.int64)
+    best[0][0] = 0.0
+    for j in range(1, m + 1):
+        for i in range(j, n + 1):
+            for p in range(j - 1, i):
+                c = max(best[j - 1][p], float(pre[i] - pre[p]))
+                if c < best[j][i]:
+                    best[j][i], cut[j][i] = c, p
+    bounds, i = [], n
+    for j in range(m, 0, -1):
+        bounds.append(i)
+        i = int(cut[j][i])
+    bounds = [0] + bounds[::-1]
+    return [np.array(segs[bounds[j]:bounds[j + 1]])
+            for j in range(m)]
+
+
 def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
                 target_segments: int, salt: int = 1,
                 term_buckets: int = 64) -> IndexSnapshot:
@@ -120,7 +156,7 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     sizes = {r["segment"]: r["cnt"] for r in
              dm.groupBy("segment").agg(F.count("*").alias("cnt")).collect()}
     old_segs = sorted(sizes)
-    groups = np.array_split(np.array(old_segs), target_segments)
+    groups = _balanced_contiguous_groups(old_segs, sizes, target_segments)
     seg_map, base_map, rank_map = {}, {}, {}
     for new_seg, grp in enumerate(groups):
         base = 0

@@ -172,3 +172,31 @@ def test_streaming_incremental_append(spark, tmp_path):
     assert np.array_equal(np.sort(a.score.to_numpy(np.float32)),
                           np.sort(b.score.to_numpy(np.float32)))
     assert Searcher(idx).count(q) == Searcher(full).count(q)
+
+
+def test_balanced_groups_minimize_largest_merge():
+    from lucene_7_x_9_x_spark.operators.merge import (
+        _balanced_contiguous_groups)
+    import numpy as np
+    # heavily skewed sizes: count-balanced split would pair the two big
+    # segments; size-balanced must not
+    segs = [0, 1, 2, 3, 4, 5]
+    sizes = {0: 100, 1: 100, 2: 5000, 3: 4000, 4: 100, 5: 100}
+    groups = _balanced_contiguous_groups(segs, sizes, 3)
+    assert [g.tolist() for g in groups] == [[0, 1], [2], [3, 4, 5]]
+    # contiguity + completeness always hold
+    flat = [s for g in groups for s in g.tolist()]
+    assert flat == segs
+    # optimal max-sum is 5000 (the big segment alone); the count-balanced
+    # split [[0,1],[2,3],[4,5]] would have made a 9000-doc merge
+    mx = max(sum(sizes[s] for s in g.tolist()) for g in groups)
+    assert mx == 5000
+    # brute-force optimality check over all contiguous 3-splits
+    best = min(max(sum(sizes[s] for s in segs[a:b]),
+                   sum(sizes[s] for s in segs[b:c]),
+                   sum(sizes[s] for s in segs[c:]))
+               for a in [0] for b in range(1, 5) for c in range(b + 1, 6))
+    assert mx == best
+    # n <= m: one segment per group + empty tails
+    g2 = _balanced_contiguous_groups([7, 9], {7: 10, 9: 20}, 4)
+    assert [g.tolist() for g in g2] == [[7], [9], [], []]
