@@ -382,7 +382,8 @@ def _emb(spark, sf_dir) -> DataFrame:
 _FORMAT_VERSION = 2
 
 
-def _cache_is_stale(out: str, require_offsets: bool = False) -> bool:
+def _cache_is_stale(out: str, require_offsets: bool = False,
+                    require_sort: str | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -390,6 +391,8 @@ def _cache_is_stale(out: str, require_offsets: bool = False) -> bool:
     with open(mpath) as f:
         m = json.load(f)
     if require_offsets and not m.get("with_offsets"):
+        return True
+    if require_sort is not None and m.get("index_sort") != require_sort:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -444,6 +447,28 @@ def _get_searcher_mf(spark: SparkSession, sf_dir: str):
         build_index(spark, docs, out, id_cols=["doc_id"],
                     text_col="text", segment_by="input",
                     extra_fields=[("head", "head"), ("lang", "lang")])
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+def _get_searcher_sorted(spark: SparkSession, sf_dir: str):
+    """Index built with sort_by="n_chars" (IndexWriterConfig.setIndexSort
+    analogue): docids assigned in (n_chars, doc_id) order, enabling
+    early-terminating sorted top-k (Searcher.sorted_topk)."""
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "sorted")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "sorted_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_sort="n_chars"):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input", sort_by="n_chars")
     s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
@@ -552,6 +577,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of key/hash/row in any order, window width <= 4
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
+
+    def index_sorted_topk(spark, sf):
+        # index-time sort (setIndexSort): docid order == (n_chars, doc_id),
+        # so the sorted top-k reads only the first k docids per segment
+        s = _get_searcher_sorted(spark, sf)
+        r = s.sorted_topk(10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"),
+                        F.col("n_chars").cast("long"))
 
     def span_near_scored_top10(spark, sf):
         # SpanScorer sloppyFreq scoring: slop=1 makes every span weight
@@ -951,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "span_near_scored_top10": span_near_scored_top10,
+        "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
@@ -1199,6 +1234,13 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # index-time sort: global engine order (n_chars, segment, docid)
+        # == (n_chars, doc_id) because segments are doc_id-range-ordered
+        # and within-segment docids sort by (n_chars, doc_id)
+        "index_sorted_topk": """
+            SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                     AS BIGINT) AS rank, doc_id, n_chars
+            FROM documents ORDER BY n_chars, doc_id LIMIT 10""",
         # SpanScorer sloppyFreq (SpanScorer.java:109): per first-term
         # anchor, the greedy next 'hash' occurrence; weight 1/(1+width);
         # weight = summed idfs (SpanWeight.buildSimWeight). slop=1 keeps

@@ -131,6 +131,7 @@ def build_index(
     segment_by: str = "hash",
     extra_fields: list | None = None,
     with_offsets: bool = False,
+    sort_by: str | None = None,
 ) -> IndexSnapshot:
     """One-shot (optionally batched + resumable) index build.
 
@@ -152,6 +153,13 @@ def build_index(
     collection stats (manifest stats.per_field) — the FieldInfos /
     per-field-CollectionStatistics model of the reference
     (solr-8.4.0/.../index/FieldInfos.java, IndexSearcher.java:790-803).
+
+    sort_by: a corpus column to assign docids by WITHIN each segment (ties
+    broken by id_cols) — the index-time sort of the reference
+    (solr-8.4.0/.../index/IndexWriterConfig.java setIndexSort /
+    Sorter.java): Searcher.sorted_topk then early-terminates sort-field
+    top-k queries by reading only the first k docids of each segment.
+    The column is carried in the docmap and recorded in the manifest.
     """
     t_total = time.time()
     cfg = analyzer or AnalyzerConfig()
@@ -170,12 +178,21 @@ def build_index(
                for i, (_, src) in enumerate(extra_fields)]
     xf_inv = [(name, f"__f{i}__")
               for i, (name, _) in enumerate(extra_fields)]
+    col_types = {f.name: f.dataType.simpleString()
+                 for f in corpus.schema.fields}
+    if sort_by is not None and sort_by not in col_types:
+        raise ValueError(f"sort_by column {sort_by!r} not in corpus")
+    # the sort column rides the docmap (an extra stored column) unless it
+    # already is an id column
+    sort_extra = (sort_by is not None and sort_by not in id_cols)
+    dm_fields = id_fields + ([(sort_by, col_types[sort_by])]
+                             if sort_extra else [])
 
     if segment_by == "input":
         if num_batches != 1:
             raise ValueError("batched resume requires segment_by='hash'")
         prepared = corpus.select(
-            *id_cols,
+            *id_cols, *([sort_by] if sort_extra else []),
             F.col(text_col).alias("__text__"), *xf_cols,
             F.sha2(F.col(text_col), 256).alias("content_sha256"),
         )
@@ -186,20 +203,20 @@ def build_index(
         seg_col = F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]),
                          F.lit(num_segments)).cast("int")
         prepared = corpus.select(
-            *id_cols,
+            *id_cols, *([sort_by] if sort_extra else []),
             F.col(text_col).alias("__text__"), *xf_cols,
             F.sha2(F.col(text_col), 256).alias("content_sha256"),
             seg_col.alias("segment"),
         )
 
-    combined_ddl = combined_schema_ddl(id_fields)
+    combined_ddl = combined_schema_ddl(dm_fields)
 
     def _combine(seg: int, pdf: pd.DataFrame) -> pd.DataFrame:
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
             cfg=cfg, with_positions=with_positions, extra_fields=xf_inv,
-            with_offsets=with_offsets)
-        return combine_segment_rows(postings, docmap, id_fields,
+            with_offsets=with_offsets, sort_by=sort_by)
+        return combine_segment_rows(postings, docmap, dm_fields,
                                     [n for n, _ in xf_inv])
 
     def build_combined(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -345,6 +362,7 @@ def build_index(
         "id_fields": id_fields,
         "text_col": text_col,
         "extra_fields": extra_fields,
+        "index_sort": sort_by,
         "num_segments": num_segments,
         "segment_by": segment_by,
         "batches": batches,

@@ -63,7 +63,8 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
                    text_col: str, cfg: AnalyzerConfig,
                    with_positions: bool = True,
                    extra_fields: list | None = None,
-                   with_offsets: bool = False):
+                   with_offsets: bool = False,
+                   sort_by: str | None = None):
     """Build one segment from its documents. Returns (postings_df, docmap_df).
 
     docid = ordinal after a deterministic sort on id_cols (Lucene assigns by
@@ -74,8 +75,14 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
     fields beyond the default one (the per-field FieldInfos model,
     solr-8.4.0/.../index/FieldInfos.java). Each extra field gets its own
     postings rows (field column = name) and its own norm byte per doc
-    (docmap.extra_norms, aligned with extra_fields order)."""
-    pdf = pdf.sort_values(id_cols, kind="mergesort").reset_index(drop=True)
+    (docmap.extra_norms, aligned with extra_fields order).
+
+    sort_by: index-time sort (IndexWriterConfig.setIndexSort analogue) —
+    docids are assigned in (sort_by, id_cols) order so sorted queries can
+    early-terminate; the column is carried as an extra docmap column."""
+    sort_keys = id_cols if sort_by is None else (
+        [sort_by] + [c for c in id_cols if c != sort_by])
+    pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
     char_offs = None
     if with_offsets:
@@ -95,6 +102,8 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
     })
     for c in id_cols:
         docmap[c] = pdf[c].to_numpy()
+    if sort_by is not None and sort_by not in id_cols:
+        docmap[sort_by] = pdf[sort_by].to_numpy()
     docmap["dl"] = dl
     docmap["norm"] = norms.astype(np.int32)
     docmap["content_sha256"] = (

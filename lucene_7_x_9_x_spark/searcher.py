@@ -556,6 +556,38 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def sorted_topk(self, k: int = 10, ascending: bool = True) -> DataFrame:
+        """Early-terminating sort-field top-k over an index built with
+        sort_by=... — the index-time-sort capability of the reference
+        (solr-8.4.0/.../index/IndexWriterConfig.java setIndexSort,
+        Sorter.java; TopFieldCollector.java early termination when the
+        query sort matches the index sort): docids were assigned in sort
+        order, so each segment's top-k IS its first k docids — the scan
+        reads k rows per segment (docid < k pushes down to the docmap
+        parquet, whose files are written sorted by docid, so row-group
+        min/max stats prune the rest) instead of every row.
+
+        Rules mirroring the reference: a descending query does not match
+        the ascending index sort and runs a full scan; an index with
+        uncommitted tombstones also runs a full scan (early termination
+        counts k docids, not k LIVE docs). Returns DataFrame(rank,
+        <id cols>, <sort col>) ordered (sort asc|desc, segment, docid)."""
+        col = self.index.manifest.get("index_sort")
+        if col is None:
+            raise ValueError("index was not built with sort_by=...")
+        dm = self.index.docmap()
+        dels = self.index.deletes()
+        if dels is not None:
+            dm = dm.join(dels, ["segment", "docid"], "left_anti")
+        direction = F.col(col).asc() if ascending else F.col(col).desc()
+        if ascending and dels is None:
+            dm = dm.where(F.col("docid") < k)  # early termination
+        order = [direction, F.col("segment").asc(), F.col("docid").asc()]
+        out = dm.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return (out.withColumn("rank", F.row_number().over(w))
+                .select("rank", *self.index.id_cols, col))
+
     def more_like_this(self, text: str, field: str | None = None,
                        min_term_freq: int = 2, min_doc_freq: int = 5,
                        max_query_terms: int = 25):

@@ -31,6 +31,11 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
                  ) -> None:
     """Append one corpus micro-batch as new segments (no re-finalize)."""
     idx = IndexSnapshot(spark, index_dir)
+    if idx.manifest.get("index_sort"):
+        # sorted-index appends would need the sort column plumbed through
+        # the docmap union; one-shot rebuilds keep the sort invariant
+        raise ValueError("incremental append into a sort_by index is not "
+                         "supported; rebuild with build_index(sort_by=...)")
     cfg = idx.analyzer
     id_cols = idx.id_cols
     id_fields = idx.id_fields
