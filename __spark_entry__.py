@@ -578,6 +578,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
 
+    def span_or_top10(spark, sf):
+        # SpanOrQuery: union of term spans; freq = total occurrences,
+        # weight = summed idfs (vs SynonymQuery's max-df pseudo-term)
+        return _topk_ids(spark, sf, Q.SpanOrQuery(("merge", "stream")), 10)
+
+    def span_first_top10(spark, sf):
+        # SpanFirstQuery: occurrences among the first 20 positions;
+        # freq = qualifying count (integer -> bit-safe scored oracle)
+        return _topk_ids(spark, sf, Q.SpanFirstQuery("filter", 20), 10)
+
     def index_sorted_topk(spark, sf):
         # index-time sort (setIndexSort): docid order == (n_chars, doc_id),
         # so the sorted top-k reads only the first k docids per segment
@@ -985,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "span_near_scored_top10": span_near_scored_top10,
+        "span_or_top10": span_or_top10,
+        "span_first_top10": span_first_top10,
         "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
@@ -1234,6 +1246,47 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # SpanOrQuery: freq = tf_a + tf_b, weight = idf_a + idf_b
+        "span_or_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(ts, t -> t = 'merge')) AS tf_a,
+         len(list_filter(ts, t -> t = 'stream')) AS tf_b FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a,
+               count(*) FILTER (WHERE tf_b > 0) AS df_b FROM tf),
+scored AS (SELECT doc_id,
+    (ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5))
+     + ln(1 + (s.doc_count - d.df_b + 0.5) / (d.df_b + 0.5)))
+      * (tf_a + tf_b)
+      / ((tf_a + tf_b) + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tf_a + tf_b > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        # SpanFirstQuery: freq = occurrences among the first 20 positions
+        "span_first_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(ts[1:20], t -> t = 'filter')) AS tf_p,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_a FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a FROM tf),
+scored AS (SELECT doc_id,
+    ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5)) * tf_p
+      / (tf_p + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tf_p > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         # index-time sort: global engine order (n_chars, segment, docid)
         # == (n_chars, doc_id) because segments are doc_id-range-ordered
         # and within-segment docids sort by (n_chars, doc_id)

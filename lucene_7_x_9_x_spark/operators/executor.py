@@ -27,7 +27,8 @@ from ..functions.bm25 import F32
 from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                            DisjunctionMaxQuery, MatchAllDocsQuery,
                            MatchNoDocsQuery, Occur, PhraseQuery, Query,
-                           SpanNearQuery, SynonymQuery, TermInSetQuery,
+                           SpanFirstQuery, SpanNearQuery, SpanOrQuery,
+                           SynonymQuery, TermInSetQuery,
                            TermQuery, key_field, term_key)
 
 
@@ -268,45 +269,23 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         docids = np.unique(np.concatenate(parts))
         return Matches(docids, np.full(len(docids), b32, dtype=np.float32))
 
-    if isinstance(q, SpanNearQuery):
-        docids, sfreqs = (_span_near_freqs(reader, q) if q.in_order
-                          else _span_near_unordered_freqs(reader, q))
+    if isinstance(q, (SpanNearQuery, SpanOrQuery, SpanFirstQuery)):
+        if isinstance(q, SpanOrQuery):
+            docids, sfreqs = _span_or_freqs(reader, q)
+        elif isinstance(q, SpanFirstQuery):
+            docids, sfreqs = _span_first_freqs(reader, q)
+        elif q.in_order:
+            docids, sfreqs = _span_near_freqs(reader, q)
+        else:
+            docids, sfreqs = _span_near_unordered_freqs(reader, q)
         if len(docids) == 0:
             return Matches.empty()
         if not needs_scores:
             return Matches(docids)
-        # SpanScorer.scoreCurrentDoc (spans/SpanScorer.java:74-76): score
-        # the slop-adjusted freq with the SpanWeight sim scorer, which is
-        # built over the stats of every DISTINCT query term with df > 0
-        # (SpanWeight.buildSimWeight). BM25/Classic sum the per-term idfs
-        # into one weight (BM25Similarity.idfExplain array form); the
-        # SimilarityBase models (LM/DFR/IB/Axiomatic) become a
-        # MultiSimilarity.MultiSimScorer — a float32-accumulated SUM of
-        # per-term scores at the same (freq, norm)
-        # (MultiSimilarity.java MultiSimScorer.score); BooleanSimilarity
-        # scores the boost outright.
-        total_boost = F32(b32 * F32(q.boost))
-        keys = [kk for kk in dict.fromkeys(term_key(q.field, t)
-                                           for t in q.terms)
-                if stats.doc_freqs.get(kk, 0) > 0]
-        norms = _norms_for(reader, q.field)[docids]
-        if stats.similarity == "boolean":
-            scores = np.full(len(docids), total_boost, dtype=np.float32)
-        elif stats._lmd is not None or stats._dfr is not None:
-            acc = np.zeros(len(docids), dtype=np.float32)
-            for kk in keys:  # f32 running sum, query term order
-                acc = acc + stats.pseudo_score(
-                    stats.doc_freqs.get(kk, 0),
-                    stats.total_term_freqs.get(kk, 0), total_boost,
-                    sfreqs, norms, field=q.field)
-            scores = acc
-        else:
-            idf_sum = float(np.sum(np.array(
-                [stats.idf(kk) for kk in keys],
-                dtype=np.float32).astype(np.float64)))
-            w = total_boost * F32(idf_sum)
-            scores = stats.score_arr(sfreqs, norms, w, field=q.field)
-        return Matches(docids, scores)
+        terms = (q.term,) if isinstance(q, SpanFirstQuery) else q.terms
+        return Matches(docids, _span_scores(
+            reader, stats, terms, q.field, docids, sfreqs,
+            F32(b32 * F32(q.boost))))
 
     if isinstance(q, PhraseQuery):
         docids, freqs = _phrase_match(reader, q)
@@ -645,6 +624,76 @@ def _phrase_match(reader, q: PhraseQuery):
     freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(cand))
     m = freqs > 0
     return cand[m], freqs[m].astype(np.int64)
+
+
+def _span_scores(reader, stats: SegmentStats, terms, field,
+                 docids: np.ndarray, sfreqs: np.ndarray,
+                 total_boost: np.float32) -> np.ndarray:
+    """SpanScorer.scoreCurrentDoc (spans/SpanScorer.java:74-76): score the
+    slop-adjusted freq with the SpanWeight sim scorer, which is built over
+    the stats of every DISTINCT query term with df > 0
+    (SpanWeight.buildSimWeight). BM25/Classic sum the per-term idfs into
+    one weight (BM25Similarity.idfExplain array form); the SimilarityBase
+    models (LM/DFR/IB/Axiomatic) become a MultiSimilarity.MultiSimScorer
+    — a float32-accumulated SUM of per-term scores at the same
+    (freq, norm) (MultiSimilarity.java MultiSimScorer.score);
+    BooleanSimilarity scores the boost outright."""
+    keys = [kk for kk in dict.fromkeys(term_key(field, t) for t in terms)
+            if stats.doc_freqs.get(kk, 0) > 0]
+    norms = _norms_for(reader, field)[docids]
+    if stats.similarity == "boolean":
+        return np.full(len(docids), total_boost, dtype=np.float32)
+    if stats._lmd is not None or stats._dfr is not None:
+        acc = np.zeros(len(docids), dtype=np.float32)
+        for kk in keys:  # f32 running sum, query term order
+            acc = acc + stats.pseudo_score(
+                stats.doc_freqs.get(kk, 0),
+                stats.total_term_freqs.get(kk, 0), total_boost,
+                sfreqs, norms, field=field)
+        return acc
+    idf_sum = float(np.sum(np.array(
+        [stats.idf(kk) for kk in keys],
+        dtype=np.float32).astype(np.float64)))
+    w = total_boost * F32(idf_sum)
+    return stats.score_arr(sfreqs, norms, w, field=field)
+
+
+def _span_or_freqs(reader, q) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, freqs) for SpanOrQuery over term spans (spans/
+    SpanOrQuery.java): the union enumeration visits every member
+    occurrence (each a zero-width term span, TermSpans.width() == 0), so
+    sloppyFreq = float32-accumulated sum of 1.0 per occurrence = total
+    occurrence count, duplicates included (each clause contributes its own
+    iterator)."""
+    parts = []
+    for t in q.terms:
+        p = reader.postings(term_key(q.field, t))
+        if p is not None:
+            parts.append(p)
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    docids = np.unique(np.concatenate([p[0] for p in parts]))
+    acc = np.zeros(len(docids), dtype=np.int64)
+    for d, f in parts:
+        np.add.at(acc, np.searchsorted(docids, d), f)
+    # counts are integers: the f32 running sum of 1.0s is exact up to 2^24
+    return docids, acc.astype(np.float32)
+
+
+def _span_first_freqs(reader, q) -> tuple[np.ndarray, np.ndarray]:
+    """(docids, freqs) for SpanFirstQuery over a term span (spans/
+    SpanFirstQuery.java = SpanPositionRangeQuery with start 0: keep spans
+    with end() <= q.end; unit spans end at position+1, so occurrences at
+    positions < q.end qualify). freq = count of qualifying occurrences
+    (zero-width spans, weight 1 each)."""
+    got = _flat_positions(reader, term_key(q.field, q.term))
+    if got is None:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    d, counts, flat = got
+    hits = np.repeat(np.arange(len(d), dtype=np.int64),
+                     counts)[flat < q.end]
+    idx, per = np.unique(hits, return_counts=True)
+    return d[idx], per.astype(np.float32)
 
 
 def _span_freq_f32(ranks: np.ndarray, widths: np.ndarray,

@@ -162,6 +162,36 @@ class SpanNearQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """Union of term spans (solr-8.4.0/.../search/spans/SpanOrQuery.java
+    over SpanTermQuery clauses): matches docs holding ANY member term;
+    sloppyFreq = total occurrence count across clauses (every enumerated
+    span is zero-width, TermSpans.width() == 0, so each weighs 1), scored
+    with the SpanWeight summed-idf weight — which is what distinguishes it
+    from SynonymQuery's max-df pseudo-term."""
+    terms: tuple
+    boost: float = 1.0
+    field: str | None = None
+
+    def __init__(self, terms, boost=1.0, field=None):
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Spans ending within the first `end` positions (solr-8.4.0/.../
+    search/spans/SpanFirstQuery.java = SpanPositionRangeQuery with
+    start 0) over a term span: occurrences at position < end qualify;
+    sloppyFreq = qualifying-occurrence count (zero-width spans)."""
+    term: str
+    end: int
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 
@@ -332,8 +362,11 @@ def scoring_terms(q: Query) -> set:
     default field, (field, term) tuple = named field; see term_key)."""
     if isinstance(q, TermQuery):
         return {term_key(q.field, q.term)}
-    if isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery)):
+    if isinstance(q, (PhraseQuery, SynonymQuery, SpanNearQuery,
+                      SpanOrQuery)):
         return {term_key(q.field, t) for t in q.terms}
+    if isinstance(q, SpanFirstQuery):
+        return {term_key(q.field, q.term)}
     if isinstance(q, TermInSetQuery):
         return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
@@ -369,6 +402,10 @@ def map_fields(q: Query, f) -> Query:
     if isinstance(q, SpanNearQuery):
         return SpanNearQuery(q.terms, q.slop, q.in_order, q.boost,
                              f(q.field))
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(q.terms, q.boost, f(q.field))
+    if isinstance(q, SpanFirstQuery):
+        return SpanFirstQuery(q.term, q.end, q.boost, f(q.field))
     if isinstance(q, FuzzyQuery):
         return FuzzyQuery(q.term, q.max_edits, q.transpositions,
                           q.prefix_length, f(q.field))

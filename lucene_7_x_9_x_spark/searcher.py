@@ -952,7 +952,7 @@ def _contains_matchall(q) -> bool:
 
 
 def _needs_positions(q) -> bool:
-    if isinstance(q, (Q.PhraseQuery, Q.SpanNearQuery)):
+    if isinstance(q, (Q.PhraseQuery, Q.SpanNearQuery, Q.SpanFirstQuery)):
         return True
     if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
         return _needs_positions(q.query)

@@ -175,3 +175,37 @@ def test_span_score_multisim_lm():
                 np.array([freq], np.float32),
                 eng.reader.norms()[docid:docid + 1])[0]
         assert F32(got[docid]) == F32(acc)
+
+
+def test_span_or_freq_and_score():
+    from lucene_7_x_9_x_spark.plans.query import SpanOrQuery
+    docs = [["a", "b", "a"], ["b"], ["q"]]
+    eng = oracle.OracleEngine(*oracle.index_token_lists(docs))
+    m = eng.matches(SpanOrQuery(("a", "b")))
+    st = eng.stats
+    got = dict(zip(m.docids.tolist(), m.scores.tolist()))
+    assert set(got) == {0, 1}
+    idf_sum = F32(float(
+        np.float64(F32(bm25.idf(st.doc_freqs["a"], st.doc_count)))
+        + np.float64(F32(bm25.idf(st.doc_freqs["b"], st.doc_count)))))
+    for docid, freq in [(0, F32(3.0)), (1, F32(1.0))]:
+        want = bm25.score_term(np.array([freq], np.float32),
+                               eng.reader.norms()[docid:docid + 1],
+                               F32(1.0) * idf_sum, st.cache)[0]
+        assert F32(got[docid]) == F32(want)
+
+
+def test_span_first_freq_and_match_set():
+    from lucene_7_x_9_x_spark.plans.query import SpanFirstQuery
+    docs = [["a", "x", "a", "a"], ["x", "x", "x", "a"], ["x"]]
+    eng = oracle.OracleEngine(*oracle.index_token_lists(docs))
+    # end=3: spans must END at <= 3 -> positions 0,1,2 qualify
+    m = eng.matches(SpanFirstQuery("a", 3))
+    st = eng.stats
+    got = dict(zip(m.docids.tolist(), m.scores.tolist()))
+    assert set(got) == {0}  # doc1's only 'a' is at position 3
+    idf = F32(bm25.idf(st.doc_freqs["a"], st.doc_count))
+    want = bm25.score_term(np.array([2.0], np.float32),
+                           eng.reader.norms()[0:1],
+                           F32(1.0) * idf, st.cache)[0]
+    assert F32(got[0]) == F32(want)
