@@ -578,6 +578,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
 
+    def function_score_top10(spark, sf):
+        # FunctionScoreQuery.boostByValue: BM25 score of 'filter' docs
+        # multiplied by the stored dl docvalue
+        s = _get_searcher(spark, sf)
+        r = s.function_score(Q.TermQuery("filter"), value_col="dl",
+                             mode="multiply", k=10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
     def span_or_top10(spark, sf):
         # SpanOrQuery: union of term spans; freq = total occurrences,
         # weight = summed idfs (vs SynonymQuery's max-df pseudo-term)
@@ -997,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_scored_top10": span_near_scored_top10,
         "span_or_top10": span_or_top10,
         "span_first_top10": span_first_top10,
+        "function_score_top10": function_score_top10,
         "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
@@ -1246,6 +1256,25 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # FunctionScoreQuery.boostByValue: bm25(filter) * dl (exact stored
+        # doc length, not the quantized norm)
+        "function_score_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, dl, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, dl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_a FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a FROM tf),
+scored AS (SELECT doc_id,
+    ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5)) * tf_a
+      / (tf_a + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) * dl AS score
+    FROM tf, stats s, dfs d WHERE tf_a > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         # SpanOrQuery: freq = tf_a + tf_b, weight = idf_a + idf_b
         "span_or_top10": f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),

@@ -556,6 +556,37 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def function_score(self, query, value_col: str = "dl",
+                       mode: str = "replace", k: int = 10) -> DataFrame:
+        """FunctionScoreQuery (solr-8.4.0/lucene/queries/src/java/org/
+        apache/lucene/queries/function/FunctionScoreQuery.java): the match
+        set comes from the wrapped query; the score comes from a per-doc
+        numeric DoubleValuesSource — here a stored docmap column (the
+        DoubleValuesSource.fromLongField capability).
+          mode="replace":  score = float32(value)            (constructor)
+          mode="multiply": score = float32(query_score * value)
+                           (FunctionScoreQuery.boostByValue:86-106)
+        The docvalues lookup is a (segment, docid) equi-join against the
+        columnar docmap — value columns are pruned to the one requested.
+        Returns (rank, segment, docid, score, id cols)."""
+        if mode not in ("replace", "multiply"):
+            raise ValueError(f"unknown mode {mode!r}")
+        m = self.matches(query)
+        dm = self.index.docmap().select("segment", "docid",
+                                        *self.index.id_cols, value_col)
+        j = m.join(dm, ["segment", "docid"])
+        if mode == "replace":
+            sc = F.col(value_col).cast("float")
+        else:
+            sc = (F.col("score").cast("double")
+                  * F.col(value_col).cast("double")).cast("float")
+        out = (j.withColumn("score", sc)
+               .orderBy(F.desc("score"), "segment", "docid").limit(k))
+        w = Window.orderBy(F.desc("score"), "segment", "docid")
+        return (out.withColumn("rank", F.row_number().over(w))
+                .select("rank", "segment", "docid", "score",
+                        *self.index.id_cols))
+
     def sorted_topk(self, k: int = 10, ascending: bool = True) -> DataFrame:
         """Early-terminating sort-field top-k over an index built with
         sort_by=... — the index-time-sort capability of the reference

@@ -240,3 +240,27 @@ def test_spark_multi_term_expansion(spark, spark_index):
     searcher = Searcher(idx)
     assert (searcher.count(PrefixQuery("t00"))
             == eng.count(PrefixQuery("t00")))
+
+
+def test_function_score_modes(spark, spark_index):
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    import numpy as np
+    pdf, idx = spark_index
+    s = Searcher(idx)
+    # replace mode: score == float32(dl) of each matching doc
+    rep = s.function_score(TermQuery("h0"), value_col="dl",
+                           mode="replace", k=5).toPandas()
+    dm = idx.docmap().select("segment", "docid", "dl").toPandas()
+    dl_of = {(r.segment, r.docid): r.dl for r in dm.itertuples()}
+    for r in rep.itertuples():
+        assert np.float32(r.score) == np.float32(
+            dl_of[(r.segment, r.docid)])
+    # multiply mode: score == float32(query_score * dl)
+    base = s.search(TermQuery("h0"), 1000).toPandas()
+    mul = s.function_score(TermQuery("h0"), value_col="dl",
+                           mode="multiply", k=5).toPandas()
+    base_sc = {(r.segment, r.docid): r.score for r in base.itertuples()}
+    for r in mul.itertuples():
+        want = np.float32(np.float64(base_sc[(r.segment, r.docid)])
+                          * float(dl_of[(r.segment, r.docid)]))
+        assert np.float32(r.score) == want
