@@ -578,6 +578,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
 
+    def percolate(spark, sf):
+        # monitor module (reverse search): registered queries vs the
+        # document stream; one row per (query_id, matching doc)
+        from lucene_7_x_9_x_spark.streaming.monitor import percolate as P
+        qs = {
+            "q_term": T("filter"),
+            "q_conj": Q.BooleanQuery([(O.MUST, T("group")),
+                                      (O.MUST, T("query"))]),
+            "q_phrase": Q.PhraseQuery(["the", "fast"]),
+            "q_not": Q.BooleanQuery([(O.MUST, Q.MatchAllDocsQuery()),
+                                     (O.MUST_NOT, T("the"))]),
+        }
+        return P(_docs(spark, sf), qs).select(
+            "query_id", F.col("doc_id").cast("long"))
+
     def function_score_top10(spark, sf):
         # FunctionScoreQuery.boostByValue: BM25 score of 'filter' docs
         # multiplied by the stored dl docvalue
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_top10": span_or_top10,
         "span_first_top10": span_first_top10,
         "function_score_top10": function_score_top10,
+        "percolate": percolate,
         "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
@@ -1256,6 +1272,21 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # percolation: each registered query contributes its match set
+        "percolate": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents)
+SELECT 'q_term' AS query_id, doc_id FROM t
+  WHERE list_contains(ts, 'filter')
+UNION ALL
+SELECT 'q_conj', doc_id FROM t
+  WHERE list_contains(ts, 'group') AND list_contains(ts, 'query')
+UNION ALL
+SELECT 'q_phrase', doc_id FROM t
+  WHERE len(list_filter(range(1, len(ts)),
+        i -> ts[i] = 'the' AND ts[i+1] = 'fast')) > 0
+UNION ALL
+SELECT 'q_not', doc_id FROM t
+  WHERE NOT list_contains(ts, 'the')""",
         # FunctionScoreQuery.boostByValue: bm25(filter) * dl (exact stored
         # doc length, not the quantized norm)
         "function_score_top10": f"""

@@ -1,0 +1,104 @@
+"""Query monitoring / percolation — the reference monitor module's core
+capability (solr-8.4.0/lucene/monitor/src/java/org/apache/lucene/monitor/
+Monitor.java: register queries once, stream documents through
+Monitor.match(), report which registered queries match each document —
+reverse search / alerting).
+
+Spark-first shape: queries are the SMALL side and documents the big side —
+the opposite of normal search — so the registered query set is BROADCAST,
+and each input partition builds a short-lived in-memory index of its batch
+(the MemoryIndex / DocumentBatch.of model, monitor/DocumentBatch.java) and
+evaluates queries against it via the shared executor. A
+TermFilteredPresearcher-style prefilter (monitor/TermFilteredPresearcher.java
+capability) skips queries none of whose terms appear in the batch
+vocabulary: with many registered queries, only those sharing vocabulary
+with a batch are evaluated at all.
+
+Works identically on batch and streaming DataFrames (percolation is
+per-document stateless, so mapInPandas needs no state store); for streams,
+feed the result straight to writeStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions.analysis import AnalyzerConfig
+from ..plans import query as Q
+
+
+def _query_terms(q) -> set:
+    """Every term key the query references (scoring + filter + must_not
+    context): the presearcher may only skip a query if NO term of the
+    batch could let it match, so MUST_NOT terms don't count toward the
+    requirement — a query with only MUST_NOT clauses and a MatchAll can
+    match term-free docs and is never skipped (handled by the matchall
+    check)."""
+    out = Q.scoring_terms(q)
+    if isinstance(q, Q.BooleanQuery):
+        for c in q.clauses:
+            if c.occur in (Q.Occur.MUST, Q.Occur.SHOULD, Q.Occur.FILTER):
+                out |= _query_terms(c.query)
+    return out
+
+
+def _contains_matchall(q) -> bool:
+    if isinstance(q, Q.MatchAllDocsQuery):
+        return True
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return _contains_matchall(q.query)
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return any(_contains_matchall(s) for s in q.queries)
+    if isinstance(q, Q.BooleanQuery):
+        return any(_contains_matchall(c.query) for c in q.clauses)
+    return False
+
+
+def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
+              text_col: str = "text",
+              analyzer: AnalyzerConfig | None = None) -> DataFrame:
+    """Match every registered query against every document: returns
+    DataFrame(query_id string, <id_col>) with one row per (query, matching
+    doc). `queries` maps query_id -> a term-based Query tree (queries
+    needing dictionary rewrites — wildcard/fuzzy/prefix — must be
+    rewritten against a real index first; the reference Monitor likewise
+    decomposes queries at registration time, monitor/QueryDecomposer.java).
+
+    Matching only (ScoreMode.COMPLETE_NO_SCORES): the reference's
+    Monitor.match with QueryMatch.SIMPLE_MATCHER."""
+    qitems = sorted(queries.items())
+    for qid, q in qitems:
+        if Q.scoring_terms(q) == set() and not _contains_matchall(q) \
+                and not isinstance(q, Q.MatchNoDocsQuery):
+            raise ValueError(
+                f"query {qid!r} has no terms and no MatchAll — rewrite "
+                "dictionary-dependent queries before registering")
+    bc = docs.sparkSession.sparkContext.broadcast(qitems)
+    cfg = analyzer
+
+    def run(batches):
+        import pandas as pd
+        from ..oracle import index_corpus
+        from ..operators.executor import evaluate
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            reader, stats = index_corpus(pdf, text_col=text_col, cfg=cfg)
+            vocab = set(reader.terms())
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i = [], []
+            for qid, q in bc.value:
+                need = _query_terms(q)
+                if need and not (need & vocab) \
+                        and not _contains_matchall(q):
+                    continue  # presearcher skip
+                m = evaluate(reader, stats, q, needs_scores=False)
+                if len(m.docids):
+                    out_q.extend([qid] * len(m.docids))
+                    out_i.extend(ids[m.docids].tolist())
+            yield pd.DataFrame({"query_id": out_q, id_col: out_i})
+
+    id_type = dict((f.name, f.dataType.simpleString())
+                   for f in docs.schema.fields)[id_col]
+    return (docs.select(id_col, text_col)
+            .mapInPandas(run, schema=f"query_id string, {id_col} {id_type}"))

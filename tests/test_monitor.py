@@ -1,0 +1,89 @@
+"""Percolation (the monitor module's Monitor.match capability): registered
+queries vs streamed documents, batch == streaming, presearcher skip
+correctness."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_7_x_9_x_spark.streaming.monitor import percolate
+from lucene_7_x_9_x_spark.plans.query import (BooleanQuery,
+                                              MatchAllDocsQuery, Occur,
+                                              PhraseQuery, SpanNearQuery,
+                                              TermQuery)
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = {
+    "q_term": TermQuery("filter"),
+    "q_conj": BooleanQuery([(Occur.MUST, TermQuery("group")),
+                            (Occur.MUST, TermQuery("query"))]),
+    "q_phrase": PhraseQuery(["the", "fast"]),
+    "q_not": BooleanQuery([(Occur.MUST, MatchAllDocsQuery()),
+                           (Occur.MUST_NOT, TermQuery("the"))]),
+    "q_span": SpanNearQuery(("key", "hash"), slop=3),
+}
+
+
+def _expected(docs_pdf):
+    import re
+    out = set()
+    for r in docs_pdf.itertuples():
+        toks = [t for t in re.split(r"[^a-z0-9_]+", r.text.lower()) if t]
+        s = set(toks)
+        if "filter" in s:
+            out.add(("q_term", r.doc_id))
+        if "group" in s and "query" in s:
+            out.add(("q_conj", r.doc_id))
+        if any(a == "the" and b == "fast"
+               for a, b in zip(toks, toks[1:])):
+            out.add(("q_phrase", r.doc_id))
+        if "the" not in s:
+            out.add(("q_not", r.doc_id))
+        pk = [i for i, t in enumerate(toks) if t == "key"]
+        ph = [i for i, t in enumerate(toks) if t == "hash"]
+        if any(0 < h - k <= 4 for k in pk for h in ph):
+            out.add(("q_span", r.doc_id))
+    return out
+
+
+def test_percolate_matches_bruteforce(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate(docs, QUERIES).collect()}
+    want = _expected(docs.select("doc_id", "text").toPandas())
+    assert got == want
+
+
+def test_percolate_presearcher_skips_but_stays_exact(spark):
+    # a query whose vocabulary is absent from the corpus is skipped by the
+    # prefilter and (equivalently) matches nothing
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    qs = {"gone": TermQuery("zzqqxxnotaterm"), "there": TermQuery("filter")}
+    got = percolate(docs, qs).groupBy("query_id").count().collect()
+    counts = {r["query_id"]: r["count"] for r in got}
+    assert "gone" not in counts and counts["there"] > 0
+
+
+def test_percolate_rejects_unrewritten_queries(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    from lucene_7_x_9_x_spark.plans.query import PrefixQuery
+    with pytest.raises(ValueError, match="rewrite"):
+        percolate(docs, {"p": PrefixQuery("fil")})
+
+
+def test_percolate_streaming_equals_batch(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema).parquet(src))
+    out = percolate(stream, QUERIES)
+    q = (out.writeStream.format("memory").queryName("perc")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["query_id"], r["doc_id"])
+           for r in spark.sql("SELECT * FROM perc").collect()}
+    want = {(r["query_id"], r["doc_id"])
+            for r in percolate(docs, QUERIES).collect()}
+    assert got == want
