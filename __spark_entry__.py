@@ -578,6 +578,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
 
+    def block_join_top10(spark, sf):
+        # ToParentBlockJoinQuery (join module): children matching 'filter'
+        # roll up to parent doc_id DIV 10 with ScoreMode.Total
+        s = _get_searcher(spark, sf)
+        r = s.to_parent_join(T("filter"),
+                             F.expr("doc_id DIV 10"), "total", 10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("parent").cast("long"),
+                        F.col("child_hits").cast("long"))
+
     def percolate(spark, sf):
         # monitor module (reverse search): registered queries vs the
         # document stream; one row per (query_id, matching doc)
@@ -1023,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_top10": span_first_top10,
         "function_score_top10": function_score_top10,
         "percolate": percolate,
+        "block_join_top10": block_join_top10,
         "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
@@ -1272,6 +1283,27 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # block join: per-doc bm25('filter') summed per parent bucket
+        "block_join_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_a FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a FROM tf),
+scored AS (SELECT doc_id // 10 AS parent,
+    ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5)) * tf_a
+      / (tf_a + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tf_a > 0),
+rolled AS (SELECT parent, sum(score) AS score,
+                  count(*) AS child_hits
+           FROM scored GROUP BY parent)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, parent) AS BIGINT)
+         AS rank, parent, child_hits
+FROM rolled ORDER BY score DESC, parent LIMIT 10""",
         # percolation: each registered query contributes its match set
         "percolate": f"""
 WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents)

@@ -556,6 +556,44 @@ class Searcher:
         """TotalHitCountCollector analogue (exact count)."""
         return self._run(query, None, "complete").count()
 
+    def to_parent_join(self, child_query, parent, score_mode: str = "total",
+                       k: int = 10) -> DataFrame:
+        """ToParentBlockJoinQuery analogue (solr-8.4.0/lucene/join/src/java/
+        org/apache/lucene/search/join/ToParentBlockJoinQuery.java:350-386):
+        match children, roll their scores up to parents with the join
+        ScoreMode (Total/Max/Min/Avg accumulate in double, final float
+        cast; None scores 0). `parent` is a docmap column name or a
+        Column expression over docmap columns (the BitSetProducer's
+        parent-identification role — here parentage is a stored attribute,
+        not block adjacency, which is the Spark-native equivalent of the
+        reference's index-time parent blocks). Returns
+        DataFrame(rank, parent, score, child_hits) ordered
+        (score desc, parent asc)."""
+        aggs = {"total": F.sum, "max": F.max, "min": F.min, "avg": F.avg}
+        if score_mode not in aggs and score_mode != "none":
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        m = self._run(child_query, None, "complete")
+        dm = self.index.docmap().select("segment", "docid",
+                                        *self.index.id_cols)
+        pcol = parent if not isinstance(parent, str) else F.col(parent)
+        j = (m.join(dm, ["segment", "docid"])
+             .withColumn("parent", pcol))
+        if score_mode == "none":
+            out = (j.groupBy("parent")
+                   .agg(F.count("*").alias("child_hits"))
+                   .withColumn("score", F.lit(0.0).cast("float")))
+            order = [F.col("parent").asc()]
+        else:
+            out = (j.groupBy("parent")
+                   .agg(aggs[score_mode](F.col("score").cast("double"))
+                        .cast("float").alias("score"),
+                        F.count("*").alias("child_hits")))
+            order = [F.desc("score"), F.col("parent").asc()]
+        out = out.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return (out.withColumn("rank", F.row_number().over(w))
+                .select("rank", "parent", "score", "child_hits"))
+
     def function_score(self, query, value_col: str = "dl",
                        mode: str = "replace", k: int = 10) -> DataFrame:
         """FunctionScoreQuery (solr-8.4.0/lucene/queries/src/java/org/

@@ -264,3 +264,32 @@ def test_function_score_modes(spark, spark_index):
         want = np.float32(np.float64(base_sc[(r.segment, r.docid)])
                           * float(dl_of[(r.segment, r.docid)]))
         assert np.float32(r.score) == want
+
+
+def test_to_parent_block_join_modes(spark, spark_index):
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from pyspark.sql import functions as F
+    import numpy as np
+    pdf, idx = spark_index
+    s = Searcher(idx)
+    child = s.search(TermQuery("h0"), 10_000).toPandas()
+    # parent = docid DIV 4 within each segment (arbitrary but deterministic)
+    parent_of = {(r.segment, r.docid): r.docid // 4
+                 for r in child.itertuples()}
+    for mode, combine in [("total", sum), ("max", max), ("min", min),
+                          ("avg", lambda xs: sum(xs) / len(xs))]:
+        got = s.to_parent_join(TermQuery("h0"), F.expr("docid DIV 4"),
+                               mode, 5).toPandas()
+        by_parent = {}
+        for r in child.itertuples():
+            by_parent.setdefault(r.docid // 4, []).append(
+                np.float64(np.float32(r.score)))
+        want = sorted(((np.float32(combine(v)), -p, p, len(v))
+                       for p, v in by_parent.items()),
+                      key=lambda x: (-x[0], x[2]))[:5]
+        for row, (sc, _, p, hits) in zip(got.itertuples(), want):
+            assert (row.parent, row.child_hits) == (p, hits)
+            assert np.float32(row.score) == sc
+    none = s.to_parent_join(TermQuery("h0"), F.expr("docid DIV 4"),
+                            "none", 5).toPandas()
+    assert (none.score == 0).all()
