@@ -195,6 +195,16 @@ def main():
     from lucene_7_x_9_x_spark.functions.highlight import highlight_snippets
     timed("highlight", lambda: highlight_snippets(
         docs, ["filter", "join"]).count())
+    from lucene_7_x_9_x_spark.streaming.monitor import percolate
+    timed("percolate_4q", lambda: percolate(docs, {
+        "q_term": TermQuery("filter"),
+        "q_conj": BooleanQuery([(Occur.MUST, TermQuery("group")),
+                                (Occur.MUST, TermQuery("query"))]),
+        "q_phrase": PhraseQuery(["the", "fast"]),
+        "q_not": BooleanQuery(
+            [(Occur.MUST, TermQuery("join")),
+             (Occur.MUST_NOT, TermQuery("window"))]),
+    }).count())
 
     total = round(time.time() - t_all, 3)
     result = {
