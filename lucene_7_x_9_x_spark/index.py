@@ -421,6 +421,116 @@ def _dir_bytes(d: str) -> int:
     return total
 
 
+def check_index(spark: SparkSession, index: IndexSnapshot) -> dict:
+    """Structural invariant verification — the CheckIndex analogue
+    (solr-8.4.0/lucene/core/src/java/org/apache/lucene/index/
+    CheckIndex.java: cross-check every index structure against every
+    other). All checks are relational aggregations over the index tables
+    (no decode of block payloads, which the codec roundtrip tests own):
+
+      terms_match     global terms table == postings re-aggregation
+                      (term dict vs postings cross-check, checkFields)
+      stats_match     manifest collection stats == docmap aggregation
+      docids_dense    per segment: docids are exactly 0..count-1
+      segnorms_match  per (segment): norms blob length == segnorms max_doc
+                      == docmap count (checkNorms)
+      blockmeta_match per postings row: doc_freq == sum(block_ns)
+                      (postings metadata self-consistency)
+      deletes_valid   every tombstone points at an existing (segment,docid)
+
+    Returns {check: bool, ..., "clean": bool}. A False anywhere means the
+    index is structurally corrupt (CheckIndex.Status.clean analogue)."""
+    out: dict = {}
+    post = index.postings()
+    if "field" not in post.columns:
+        post = post.withColumn("field", F.lit(None).cast("string"))
+    # NULL field (the default field) must join as a key: coalesce to a
+    # sentinel, since SQL join equality never matches null == null
+    fkey = F.coalesce(F.col("field"), F.lit("\x00")).alias("fkey")
+    agg = (post.groupBy(fkey, "term")
+           .agg(F.sum("doc_freq").alias("df2"),
+                F.sum("total_term_freq").alias("ttf2")))
+    t = index.terms()
+    if "field" not in t.columns:
+        t = t.withColumn("field", F.lit(None).cast("string"))
+    t = t.select(fkey, "term", "doc_freq", "total_term_freq")
+    mism = (t.join(agg, ["fkey", "term"], "full_outer")
+            .where(F.col("doc_freq").isNull() | F.col("df2").isNull()
+                   | (F.col("doc_freq") != F.col("df2"))
+                   | (F.col("total_term_freq") != F.col("ttf2"))).count())
+    out["terms_match"] = mism == 0
+
+    dm = index.docmap()
+    row = dm.agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("dc"),
+                 F.sum("dl").alias("sttf")).collect()[0]
+    s = index.stats
+    out["stats_match"] = (
+        int(row["n"]) == s["max_doc"]
+        and int(row["dc"] or 0) == s["doc_count"]
+        and int(row["sttf"] or 0) == s["sum_total_term_freq"])
+
+    seg = (dm.groupBy("segment")
+           .agg(F.count("*").alias("n"), F.min("docid").alias("lo"),
+                F.max("docid").alias("hi"),
+                F.countDistinct("docid").alias("nd")))
+    out["docids_dense"] = seg.where(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+        | (F.col("nd") != F.col("n"))).count() == 0
+
+    sn = index.segnorms().where(F.col("field").isNull()
+                                if "field" in index.segnorms().columns
+                                else F.lit(True))
+    snj = (sn.select("segment", "max_doc", F.length("norms").alias("nb"))
+           .join(seg.select("segment", "n"), "segment", "full_outer"))
+    out["segnorms_match"] = snj.where(
+        F.col("max_doc").isNull() | F.col("n").isNull()
+        | (F.col("max_doc") != F.col("n"))
+        | (F.col("nb") != F.col("n"))).count() == 0
+
+    out["blockmeta_match"] = post.where(
+        F.aggregate("block_ns", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x) != F.col("doc_freq")).count() == 0
+
+    dels = index.deletes()
+    if dels is None:
+        out["deletes_valid"] = True
+    else:
+        out["deletes_valid"] = dels.join(
+            dm.select("segment", "docid"), ["segment", "docid"],
+            "left_anti").count() == 0
+
+    out["clean"] = all(out.values())
+    return out
+
+
+def replicate(spark: SparkSession, index: IndexSnapshot,
+              dest_dir: str) -> "IndexSnapshot":
+    """Snapshot replication — the replicator module's capability
+    (solr-8.4.0/lucene/replicator/: copy a COMMITTED point-in-time
+    revision to a replica such that the replica is never visible in a
+    half-copied state). Files are copied first; the manifest is written
+    LAST with an atomic rename, so a reader of dest_dir either sees
+    nothing (no manifest) or the complete replica — the same
+    commit-ordering rule the builder itself uses (segments_N analogue)."""
+    import shutil
+    os.makedirs(dest_dir, exist_ok=True)
+    skip = {MANIFEST}
+    for name in sorted(os.listdir(index.root)):
+        if name in skip or name == "checkpoints":
+            continue
+        src = os.path.join(index.root, name)
+        dst = os.path.join(dest_dir, name)
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+    manifest = dict(index.manifest)
+    manifest["replicated_from"] = index.root
+    _atomic_write_json(os.path.join(dest_dir, MANIFEST), manifest)
+    return IndexSnapshot(spark, dest_dir)
+
+
 def verify_integrity(spark: SparkSession, index: IndexSnapshot,
                      corpus: DataFrame, text_col: str | None = None) -> int:
     """Re-verify sha256(content) of every indexed doc against the source
