@@ -790,6 +790,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (docs.join(ids, "doc_id").groupBy("lang")
                 .agg(F.count("*").cast("long").alias("cnt")))
 
+    def facet_drill_sideways(spark, sf):
+        # DrillSideways: drill-down lang=en AND source=src1; each dim's
+        # sidebar counts exclude its OWN filter but keep the other's
+        from lucene_7_x_9_x_spark.functions.facets import drill_sideways
+        s = _get_searcher(spark, sf)
+        m = s.matches(T("filter"))
+        docvals = (s.index.docmap()
+                   .select("segment", "docid",
+                           F.col("doc_id").cast("long").alias("doc_id"))
+                   .join(_docs(spark, sf)
+                         .select(F.col("doc_id").cast("long"),
+                                 "lang", "source"), "doc_id"))
+        return drill_sideways(m, docvals,
+                              {"lang": "en", "source": "src1"})
+
     def facet_range(spark, sf):
         # LongRangeFacetCounts analogue: dl histogram over matching docs
         from lucene_7_x_9_x_spark.functions.facets import range_facets
@@ -1055,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": grouped_topk,
         "facet_lang": facet_lang,
         "facet_range": facet_range,
+        "facet_drill_sideways": facet_drill_sideways,
         "collection_stats": collection_stats,
         "norms": norms,
         "term_stats": term_stats,
@@ -1581,6 +1597,17 @@ WHERE rank <= 2""",
             SELECT lang, CAST(count(*) AS BIGINT) AS cnt
             FROM (SELECT doc_id, lang, {TOKS} AS ts FROM documents)
             WHERE list_contains(ts, 'filter') GROUP BY lang""",
+        "facet_drill_sideways": f"""
+            WITH m AS (SELECT doc_id, lang, source FROM
+                       (SELECT doc_id, lang, source, {TOKS} AS ts
+                        FROM documents)
+                       WHERE list_contains(ts, 'filter'))
+            SELECT 'lang' AS dim, lang AS value,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM m WHERE source = 'src1' GROUP BY lang
+            UNION ALL
+            SELECT 'source', source, CAST(count(*) AS BIGINT)
+            FROM m WHERE lang = 'en' GROUP BY source""",
         "facet_range": f"""
             WITH m AS (SELECT len({TOKS}) AS dl FROM documents
                        WHERE list_contains({TOKS}, 'filter'))

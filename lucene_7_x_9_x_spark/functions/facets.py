@@ -48,6 +48,39 @@ def range_facets(matches: DataFrame, docmap: DataFrame, field: str,
         f"stack({len(ranges)}, {stack_args}) AS (range_label, cnt)")
 
 
+def drill_sideways(matches: DataFrame, docvals: DataFrame, dims: dict,
+                   top_n: int | None = None) -> DataFrame:
+    """DrillSideways (solr-8.4.0/lucene/facet/src/java/org/apache/lucene/
+    facet/DrillSideways.java): given a base match set and per-dimension
+    drill-down selections {dim_field: selected_value}, compute each
+    dimension's facet counts over the docs matching the base query AND
+    every OTHER dimension's filter — the selected dimension's own filter
+    is excluded, so its sidebar still shows the counts of the
+    alternatives. matches = (segment, docid) rows (one base-query pass);
+    docvals = per-doc attribute frame (segment, docid, <dim columns>) —
+    typically the docmap, optionally joined with source-table columns.
+    Per-dimension counting is a broadcast join + groupBy; the dims'
+    predicates are plain column filters that push down to docvals' scan.
+    Returns (dim, value, cnt) ordered (dim, cnt desc, value)."""
+    m = F.broadcast(matches.select("segment", "docid"))
+    base = docvals.join(m, ["segment", "docid"])
+    outs = []
+    for dim in sorted(dims):
+        side = base
+        for other, val in sorted(dims.items()):
+            if other != dim:
+                side = side.where(F.col(other) == val)
+        c = (side.groupBy(F.col(dim).cast("string").alias("value"))
+             .agg(F.count("*").cast("long").alias("cnt"))
+             .select(F.lit(dim).alias("dim"), "value", "cnt"))
+        outs.append(c.orderBy(F.desc("cnt"), "value").limit(top_n)
+                    if top_n else c)
+    out = outs[0]
+    for c in outs[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("dim", F.desc("cnt"), "value")
+
+
 def top_hits_per_group(scored: DataFrame, meta: DataFrame,
                        join_cols: list, group_col: str,
                        k_per_group: int = 2) -> DataFrame:

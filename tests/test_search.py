@@ -293,3 +293,29 @@ def test_to_parent_block_join_modes(spark, spark_index):
     none = s.to_parent_join(TermQuery("h0"), F.expr("docid DIV 4"),
                             "none", 5).toPandas()
     assert (none.score == 0).all()
+
+
+def test_drill_sideways_excludes_own_dim(spark, spark_index):
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.functions.facets import drill_sideways
+    from pyspark.sql import functions as F
+    pdf, idx = spark_index
+    s = Searcher(idx)
+    m = s.matches(TermQuery("h0"))
+    # synthesize two dims from the docmap: parity and dl bucket
+    docvals = idx.docmap().select(
+        "segment", "docid",
+        (F.col("docid") % 2).cast("string").alias("parity"),
+        (F.col("dl") > 40).cast("string").alias("big"))
+    out = drill_sideways(m, docvals, {"parity": "0", "big": "true"})
+    got = {(r["dim"], r["value"]): r["cnt"] for r in out.collect()}
+    md = m.join(docvals, ["segment", "docid"]).toPandas()
+    want = {}
+    for r in md.itertuples():
+        if r.big == "true":          # parity sidebar: big filter only
+            k = ("parity", r.parity)
+            want[k] = want.get(k, 0) + 1
+        if r.parity == "0":          # big sidebar: parity filter only
+            k = ("big", r.big)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
