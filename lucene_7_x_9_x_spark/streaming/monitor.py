@@ -100,5 +100,13 @@ def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
 
     id_type = dict((f.name, f.dataType.simpleString())
                    for f in docs.schema.fields)[id_col]
-    return (docs.select(id_col, text_col)
-            .mapInPandas(run, schema=f"query_id string, {id_col} {id_type}"))
+    src = docs.select(id_col, text_col)
+    if not docs.isStreaming:
+        # single-file corpora scan as ONE partition (the repo's documented
+        # CollapseProject/single-partition landmine): spread the per-batch
+        # indexing across cores. Streaming sources keep their micro-batch
+        # partitioning (repartition would force a shuffle per batch).
+        src = src.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(run,
+                           schema=f"query_id string, {id_col} {id_type}")
