@@ -578,6 +578,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(spark, sf, Q.SpanNearQuery(
             ["key", "hash", "row"], slop=4, in_order=False))
 
+    def spell_correct(spark, sf):
+        # DirectSpellChecker: corrections for the misspelling 'fitler'
+        # from the index's own dictionary (OSA distance, score =
+        # 1 - d/min(len), ordered score desc, df desc, term asc)
+        s = _get_searcher(spark, sf)
+        rows = s.spell_correct("fitler", num_sug=5)
+        data = [(i + 1, r["term"], r["doc_freq"])
+                for i, r in enumerate(rows)]
+        return spark.createDataFrame(
+            data, "rank long, term string, doc_freq long")
+
     def block_join_top10(spark, sf):
         # ToParentBlockJoinQuery (join module): children matching 'filter'
         # roll up to parent doc_id DIV 10 with ScoreMode.Total
@@ -1049,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_top10": function_score_top10,
         "percolate": percolate,
         "block_join_top10": block_join_top10,
+        "spell_correct": spell_correct,
         "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
@@ -1299,6 +1311,25 @@ def oracle_sql() -> dict[str, str]:
                       len(list_filter(pc, p3 ->
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
+        # DirectSpellChecker: candidates share the first char (prefix =
+        # max(minPrefix, maxEdits-1) = 1), OSA distance <= 2
+        # (damerau_levenshtein), score = 1 - d/min(len) >= 0.5
+        "spell_correct": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+dfs AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM ex GROUP BY t),
+cand AS (SELECT term, df, damerau_levenshtein(term, 'fitler') AS d
+         FROM dfs
+         WHERE substr(term, 1, 1) = 'f' AND term <> 'fitler'
+           AND len(term) BETWEEN 4 AND 8
+           AND damerau_levenshtein(term, 'fitler') <= 2
+           AND 1.0 - damerau_levenshtein(term, 'fitler')
+               / least(6.0, len(term)) >= 0.5)
+SELECT CAST(row_number() OVER (ORDER BY 1.0 - d / least(6.0, len(term))
+         DESC, df DESC, term) AS BIGINT) AS rank,
+       term, CAST(df AS BIGINT) AS doc_freq
+FROM cand
+ORDER BY 1.0 - d / least(6.0, len(term)) DESC, df DESC, term LIMIT 5""",
         # block join: per-doc bm25('filter') summed per parent bucket
         "block_join_top10": f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),

@@ -716,6 +716,62 @@ class Searcher:
         return (t.withColumn("rank", F.row_number().over(w))
                 .select("rank", "term", "weight"))
 
+    def spell_correct(self, term: str, num_sug: int = 5,
+                      max_edits: int = 2, min_prefix: int = 1,
+                      accuracy: float = 0.5,
+                      mode: str = "not_in_index",
+                      field: str | None = None) -> list[dict]:
+        """DirectSpellChecker.suggestSimilar (solr-8.4.0/lucene/suggest/
+        src/java/org/apache/lucene/search/spell/DirectSpellChecker.java:
+        317-384): spelling corrections drawn from the index's own term
+        dictionary. Candidates share the first max(minPrefix, maxEdits-1)
+        characters and lie within maxEdits OSA (transposition-counting)
+        edits — the FuzzyTermsEnum enumeration; each scores
+        1 - d / min(len(term), len(candidate)) (the internal Levenshtein
+        distance score) and must clear `accuracy`. mode="not_in_index"
+        (SUGGEST_WHEN_NOT_IN_INDEX, the default) returns [] when the term
+        itself is indexed; "always" suggests regardless. Results are
+        ordered (score desc, doc_freq desc, term asc) — the
+        SuggestWordQueue default comparator. Returns
+        [{"term", "score", "doc_freq"}].
+
+        The candidate walk is a pruned scan of the sorted terms dictionary
+        (prefix startswith + length window + JVM levenshtein pre-filter,
+        exact OSA verify driver-side) — the same shape as fuzzy-query
+        expansion; maxInspections-style candidate caps are unnecessary
+        because the scan is bounded by the dictionary slice."""
+        if field is not None and field == self._default_field:
+            field = None
+        key = term_key(field, term)
+        stats = self._global_stats({key})
+        if mode == "not_in_index" and stats.doc_freqs.get(key, 0) > 0:
+            return []
+        prefix = term[:max(min_prefix, max_edits - 1)]
+        t = self._terms_src
+        if self._has_field_col:
+            t = t.where(F.col("field").isNull() if field is None
+                        else (F.col("field") == field))
+        c = F.col("term")
+        if prefix:
+            t = t.where(c.startswith(prefix))
+        t = t.where((F.length(c) >= len(term) - max_edits)
+                    & (F.length(c) <= len(term) + max_edits)
+                    & (c != term)
+                    & (F.levenshtein(c, F.lit(term)) <= 2 * max_edits))
+        rows = t.select("term", "doc_freq").collect()
+        out = []
+        for r in rows:
+            d = _osa_distance(r.term, term)
+            if d > max_edits:
+                continue
+            score = 1.0 - d / min(len(term), len(r.term))
+            if score < accuracy:
+                continue
+            out.append({"term": r.term, "score": float(np.float32(score)),
+                        "doc_freq": int(r.doc_freq)})
+        out.sort(key=lambda s: (-s["score"], -s["doc_freq"], s["term"]))
+        return out[:num_sug]
+
     def search_many(self, queries: dict, k: int = 10) -> DataFrame:
         """Batched top-k for MANY queries in ONE Spark job — the query-
         throughput path: per-query driver/scheduling overhead is amortized

@@ -98,3 +98,29 @@ def test_osa_distance():
     assert _osa_distance("abc", "abc") == 0
     assert _osa_distance("ab", "") == 2
     assert _osa_distance("ca", "abc") == 3  # OSA (unrestricted DL gives 2)
+
+
+def test_spell_correct_direct_spellchecker(spark):
+    """DirectSpellChecker semantics: suggestions for a misspelling from
+    the index's own dictionary; not_in_index mode returns [] for an
+    indexed term; scores are 1 - d/min(len)."""
+    import os
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    import tempfile
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    idx = build_index(spark, docs, tempfile.mkdtemp() + "/i",
+                      id_cols=["doc_id"], text_col="text", num_segments=2)
+    s = Searcher(idx)
+    sug = s.spell_correct("fitler")
+    assert sug and sug[0]["term"] == "filter"
+    assert abs(sug[0]["score"] - (1 - 1 / 6)) < 1e-6  # one transposition
+    # an indexed term gets no suggestions in the default mode...
+    assert s.spell_correct("filter") == []
+    # ...unless mode="always" (returns whatever near terms exist)
+    always = s.spell_correct("filter", mode="always")
+    assert all(x["term"] != "filter" for x in always)
+    # a deletion-misspelling: 'fasst' -> 'fast' (d=1, score 0.75)
+    sug2 = s.spell_correct("fasst")
+    assert sug2 and sug2[0]["term"] == "fast"
+    assert abs(sug2[0]["score"] - 0.75) < 1e-6
