@@ -28,18 +28,24 @@ from ..plans import query as Q
 
 
 def _query_terms(q) -> set:
-    """Every term key the query references (scoring + filter + must_not
-    context): the presearcher may only skip a query if NO term of the
-    batch could let it match, so MUST_NOT terms don't count toward the
-    requirement — a query with only MUST_NOT clauses and a MatchAll can
-    match term-free docs and is never skipped (handled by the matchall
-    check)."""
-    out = Q.scoring_terms(q)
+    """Term keys from REQUIRED/OPTIONAL context only: the presearcher may
+    skip a query only when NO batch term could let it match, and MUST_NOT
+    terms never help a query match — including them would wrongly skip
+    `MatchAll AND NOT x` in batches that lack x (the batches it matches
+    completely). This is the reference presearcher's rule too
+    (TermFilteredPresearcher indexes only the positive-context terms)."""
     if isinstance(q, Q.BooleanQuery):
+        out = set()
         for c in q.clauses:
-            if c.occur in (Q.Occur.MUST, Q.Occur.SHOULD, Q.Occur.FILTER):
+            if c.occur != Q.Occur.MUST_NOT:
                 out |= _query_terms(c.query)
-    return out
+        return out
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return _query_terms(q.query)
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return (set().union(*[_query_terms(s) for s in q.queries])
+                if q.queries else set())
+    return Q.scoring_terms(q)
 
 
 def _contains_matchall(q) -> bool:

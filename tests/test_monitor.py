@@ -87,3 +87,15 @@ def test_percolate_streaming_equals_batch(spark, tmp_path):
     want = {(r["query_id"], r["doc_id"])
             for r in percolate(docs, QUERIES).collect()}
     assert got == want
+
+
+def test_presearcher_never_skips_negated_matchall(spark):
+    # MUST(MatchAll) + MUST_NOT(absent-term) matches EVERY doc of a batch
+    # that lacks the term — the prefilter must not skip it (MUST_NOT terms
+    # are not match requirements)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n = docs.count()
+    q = {"neg": BooleanQuery([(Occur.MUST, MatchAllDocsQuery()),
+                              (Occur.MUST_NOT,
+                               TermQuery("zzqqabsenteverywhere"))])}
+    assert percolate(docs, q).count() == n
