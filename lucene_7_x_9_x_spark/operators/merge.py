@@ -125,11 +125,14 @@ def _balanced_contiguous_groups(segs: list[int], sizes: dict,
     cut = np.zeros((m + 1, n + 1), dtype=np.int64)
     best[0][0] = 0.0
     for j in range(1, m + 1):
+        bprev = best[j - 1]
         for i in range(j, n + 1):
-            for p in range(j - 1, i):
-                c = max(best[j - 1][p], float(pre[i] - pre[p]))
-                if c < best[j][i]:
-                    best[j][i], cut[j][i] = c, p
+            # candidates p in [j-1, i): numpy inner loop keeps the DP
+            # tractable for hundreds of segments (first-min tie-break)
+            cand = np.maximum(bprev[j - 1:i],
+                              (pre[i] - pre[j - 1:i]).astype(np.float64))
+            t = int(np.argmin(cand))
+            best[j][i], cut[j][i] = cand[t], j - 1 + t
     bounds, i = [], n
     for j in range(m, 0, -1):
         bounds.append(i)
