@@ -614,6 +614,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return P(_docs(spark, sf), qs).select(
             "query_id", F.col("doc_id").cast("long"))
 
+    def percolate_indexed(spark, sf):
+        # the million-query percolation shape: registered queries as TERM
+        # TABLES, candidates from a relational presearcher join, per-doc
+        # verify — same semantics as `percolate`, nothing broadcast
+        from lucene_7_x_9_x_spark.streaming.monitor import (
+            percolate_indexed as PI, register_queries)
+        qs = {
+            "q_term": T("filter"),
+            "q_conj": Q.BooleanQuery([(O.MUST, T("group")),
+                                      (O.MUST, T("query"))]),
+            "q_phrase": Q.PhraseQuery(["the", "fast"]),
+            "q_not": Q.BooleanQuery([(O.MUST, Q.MatchAllDocsQuery()),
+                                     (O.MUST_NOT, T("the"))]),
+        }
+        qt, qd, ma = register_queries(spark, qs)
+        return PI(_docs(spark, sf), qt, qd, ma).select(
+            "query_id", F.col("doc_id").cast("long"))
+
     def function_score_top10(spark, sf):
         # FunctionScoreQuery.boostByValue: BM25 score of 'filter' docs
         # multiplied by the stored dl docvalue
@@ -1059,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_top10": span_first_top10,
         "function_score_top10": function_score_top10,
         "percolate": percolate,
+        "percolate_indexed": percolate_indexed,
         "block_join_top10": block_join_top10,
         "spell_correct": spell_correct,
         "index_sorted_topk": index_sorted_topk,
@@ -1353,6 +1372,21 @@ SELECT CAST(row_number() OVER (ORDER BY score DESC, parent) AS BIGINT)
 FROM rolled ORDER BY score DESC, parent LIMIT 10""",
         # percolation: each registered query contributes its match set
         "percolate": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents)
+SELECT 'q_term' AS query_id, doc_id FROM t
+  WHERE list_contains(ts, 'filter')
+UNION ALL
+SELECT 'q_conj', doc_id FROM t
+  WHERE list_contains(ts, 'group') AND list_contains(ts, 'query')
+UNION ALL
+SELECT 'q_phrase', doc_id FROM t
+  WHERE len(list_filter(range(1, len(ts)),
+        i -> ts[i] = 'the' AND ts[i+1] = 'fast')) > 0
+UNION ALL
+SELECT 'q_not', doc_id FROM t
+  WHERE NOT list_contains(ts, 'the')""",
+        # identical semantics through the indexed presearcher
+        "percolate_indexed": f"""
 WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents)
 SELECT 'q_term' AS query_id, doc_id FROM t
   WHERE list_contains(ts, 'filter')

@@ -21,7 +21,7 @@ feed the result straight to writeStream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.analysis import AnalyzerConfig
 from ..plans import query as Q
@@ -58,6 +58,106 @@ def _contains_matchall(q) -> bool:
     if isinstance(q, Q.BooleanQuery):
         return any(_contains_matchall(c.query) for c in q.clauses)
     return False
+
+
+def register_queries(spark, queries: dict):
+    """Build the indexed-presearcher tables for percolate_indexed — the
+    reference Monitor's query index (Monitor.register /
+    QueryIndex.java: queries are themselves indexed so candidate
+    selection is a SEARCH, not a scan):
+      qterms (query_id, term)  — each query's positive-context terms
+                                 (TermFilteredPresearcher extraction)
+      qdefs  (query_id, qdef)  — pickled query trees for the verify stage
+      plus the list of match-anything query ids (MatchAll-containing or
+      term-free), which bypass the candidate join.
+    Scales to millions of registered queries: both tables are plain
+    DataFrames, nothing is broadcast."""
+    import pickle
+    qterm_rows, qdef_rows, match_all = [], [], []
+    for qid, q in sorted(queries.items()):
+        terms = sorted(t for t in _query_terms(q) if isinstance(t, str))
+        if _contains_matchall(q):
+            match_all.append(qid)
+        elif not terms:
+            raise ValueError(
+                f"query {qid!r} has no terms and no MatchAll — rewrite "
+                "dictionary-dependent queries before registering")
+        qdef_rows.append((qid, bytearray(pickle.dumps(q))))
+        for t in terms:
+            qterm_rows.append((qid, t))
+    qterms = spark.createDataFrame(qterm_rows or [("", "")],
+                                   "query_id string, term string")
+    if not qterm_rows:
+        qterms = qterms.where(F.lit(False))
+    qdefs = spark.createDataFrame(qdef_rows,
+                                  "query_id string, qdef binary")
+    return qterms, qdefs, match_all
+
+
+def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
+                      match_all: list, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      analyzer: AnalyzerConfig | None = None) -> DataFrame:
+    """percolate() for LARGE registered-query sets: instead of
+    broadcasting every query to every task, candidates come from a
+    relational presearcher join — (doc, distinct term) x (query_id, term)
+    — and only a doc's candidate queries are verified against that doc
+    (the reference's QueryIndex search + MemoryIndex verify split,
+    monitor/Monitor.java match()). All stages are keyed shuffles (term,
+    then query_id, then doc): nothing scales with |queries| x |docs|
+    except the true candidate pairs. MatchAll-containing queries bypass
+    the join and are verified against every doc."""
+    spark = docs.sparkSession
+    src = docs.select(id_col, text_col)
+    if not docs.isStreaming:
+        src = src.repartition(spark.sparkContext.defaultParallelism)
+    from ..pipeline.dedup import TOKEN_SPLIT
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""))
+    if analyzer is not None and (analyzer.stopwords
+                                 or analyzer.token_regex != "[a-z0-9_]+"):
+        raise ValueError("percolate_indexed presearcher supports the "
+                         "default analyzer only (candidate terms must "
+                         "match the verify-time tokenizer)")
+    doc_terms = src.select(id_col, F.explode(toks).alias("term"))
+    cand = (doc_terms.join(qterms, "term")
+            .select(id_col, "query_id").distinct())
+    if match_all:
+        ma = spark.createDataFrame([(q,) for q in match_all],
+                                   "query_id string")
+        cand = cand.unionByName(
+            src.select(id_col).crossJoin(F.broadcast(ma))
+            .select(id_col, "query_id")).distinct()
+    joined = (cand.join(qdefs, "query_id")
+              .join(src, id_col)
+              .select(id_col, text_col, "query_id", "qdef"))
+
+    cfg = analyzer
+    id_type = dict((f.name, f.dataType.simpleString())
+                   for f in docs.schema.fields)[id_col]
+
+    def verify(key, pdf):
+        import pickle
+        import pandas as pd
+        from ..oracle import index_corpus
+        from ..operators.executor import evaluate
+        reader, stats = index_corpus(pdf.iloc[:1], text_col=text_col,
+                                     cfg=cfg)
+        out = []
+        memo: dict = {}
+        for r in pdf.itertuples():
+            q = memo.get(r.query_id)
+            if q is None:
+                q = memo[r.query_id] = pickle.loads(bytes(r.qdef))
+            m = evaluate(reader, stats, q, needs_scores=False)
+            if len(m.docids):
+                out.append(r.query_id)
+        return pd.DataFrame({"query_id": out,
+                             id_col: [key[0]] * len(out)})
+
+    return (joined.groupBy(id_col)
+            .applyInPandas(verify,
+                           schema=f"query_id string, {id_col} {id_type}"))
 
 
 def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",

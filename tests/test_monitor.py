@@ -99,3 +99,28 @@ def test_presearcher_never_skips_negated_matchall(spark):
                               (Occur.MUST_NOT,
                                TermQuery("zzqqabsenteverywhere"))])}
     assert percolate(docs, q).count() == n
+
+
+def test_percolate_indexed_parity_with_broadcast(spark):
+    from lucene_7_x_9_x_spark.streaming.monitor import (percolate_indexed,
+                                                        register_queries)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    qt, qd, ma = register_queries(spark, QUERIES)
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate_indexed(docs, qt, qd, ma).collect()}
+    want = {(r["query_id"], r["doc_id"])
+            for r in percolate(docs, QUERIES).collect()}
+    assert got == want
+
+
+def test_percolate_indexed_matchall_bypass(spark):
+    from lucene_7_x_9_x_spark.streaming.monitor import (percolate_indexed,
+                                                        register_queries)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    n = docs.count()
+    qs = {"neg": BooleanQuery([(Occur.MUST, MatchAllDocsQuery()),
+                               (Occur.MUST_NOT,
+                                TermQuery("zzqqabsenteverywhere"))])}
+    qt, qd, ma = register_queries(spark, qs)
+    assert ma == ["neg"]
+    assert percolate_indexed(docs, qt, qd, ma).count() == n
