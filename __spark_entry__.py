@@ -297,8 +297,14 @@ def _ib_sql(terms: list[str], k: int, c: float = 1.0) -> str:
     df_cols = ", ".join(
         f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
         for i in range(len(terms)))
+    # LambdaDF.java:34-37: a lambda that rounds to exactly 1f is
+    # nextDown'ed (the engine's IBSimilarityLLH2 does the same)
+    nd1 = float(__import__("numpy").nextafter(
+        __import__("numpy").float32(1.0), __import__("numpy").float32(0.0)))
     lam = (lambda i:
-           f"CAST((d.df_{i} + 1.0) / (s.doc_count + 1.0) AS FLOAT)")
+           f"(CASE WHEN CAST((d.df_{i} + 1.0) / (s.doc_count + 1.0)"
+           f" AS FLOAT) = 1.0 THEN {nd1!r} ELSE "
+           f"CAST((d.df_{i} + 1.0) / (s.doc_count + 1.0) AS FLOAT) END)")
     tfn = (lambda i:
            f"(tf_{i} * log2(1 + {c} * (s.sum_ttf / CAST(s.doc_count AS "
            f"DOUBLE)) / CAST(qdl AS DOUBLE)))")
@@ -581,9 +587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def spell_correct(spark, sf):
         # DirectSpellChecker: corrections for the misspelling 'fitler'
         # from the index's own dictionary (OSA distance, score =
-        # 1 - d/min(len), ordered score desc, df desc, term asc)
+        # 1 - d/min(len), ordered score desc, df desc, term asc).
+        # max_edits=1 because OSA == DuckDB's unrestricted
+        # damerau_levenshtein ONLY at distance <= 1 — at 2 the metrics
+        # can disagree, which would be an oracle divergence
         s = _get_searcher(spark, sf)
-        rows = s.spell_correct("fitler", num_sug=5)
+        rows = s.spell_correct("fitler", num_sug=5, max_edits=1)
         data = [(i + 1, r["term"], r["doc_freq"])
                 for i, r in enumerate(rows)]
         return spark.createDataFrame(
@@ -1331,8 +1340,9 @@ def oracle_sql() -> dict[str, str]:
                         greatest(p1, p2, p3) - least(p1, p2, p3) - 2
                           <= 4)) > 0)) > 0)) > 0""",
         # DirectSpellChecker: candidates share the first char (prefix =
-        # max(minPrefix, maxEdits-1) = 1), OSA distance <= 2
-        # (damerau_levenshtein), score = 1 - d/min(len) >= 0.5
+        # max(minPrefix, maxEdits-1) = 1), OSA distance <= 1 — at d <= 1
+        # OSA and DuckDB's unrestricted damerau_levenshtein coincide
+        # exactly; score = 1 - d/min(len) >= 0.5
         "spell_correct": f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
 ex AS (SELECT doc_id, unnest(ts) AS t FROM toks),
@@ -1340,8 +1350,8 @@ dfs AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM ex GROUP BY t),
 cand AS (SELECT term, df, damerau_levenshtein(term, 'fitler') AS d
          FROM dfs
          WHERE substr(term, 1, 1) = 'f' AND term <> 'fitler'
-           AND len(term) BETWEEN 4 AND 8
-           AND damerau_levenshtein(term, 'fitler') <= 2
+           AND len(term) BETWEEN 5 AND 7
+           AND damerau_levenshtein(term, 'fitler') <= 1
            AND 1.0 - damerau_levenshtein(term, 'fitler')
                / least(6.0, len(term)) >= 0.5)
 SELECT CAST(row_number() OVER (ORDER BY 1.0 - d / least(6.0, len(term))

@@ -277,7 +277,8 @@ def evaluate(reader, stats: SegmentStats, q: Query,
         elif q.in_order:
             docids, sfreqs = _span_near_freqs(reader, q)
         else:
-            docids, sfreqs = _span_near_unordered_freqs(reader, q)
+            docids, sfreqs = _span_near_unordered_freqs(
+                reader, q, needs_freq=needs_scores)
         if len(docids) == 0:
             return Matches.empty()
         if not needs_scores:
@@ -767,7 +768,8 @@ def _span_near_freqs(reader, q: SpanNearQuery
     return cand[uniq], freqs
 
 
-def _span_near_unordered_freqs(reader, q: SpanNearQuery
+def _span_near_unordered_freqs(reader, q: SpanNearQuery,
+                               needs_freq: bool = True
                                ) -> tuple[np.ndarray, np.ndarray]:
     """(docids, sloppy freqs) of docs holding one occurrence of EACH term
     (any order) inside a window with (max_p - min_p + 1) - k <= slop
@@ -853,6 +855,8 @@ def _span_near_unordered_freqs(reader, q: SpanNearQuery
             if (mx - lo + 1) - k <= q.slop:
                 f = np.float32(np.float64(f)
                                + 1.0 / (1.0 + (mx + 1 - lo)))
+                if not needs_freq:
+                    break  # match-only context: first window suffices
             ptr[i] += 1
             if ptr[i] >= len(lists[i]):
                 break

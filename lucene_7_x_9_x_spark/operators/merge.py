@@ -286,6 +286,12 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
 
     manifest = dict(index.manifest)
     manifest["deletes"] = new_deletes
+    # merge CONCATENATES old segments, so a merged segment is no longer
+    # globally ordered by an index-time sort column — drop the flag so
+    # sorted_topk cannot early-terminate incorrectly (compaction preserves
+    # per-segment order and keeps it; Lucene likewise only merges sorted
+    # segments through the Sorter-aware path)
+    manifest["index_sort"] = None
     manifest.update({
         "run_id": uuid.uuid4().hex[:12],
         "batches": ["batch_0"],

@@ -1006,20 +1006,24 @@ class Searcher:
         res = (self._kernel_frame(query2, terms)
                .applyInPandas(kernel,
                               schema="segment int, docid long, score float"))
-        if _contains_matchall(query2):
-            # same coverage rule as _run: first-pass docs in segments that
-            # hold NONE of query2's terms still get query2's MatchAll
-            # contribution through a norms-only kernel
-            def kernel_sn(key, sn_pdf):
-                return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
-            seg_with = (self._post_src.where(self._key_filter(terms))
-                        .select("segment").distinct())
-            rest = self.index.segnorms().join(seg_with, "segment",
-                                              "left_anti")
-            res = res.unionByName(
-                rest.groupBy("segment").applyInPandas(
-                    kernel_sn, schema="segment int, docid long,"
-                                      " score float"))
+        # coverage rule: first-pass docs in segments that hold NONE of
+        # query2's terms must still come back — with their base score
+        # (query2 contributes 0 there) or with query2's MatchAll
+        # contribution. The postings-driven cogroup above cannot cover
+        # those segments, so ALWAYS union a norms-only kernel over the
+        # complement ("docs not matching query2 keep their score",
+        # QueryRescorer.java combine()).
+
+        def kernel_sn(key, sn_pdf):
+            return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
+        seg_with = (self._post_src.where(self._key_filter(terms))
+                    .select("segment").distinct())
+        rest = self.index.segnorms().join(seg_with, "segment",
+                                          "left_anti")
+        res = res.unionByName(
+            rest.groupBy("segment").applyInPandas(
+                kernel_sn, schema="segment int, docid long,"
+                                  " score float"))
         res = res.orderBy(F.desc("score"), "segment", "docid").limit(k)
         w = Window.orderBy(F.desc("score"), "segment", "docid")
         return res.withColumn("rank", F.row_number().over(w))

@@ -48,16 +48,9 @@ def _query_terms(q) -> set:
     return Q.scoring_terms(q)
 
 
-def _contains_matchall(q) -> bool:
-    if isinstance(q, Q.MatchAllDocsQuery):
-        return True
-    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
-        return _contains_matchall(q.query)
-    if isinstance(q, Q.DisjunctionMaxQuery):
-        return any(_contains_matchall(s) for s in q.queries)
-    if isinstance(q, Q.BooleanQuery):
-        return any(_contains_matchall(c.query) for c in q.clauses)
-    return False
+# one definition of "contains MatchAll" for the whole engine — the
+# searcher's coverage logic and the presearcher must never disagree
+from ..searcher import _contains_matchall  # noqa: E402
 
 
 def register_queries(spark, queries: dict):
@@ -106,16 +99,30 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
     monitor/Monitor.java match()). All stages are keyed shuffles (term,
     then query_id, then doc): nothing scales with |queries| x |docs|
     except the true candidate pairs. MatchAll-containing queries bypass
-    the join and are verified against every doc."""
+    the join and are verified against every doc.
+
+    Batch DataFrames only: the candidate join + per-doc grouped verify are
+    multi-shuffle stateful plans that Structured Streaming's grouped-map
+    UDF support does not cover — for streams, use percolate() (stateless
+    mapInPandas) or drive this from foreachBatch."""
+    if docs.isStreaming:
+        raise ValueError("percolate_indexed requires a batch DataFrame; "
+                         "for streams use percolate() or call this from "
+                         "foreachBatch")
     spark = docs.sparkSession
-    src = docs.select(id_col, text_col)
-    if not docs.isStreaming:
-        src = src.repartition(spark.sparkContext.defaultParallelism)
+    n_par = spark.sparkContext.defaultParallelism
+    src = docs.select(id_col, text_col).repartition(n_par)
     from ..pipeline.dedup import TOKEN_SPLIT
     toks = F.array_distinct(F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""))
-    if analyzer is not None and (analyzer.stopwords
-                                 or analyzer.token_regex != "[a-z0-9_]+"):
+    if analyzer is not None and (
+            analyzer.stopwords
+            or analyzer.token_regex != "[a-z0-9_]+"
+            or analyzer.max_token_length
+            != AnalyzerConfig().max_token_length):
+        # the JVM-side candidate vocabulary above must agree with the
+        # verify-time tokenizer (incl. oversize-token splitting) or a
+        # query on a split-chunk term would silently never be a candidate
         raise ValueError("percolate_indexed presearcher supports the "
                          "default analyzer only (candidate terms must "
                          "match the verify-time tokenizer)")
@@ -155,7 +162,11 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
         return pd.DataFrame({"query_id": out,
                              id_col: [key[0]] * len(out)})
 
-    return (joined.groupBy(id_col)
+    # explicit repartition: the verify UDF is compute-bound (per-doc
+    # memory index + query evaluation), and AQE would otherwise coalesce
+    # the grouped-UDF shuffle to ~64MB partitions (the repo's documented
+    # AQE landmine — see build_index hash mode)
+    return (joined.repartition(n_par, id_col).groupBy(id_col)
             .applyInPandas(verify,
                            schema=f"query_id string, {id_col} {id_type}"))
 

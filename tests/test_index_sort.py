@@ -92,3 +92,16 @@ def test_streaming_append_rejected_on_sorted_index(sorted_searcher, spark):
     s, docs = sorted_searcher
     with pytest.raises(ValueError, match="sort_by"):
         append_batch(spark, docs.limit(1), s.index.root)
+
+
+def test_merge_clears_index_sort(sorted_searcher, spark, tmp_path):
+    # merging concatenates segments, destroying the per-segment sort —
+    # the merged manifest must drop index_sort so sorted_topk cannot
+    # early-terminate incorrectly
+    from lucene_7_x_9_x_spark.operators.merge import merge_index
+    s, _ = sorted_searcher
+    merged = merge_index(spark, s.index, str(tmp_path / "m"),
+                         target_segments=2)
+    assert merged.manifest.get("index_sort") is None
+    with pytest.raises(ValueError, match="sort_by"):
+        Searcher(merged).sorted_topk(5)

@@ -90,3 +90,26 @@ def test_rescore_with_matchall_second_query(skewed_index):
     for r in out.itertuples():
         did = seg_doc_to_id[(r.segment, r.docid)]
         assert F32(r.score) == want[did], did
+
+
+def test_rescore_keeps_base_score_in_uncovered_segments(skewed_index):
+    # query2's terms live in ONE segment; first-pass docs in the other
+    # segments must keep their base score (query2 adds 0 there) — the
+    # QueryRescorer contract, not just the MatchAll case
+    idx, eng = skewed_index
+    s = Searcher(idx)
+    first = s.search(TermQuery("common"), 40)
+    out = s.rescore(first, TermQuery("zonly"), weight=2.0, k=40).toPandas()
+    assert len(out) == 40  # nothing dropped
+    m1 = eng.matches(TermQuery("common"))
+    m2 = eng.matches(TermQuery("zonly"))
+    add = dict(zip(m2.docids.tolist(), m2.scores))
+    want = {d: F32(np.float64(sc)
+                   + np.float64(F32(2.0) * add.get(d, F32(0.0))))
+            for d, sc in zip(m1.docids.tolist(), m1.scores)}
+    dm = idx.docmap().select("docid", "segment", "doc_id").toPandas()
+    seg_doc_to_id = {(r.segment, r.docid): r.doc_id
+                     for r in dm.itertuples()}
+    for r in out.itertuples():
+        did = seg_doc_to_id[(r.segment, r.docid)]
+        assert F32(r.score) == want[did], did
