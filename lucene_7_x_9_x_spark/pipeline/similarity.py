@@ -123,6 +123,32 @@ def ivf_topk(assigned: DataFrame, centroids: np.ndarray,
     return cosine_topk_bruteforce(cand, query_vec, id_col, vec_col, k)
 
 
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF posting lists on disk, parquet-partitioned by
+    list_id — the inverted-file layout itself: each coarse cell is its own
+    directory, so a probe's scan plans with
+    `PartitionFilters: [list_id IN (...)]` and reads ONLY the probed
+    lists' files. This is the 100 TB serving shape: assignment runs once
+    (one narrow JVM pass), and per-query I/O is nprobe/n_centroids of the
+    corpus regardless of corpus size."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_from_disk(spark, path: str, centroids: np.ndarray,
+                       query_vec: list[float], k: int = 10, nprobe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """IVF search against an ivf_write() layout: the probed list_ids
+    become partition filters (pruned at planning time — no data files of
+    unprobed lists are opened), then brute-force cosine within the probed
+    cells. Identical results to ivf_topk over the in-memory assignment."""
+    d2 = ((centroids - np.asarray(query_vec, dtype=np.float64)) ** 2).sum(1)
+    probes = [int(j) for j in np.argsort(d2, kind="stable")[:nprobe]]
+    cand = (spark.read.parquet(path)
+            .where(F.col("list_id").isin(probes)))
+    return cosine_topk_bruteforce(cand, query_vec, id_col, vec_col, k)
+
+
 def build_lsh_index(df: DataFrame, dim: int, n_planes: int = 8,
                     seed: int = 42, vec_col: str = "embedding"
                     ) -> DataFrame:

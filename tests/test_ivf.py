@@ -57,3 +57,26 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     allowed = set(int(j) for j in np.argsort(d2, kind="stable")[:2])
     assert all(lists[v] in allowed for v in probed)
     assert part["rank"].tolist() == list(range(1, len(part) + 1))
+
+
+def test_ivf_disk_layout_prunes_partitions(spark, tmp_path):
+    from lucene_7_x_9_x_spark.pipeline.similarity import (
+        ivf_assign, ivf_topk, ivf_topk_from_disk, ivf_train, ivf_write)
+    emb = _emb(spark)
+    cent = ivf_train(emb, dim=64, n_centroids=8, n_iters=4)
+    assigned = ivf_assign(emb, cent)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    got = ivf_topk_from_disk(spark, path, cent, qv, k=10,
+                             nprobe=3).toPandas()
+    want = ivf_topk(assigned, cent, qv, k=10, nprobe=3).toPandas()
+    assert got.vec_id.tolist() == want.vec_id.tolist()
+    assert np.allclose(got.cosine, want.cosine)
+    # partition pruning: the probed list_ids appear as PARTITION filters
+    # (pruned at planning), not data filters
+    plan = (ivf_topk_from_disk(spark, path, cent, qv, k=10, nprobe=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters")[1][:120]
