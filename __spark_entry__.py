@@ -572,6 +572,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _match_ids(
             spark, sf, parse('filter AND (join OR "the fast") -window'))
 
+    def simple_query_top10(spark, sf):
+        # SimpleQueryParser: "a | b + c" groups right-to-left as
+        # (a OR b) AND c (queryparser/simple/SimpleQueryParser.java:66-68)
+        from lucene_7_x_9_x_spark.plans.simple_parser import parse_simple
+        return _topk_ids(spark, sf,
+                         parse_simple("filter | join + window"), 10)
+
+    def simple_query_matches(spark, sf):
+        # negation wraps as [MUST_NOT x, SHOULD MatchAll]
+        from lucene_7_x_9_x_spark.plans.simple_parser import parse_simple
+        return _match_ids(spark, sf, parse_simple("join + -window"))
+
     def span_near(spark, sf):
         # ordered span-near (NearSpansOrdered): key ... hash ... row with
         # total gap <= 6
@@ -1079,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range": numeric_range,
         "parse_query_topk": parse_query_topk,
         "parse_query_matches": parse_query_matches,
+        "simple_query_top10": simple_query_top10,
+        "simple_query_matches": simple_query_matches,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "span_near_scored_top10": span_near_scored_top10,
@@ -1308,6 +1322,14 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(range(1, len(ts)), "
             "i -> ts[i] = 'the' AND ts[i+1] = 'fast')) > 0) "
             "AND NOT list_contains(ts, 'window')"),
+        # SimpleQueryParser right-to-left grouping: (filter OR join) AND
+        # window; MUST clauses sum, so the score is the plain 3-term sum
+        # restricted to ((f|j) AND w) docs
+        "simple_query_top10": _bm25_sql(
+            ["filter", "join", "window"], 10, False,
+            cond="(tf_0 > 0 OR tf_1 > 0) AND tf_2 > 0"),
+        "simple_query_matches": _contains_sql(
+            "list_contains(ts, 'join') AND NOT list_contains(ts, 'window')"),
         "span_near": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,
