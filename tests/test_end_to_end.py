@@ -67,3 +67,59 @@ def test_full_user_journey(spark, tmp_path):
     top3 = s3.search(q, 10, with_ids=True).toPandas()
     assert top3["id"].tolist() == top2["id"].tolist()
     assert compacted.deletes() is None
+
+
+def test_round3_surface_journey(spark, tmp_path):
+    """The round-3 API surface in one scenario: sorted build, simple-syntax
+    query, spell correction, function score, block join, percolation,
+    structural check, replication."""
+    from lucene_7_x_9_x_spark.plans.simple_parser import parse_simple
+    from lucene_7_x_9_x_spark.plans.query import TermQuery
+    from lucene_7_x_9_x_spark.index import check_index, replicate
+    from lucene_7_x_9_x_spark.streaming.monitor import (percolate,
+                                                        register_queries,
+                                                        percolate_indexed)
+    rng = np.random.RandomState(7)
+    pdf = _random_corpus(rng, n_docs=150)
+    corpus = spark.createDataFrame(pdf).withColumn(
+        "n_chars", F.length("content"))
+    out = str(tmp_path / "idx")
+    idx = build_index(spark, corpus, out, id_cols=["id"],
+                      text_col="content", num_segments=3,
+                      sort_by="n_chars")
+    s = Searcher(idx)
+
+    # simple-syntax query end-to-end
+    top = s.search(parse_simple("h0 | h1 + h2"), 5).toPandas()
+    assert len(top) == 5
+
+    # sorted top-k = global shortest docs
+    st = s.sorted_topk(5).toPandas()
+    want = corpus.orderBy("n_chars", "id").limit(5).toPandas()
+    assert st.n_chars.tolist() == want.n_chars.tolist()
+
+    # spelling correction from the index's own dictionary
+    assert any(x["term"] == "h0" for x in s.spell_correct("h0x"))
+
+    # function-scored and parent-rolled variants run end-to-end
+    assert len(s.function_score(TermQuery("h0"), "dl", "multiply",
+                                5).collect()) == 5
+    assert len(s.to_parent_join(TermQuery("h0"), F.expr("docid DIV 8"),
+                                "max", 5).collect()) == 5
+
+    # percolate the corpus against registered queries, both shapes agree
+    qs = {"a": TermQuery("h0"), "b": parse_simple("h1 + h2")}
+    got_b = {(r["query_id"], r["id"]) for r in
+             percolate(corpus, qs, id_col="id",
+                       text_col="content").collect()}
+    qt, qd, ma = register_queries(spark, qs)
+    got_i = {(r["query_id"], r["id"]) for r in
+             percolate_indexed(corpus, qt, qd, ma, id_col="id",
+                               text_col="content").collect()}
+    assert got_b == got_i and got_b
+
+    # structural check + replication round-trip
+    assert check_index(spark, idx)["clean"]
+    rep = replicate(spark, idx, str(tmp_path / "replica"))
+    assert (Searcher(rep).search(TermQuery("h0"), 5).toPandas().id.tolist()
+            == s.search(TermQuery("h0"), 5).toPandas().id.tolist())

@@ -89,3 +89,24 @@ def test_simple_parser_end_to_end(spark):
             (M, Q.TermQuery("window"))]), 10).toPandas()
     assert got.doc_id.tolist() == want.doc_id.tolist()
     assert got.score.tolist() == want.score.tolist()
+
+
+def test_simple_parser_never_crashes_fuzz():
+    # the module's contract: NO input errors — every string produces a
+    # Query (hypothesis-style fuzz with a fixed corpus of nasty strings
+    # plus random operator soup)
+    import random
+    nasty = ['', '*', '**', '"', '""', '(', ')', '((', '))', '+', '|',
+             '-', '--', '~', '~~', '\\', 'a\\', '"a', 'a"b"c', '(a))(b',
+             '+|-', 'a~x', 'a~-1', '"a b"~x', '-(-a)', 'a* b*~2',
+             '\\(\\)\\"', 'a | | b', '+ + a', '()()', '"("', '")"']
+    for s in nasty:
+        q = parse_simple(s)
+        assert isinstance(q, Q.Query), s
+    rng = random.Random(42)
+    alphabet = 'ab c()"+|-~*\\'
+    for _ in range(500):
+        s = ''.join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 30)))
+        q = parse_simple(s)
+        assert isinstance(q, Q.Query), repr(s)
