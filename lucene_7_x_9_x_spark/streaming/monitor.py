@@ -68,6 +68,10 @@ def register_queries(spark, queries: dict):
     import pickle
     qterm_rows, qdef_rows, match_all = [], [], []
     for qid, q in sorted(queries.items()):
+        if any(not isinstance(t, str) for t in Q.scoring_terms(q)):
+            raise ValueError(
+                f"query {qid!r} is field-scoped — percolation matches "
+                "against the single document text column")
         terms = sorted(t for t in _query_terms(q) if isinstance(t, str))
         if _contains_matchall(q):
             match_all.append(qid)
@@ -185,7 +189,12 @@ def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
     Monitor.match with QueryMatch.SIMPLE_MATCHER."""
     qitems = sorted(queries.items())
     for qid, q in qitems:
-        if Q.scoring_terms(q) == set() and not _contains_matchall(q) \
+        terms = Q.scoring_terms(q)
+        if any(not isinstance(t, str) for t in terms):
+            raise ValueError(
+                f"query {qid!r} is field-scoped — percolation matches "
+                "against the single document text column")
+        if terms == set() and not _contains_matchall(q) \
                 and not isinstance(q, Q.MatchNoDocsQuery):
             raise ValueError(
                 f"query {qid!r} has no terms and no MatchAll — rewrite "

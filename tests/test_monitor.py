@@ -124,3 +124,13 @@ def test_percolate_indexed_matchall_bypass(spark):
     qt, qd, ma = register_queries(spark, qs)
     assert ma == ["neg"]
     assert percolate_indexed(docs, qt, qd, ma).count() == n
+
+
+def test_percolate_rejects_field_scoped_queries(spark):
+    from lucene_7_x_9_x_spark.streaming.monitor import register_queries
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    fieldq = {"f": TermQuery("fast", field="head")}
+    with pytest.raises(ValueError, match="field-scoped"):
+        percolate(docs, fieldq)
+    with pytest.raises(ValueError, match="field-scoped"):
+        register_queries(spark, fieldq)
