@@ -73,9 +73,13 @@ def term_vectors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-expressed as a derived DataFrame: (id, term, tf, positions) with
     0-based positions joined by ','. Pure JVM expressions; at scale this is
     one explode + one (id, term) hash aggregation."""
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+    # same single-scan-partition guard as dedup.shingles: parallelize the
+    # tokenize before the posexplode fan-out (single-file corpora scan as
+    # ONE partition)
+    toks = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(F.col(id_col),
+                    F.posexplode("ts").alias("pos", "term")))
     return (toks.groupBy(id_col, "term")
             .agg(F.count("*").cast("long").alias("tf"),
                  F.concat_ws(",", F.sort_array(F.collect_list(
