@@ -159,7 +159,19 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     sizes = {r["segment"]: r["cnt"] for r in
              dm.groupBy("segment").agg(F.count("*").alias("cnt")).collect()}
     old_segs = sorted(sizes)
-    groups = _balanced_contiguous_groups(old_segs, sizes, target_segments)
+    # candidate selection weighs LIVE docs (TieredMergePolicy sizes
+    # segments net of deletions, TieredMergePolicy.java:444-539 size()
+    # with delete reclamation), while docid REBASING must use the total
+    # docmap counts — tombstoned docids still occupy their slots until
+    # compaction
+    live = dict(sizes)
+    dels = index.deletes()
+    if dels is not None:
+        for r in (dels.groupBy("segment")
+                  .agg(F.count("*").alias("d")).collect()):
+            live[r["segment"]] = max(
+                live.get(r["segment"], 0) - int(r["d"]), 0)
+    groups = _balanced_contiguous_groups(old_segs, live, target_segments)
     seg_map, base_map, rank_map = {}, {}, {}
     for new_seg, grp in enumerate(groups):
         base = 0

@@ -200,3 +200,34 @@ def test_balanced_groups_minimize_largest_merge():
     # n <= m: one segment per group + empty tails
     g2 = _balanced_contiguous_groups([7, 9], {7: 10, 9: 20}, 4)
     assert [g.tolist() for g in g2] == [[7], [9], [], []]
+
+
+def test_merge_groups_weigh_live_docs(spark, tmp_path):
+    # a segment that is mostly tombstones should weigh little in merge
+    # candidate selection (TieredMergePolicy sizes net of deletes), while
+    # docid rebasing still spans the full docmap
+    import shutil
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.operators.deletes import delete_by_ids
+    from lucene_7_x_9_x_spark.operators.merge import merge_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import TermQuery
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .repartitionByRange(4, "doc_id"))
+    out = str(tmp_path / "i")
+    build_index(spark, docs, out, id_cols=["doc_id"], text_col="text",
+                segment_by="input")
+    # tombstone nearly all of the docs whose doc_id falls in segment 0's
+    # range (first quartile)
+    bound = docs.approxQuantile("doc_id", [0.22], 0.0)[0]
+    delete_by_ids(spark, out,
+                  docs.where(F.col("doc_id") <= bound).select("doc_id"))
+    idx = IndexSnapshot(spark, out)
+    merged = merge_index(spark, idx, str(tmp_path / "m"),
+                         target_segments=2)
+    # results stay correct through the live-weighted merge
+    a = Searcher(idx).search(TermQuery("filter"), 10).toPandas()
+    b = Searcher(merged).search(TermQuery("filter"), 10).toPandas()
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.score.tolist() == b.score.tolist()
