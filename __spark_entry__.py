@@ -1077,7 +1077,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (extract_features(media)
                 .select(F.col("id").alias("doc_id"), "n_bytes", "sha256"))
 
+    # NOTE on ordering: the driver's correctness gate records only the
+    # FIRST 50 entries, so entries that have never had (or are missing
+    # recent) driver rows lead; mature entries that were gate-green in
+    # rounds 2-3 rotate to the tail.  Every entry is still checked locally
+    # by scripts/check_entry.py regardless of position.
     return {
+        # -- never driver-gated before round 4 --
+        "ann_ivf_top10": ann_ivf_top10,
+        "term_offsets": term_offsets,
+        # -- r2-only driver rows (rotated into the gated window) --
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_top10": ann_top10,
+        "ann_lsh_top10": ann_lsh_top10,
+        "token_stats": token_stats_q,
+        "quality": quality_q,
+        "lang_id": lang_id_q,
+        "fingerprint": fingerprint_q,
+        "term_vectors": term_vectors_q,
+        "highlight": highlight,
+        "sort_by_field": sort_by_field,
+        "events_windowed": events_windowed,
+        "events_sessions": events_sessions,
+        "multimodal_features": multimodal_features,
+        # -- core query surface --
         "term_docs": term_docs,
         "bool_and_not": bool_and_not,
         "bool_msm2": bool_msm2,
@@ -1095,9 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_matches": simple_query_matches,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
-        "span_near_scored_top10": span_near_scored_top10,
-        "span_or_top10": span_or_top10,
-        "span_first_top10": span_first_top10,
         "function_score_top10": function_score_top10,
         "percolate": percolate,
         "percolate_indexed": percolate_indexed,
@@ -1106,6 +1130,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_sorted_topk": index_sorted_topk,
         "bm25_top10": bm25_top10,
         "bm25_conj_top10": bm25_conj_top10,
+        "field_term": field_term,
+        "multi_field_bool": multi_field_bool,
+        "mlt_top10": mlt_top10,
+        "suggest": suggest,
+        "grouped_topk": grouped_topk,
+        # -- mature, gate-green in r3 (tail; still locally checked) --
+        "span_near_scored_top10": span_near_scored_top10,
+        "span_or_top10": span_or_top10,
+        "span_first_top10": span_first_top10,
         "bm25_synonym_top10": bm25_synonym_top10,
         "classic_top10": classic_top10,
         "lmdirichlet_top10": lmdirichlet_top10,
@@ -1116,37 +1149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfi_top10": dfi_top10,
         "bm25_dismax_top10": bm25_dismax_top10,
         "bm25_phrase_top10": bm25_phrase_top10,
-        "field_term": field_term,
-        "multi_field_bool": multi_field_bool,
         "parse_field_query": parse_field_query,
-        "mlt_top10": mlt_top10,
-        "suggest": suggest,
-        "grouped_topk": grouped_topk,
         "facet_lang": facet_lang,
         "facet_range": facet_range,
         "facet_drill_sideways": facet_drill_sideways,
         "collection_stats": collection_stats,
         "norms": norms,
         "term_stats": term_stats,
-        "dedup_exact": dedup_exact,
-        "dedup_jaccard": dedup_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
-        "ann_top10": ann_top10,
-        "ann_lsh_top10": ann_lsh_top10,
-        "ann_ivf_top10": ann_ivf_top10,
-        "token_stats": token_stats_q,
-        "quality": quality_q,
-        "lang_id": lang_id_q,
-        "fingerprint": fingerprint_q,
-        "term_vectors": term_vectors_q,
-        "term_offsets": term_offsets,
-        "highlight": highlight,
-        "sort_by_field": sort_by_field,
-        "events_windowed": events_windowed,
-        "events_sessions": events_sessions,
-        "multimodal_features": multimodal_features,
     }
 
 

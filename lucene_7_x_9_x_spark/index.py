@@ -70,26 +70,84 @@ class IndexSnapshot:
             max_token_length=self.manifest["analyzer"]["max_token_length"],
             stopwords=frozenset(self.manifest["analyzer"]["stopwords"]))
 
-    # lazy DataFrames ------------------------------------------------------
+    # lazy DataFrames — memoized: re-listing parquet files and re-deriving
+    # the relation per query costs driver milliseconds that dominate hot
+    # low-latency paths; DataFrames are immutable lazy plans, so reuse is
+    # free and safe (a snapshot is point-in-time by construction)
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(*[
-            os.path.join(self.root, d, "kind=postings")
-            for d in self.manifest["batches"]])
+        if not hasattr(self, "_postings_df"):
+            self._postings_df = self.spark.read.parquet(*[
+                os.path.join(self.root, d, "kind=postings")
+                for d in self.manifest["batches"]])
+        return self._postings_df
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(*[
-            os.path.join(self.root, d, "kind=docmap")
-            for d in self.manifest["batches"]])
+        if not hasattr(self, "_docmap_df"):
+            self._docmap_df = self.spark.read.parquet(*[
+                os.path.join(self.root, d, "kind=docmap")
+                for d in self.manifest["batches"]])
+        return self._docmap_df
 
     def terms(self) -> DataFrame:
         """Global term dictionary: term -> (doc_freq, total_term_freq)."""
-        return self.spark.read.parquet(os.path.join(self.root, "terms"))
+        if not hasattr(self, "_terms_df"):
+            self._terms_df = self.spark.read.parquet(
+                os.path.join(self.root, "terms"))
+        return self._terms_df
 
     def segnorms(self) -> DataFrame:
         """Per-segment norms blob: (segment, max_doc, norms binary) — one
         tiny row per segment so queries need never shuffle the docmap (the
         per-leaf norms file of Lucene, SURVEY.md §2.2 norms writer)."""
-        return self.spark.read.parquet(os.path.join(self.root, "segnorms"))
+        if not hasattr(self, "_segnorms_df"):
+            self._segnorms_df = self.spark.read.parquet(
+                os.path.join(self.root, "segnorms"))
+        return self._segnorms_df
+
+    def term_stats_lookup(self, keys) -> dict:
+        """Driver-side terms-dict seek — the TermsEnum.seekExact analogue
+        (solr-8.4.0/.../index/TermsEnum.java capability; Lucene's seek is a
+        cheap mmap'd FST walk, NOT a cluster job). The terms table is
+        written repartitionByRange(field, term) + sortWithinPartitions, so
+        a direct pyarrow read with a pushed-down filter prunes whole files
+        and row groups on (field, term) min/max stats and returns in
+        milliseconds; scheduling a Spark job for this doubled cold-query
+        latency (the round-3 two-job floor). Works against any pyarrow
+        filesystem (local here; s3/hdfs via the same API at scale).
+
+        keys: iterable of bare term strings (default field) and/or
+        (field, term) tuples. Returns {key: (doc_freq, total_term_freq)}
+        for the keys present in the dictionary."""
+        import pyarrow.dataset as pads
+        dset = pads.dataset(os.path.join(self.root, "terms"),
+                            format="parquet")
+        has_field = "field" in dset.schema.names
+        bare = sorted(k for k in keys if isinstance(k, str))
+        by_field: dict = {}
+        for k in keys:
+            if not isinstance(k, str):
+                by_field.setdefault(k[0], []).append(k[1])
+        expr = None
+        if bare:
+            e = pads.field("term").isin(bare)
+            if has_field:
+                e = e & pads.field("field").is_null()
+            expr = e
+        for f, ts in sorted(by_field.items()):
+            e = (pads.field("field") == f) & pads.field("term").isin(
+                sorted(ts))
+            expr = e if expr is None else expr | e
+        if expr is None:
+            return {}
+        cols = (["field"] if has_field else []) + [
+            "term", "doc_freq", "total_term_freq"]
+        tbl = dset.to_table(filter=expr, columns=cols).to_pydict()
+        fields = tbl.get("field", [None] * len(tbl["term"]))
+        out = {}
+        for f, t, df_, ttf in zip(fields, tbl["term"], tbl["doc_freq"],
+                                  tbl["total_term_freq"]):
+            out[t if f is None else (f, t)] = (int(df_), int(ttf))
+        return out
 
     def deletes(self) -> DataFrame | None:
         """Tombstoned (segment, docid) rows committed by operators.deletes

@@ -93,7 +93,18 @@ class Searcher:
                              if hasattr(index, "field_stats") else {})
         self._has_field_col = "field" in self._post_src.columns
         self._hot = bool(cache_index)
-        self._norms_bc = None  # hot-mode broadcast segnorms (lazy)
+        self._norms_bc = None  # broadcast segnorms (lazy)
+        # adaptive norms strategy (the autoBroadcastJoinThreshold idea
+        # applied to the norms side): norms cost ~1 byte/doc/field, a size
+        # KNOWN from the manifest without any job — when they fit a
+        # broadcast, every query runs the one-stage broadcast-norms kernel
+        # even cold (no segnorms scan, no cogroup exchange, postings read
+        # once); past the threshold the cogroup remains the only shape
+        # that scales (norms can't broadcast at 100 TB)
+        nb = int(index.stats["doc_count"]) * max(
+            1, len(getattr(index, "field_names", [None])))
+        self._small_norms = nb <= 64 * 1024 * 1024
+        self._n_part = index.spark.sparkContext.defaultParallelism
         if cache_index:
             # exactly one cached partition per core: fewer tasks per query
             # than one-per-segment (measured p50 0.93 s vs 1.30 s at 64
@@ -256,13 +267,21 @@ class Searcher:
         dfs, ttfs = {}, {}
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
-            rows = (self._terms_src
-                    .where(self._key_filter(missing)).collect())
-            found = {}
-            for r in rows:
-                k = ((r.field, r.term)
-                     if getattr(r, "field", None) is not None else r.term)
-                found[k] = (int(r.doc_freq), int(r.total_term_freq))
+            # driver-side pyarrow seek of the sorted terms parquet — no
+            # Spark job, so a cold query runs as ONE job (kernel only);
+            # the Spark collect remains as the fallback for snapshots
+            # whose terms dir isn't directly readable at the driver
+            try:
+                found = self.index.term_stats_lookup(missing)
+            except Exception:
+                rows = (self._terms_src
+                        .where(self._key_filter(missing)).collect())
+                found = {}
+                for r in rows:
+                    k = ((r.field, r.term)
+                         if getattr(r, "field", None) is not None
+                         else r.term)
+                    found[k] = (int(r.doc_freq), int(r.total_term_freq))
             for t in missing:
                 self._stats_cache[t] = found.get(t, (0, 0))
         for t in terms:
@@ -396,11 +415,13 @@ class Searcher:
         if empty_postings:  # MatchAll-only query: norms-only kernel
             return (self.index.segnorms().groupBy("segment")
                     .applyInPandas(kernel_sn, schema=schema))
-        if self._hot:
-            # hot-serving fast path: norms ride a broadcast instead of a
-            # cogroup side, so the query is ONE stage over the persisted
-            # pre-partitioned postings (groupBy reuses its partitioning —
-            # no exchange, no second input)
+        if self._hot or self._small_norms:
+            # one-stage fast path: norms ride a broadcast instead of a
+            # cogroup side. Hot mode reads the persisted pre-partitioned
+            # postings (groupBy reuses the partitioning — no exchange);
+            # cold-with-small-norms shuffles only the pruned postings rows
+            # of the query's terms (an explicit repartition so AQE can't
+            # coalesce the compute-bound kernel onto one task)
             bc = self._segnorms_broadcast()
 
             def kernel_hot(key, post_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -410,8 +431,11 @@ class Searcher:
                         {"segment": [], "docid": [], "score": []})
                 return kernel_body(int(key[0]), post_pdf, *got)
 
-            main = (self._posting_frame(query, terms).groupBy("segment")
-                    .applyInPandas(kernel_hot, schema=schema))
+            pf = self._posting_frame(query, terms)
+            if not self._hot:
+                pf = pf.repartition(self._n_part, "segment")
+            main = pf.groupBy("segment").applyInPandas(kernel_hot,
+                                                       schema=schema)
         else:
             main = self._kernel_frame(query, terms).applyInPandas(
                 kernel, schema=schema)

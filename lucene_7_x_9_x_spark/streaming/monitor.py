@@ -48,39 +48,115 @@ def _query_terms(q) -> set:
     return Q.scoring_terms(q)
 
 
+def _cover_terms(q, weight) -> set | None:
+    """MINIMAL covering term set for the indexed presearcher — the
+    reference's QueryAnalyzer tree walk (monitor/QueryAnalyzer.java +
+    TermFilteredPresearcher.java): a doc can match `q` only if it contains
+    at least one term of the returned set. Conjunctions contribute ONLY
+    their most selective child (the TermWeightor idea — indexing a
+    conjunction's stop-term alongside its rare term would pair the query
+    with nearly every doc in the candidate join for zero benefit);
+    disjunctions must contribute every child. Returns None when the
+    subtree can match a doc containing none of its terms (MatchAll)."""
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        return _cover_terms(q.query, weight)
+    if isinstance(q, Q.MatchAllDocsQuery):
+        return None
+    if isinstance(q, Q.BooleanQuery):
+        conj = [c.query for c in q.clauses
+                if c.occur in (Q.Occur.MUST, Q.Occur.FILTER)]
+        if conj:
+            best = None
+            for c in conj:
+                cov = _cover_terms(c, weight)
+                if cov is None or not cov:
+                    continue  # a MatchAll/term-free child can't cover
+                if best is None or _set_weight(cov, weight) > \
+                        _set_weight(best, weight):
+                    best = cov
+            return best  # None when every required child is term-free
+        out: set = set()
+        for c in q.clauses:
+            if c.occur == Q.Occur.MUST_NOT:
+                continue
+            cov = _cover_terms(c.query, weight)
+            if cov is None:
+                return None  # one term-free disjunct voids the cover
+            out |= cov
+        return out if out else None
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        out = set()
+        for s in q.queries:
+            cov = _cover_terms(s, weight)
+            if cov is None:
+                return None
+            out |= cov
+        return out if out else None
+    if isinstance(q, (Q.PhraseQuery, Q.SpanNearQuery)):
+        # a phrase/span-near is a conjunction of its terms: index only the
+        # most selective one
+        ts = {t for t in Q.scoring_terms(q) if isinstance(t, str)}
+        if not ts:
+            return set()
+        return {max(ts, key=lambda t: (weight(t), t))}
+    ts = Q.scoring_terms(q)
+    return {t for t in ts if isinstance(t, str)}
+
+
+def _set_weight(cov: set, weight) -> tuple:
+    """Selectivity of a covering set = its WEAKEST term (the most frequent
+    term dominates the candidate-join cost); ties prefer smaller sets."""
+    return (min(weight(t) for t in cov), -len(cov), min(cov))
+
+
 # one definition of "contains MatchAll" for the whole engine — the
 # searcher's coverage logic and the presearcher must never disagree
 from ..searcher import _contains_matchall  # noqa: E402
 
 
-def register_queries(spark, queries: dict):
+def register_queries(spark, queries: dict, term_df: dict | None = None):
     """Build the indexed-presearcher tables for percolate_indexed — the
     reference Monitor's query index (Monitor.register /
     QueryIndex.java: queries are themselves indexed so candidate
     selection is a SEARCH, not a scan):
-      qterms (query_id, term)  — each query's positive-context terms
-                                 (TermFilteredPresearcher extraction)
+      qterms (query_id, term)  — each query's MINIMAL covering term set
+                                 (TermFilteredPresearcher extraction:
+                                 conjunctions index only their most
+                                 selective term, so a stop-term inside an
+                                 AND never floods the candidate join)
       qdefs  (query_id, qdef)  — pickled query trees for the verify stage
       plus the list of match-anything query ids (MatchAll-containing or
       term-free), which bypass the candidate join.
+    term_df: optional {term: doc_freq} corpus statistics (e.g. from an
+    IndexSnapshot's terms table) — the TermWeightor: lower df = more
+    selective. Without it, token length is the selectivity proxy (longer
+    terms are rarer; the reference's default weighting combines the same
+    signals, monitor/TermWeightor.java).
     Scales to millions of registered queries: both tables are plain
     DataFrames, nothing is broadcast."""
     import pickle
+    if term_df:
+        def weight(t):
+            return (-term_df.get(t, 0), len(t))
+    else:
+        def weight(t):
+            return (len(t),)
     qterm_rows, qdef_rows, match_all = [], [], []
     for qid, q in sorted(queries.items()):
         if any(not isinstance(t, str) for t in Q.scoring_terms(q)):
             raise ValueError(
                 f"query {qid!r} is field-scoped — percolation matches "
                 "against the single document text column")
-        terms = sorted(t for t in _query_terms(q) if isinstance(t, str))
-        if _contains_matchall(q):
+        cover = _cover_terms(q, weight)
+        if cover is None or _contains_matchall(q):
             match_all.append(qid)
-        elif not terms:
+            cover = set()
+        elif not cover:
             raise ValueError(
                 f"query {qid!r} has no terms and no MatchAll — rewrite "
                 "dictionary-dependent queries before registering")
         qdef_rows.append((qid, bytearray(pickle.dumps(q))))
-        for t in terms:
+        for t in sorted(cover):
             qterm_rows.append((qid, t))
     qterms = spark.createDataFrame(qterm_rows or [("", "")],
                                    "query_id string, term string")
@@ -139,40 +215,54 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
         cand = cand.unionByName(
             src.select(id_col).crossJoin(F.broadcast(ma))
             .select(id_col, "query_id")).distinct()
-    joined = (cand.join(qdefs, "query_id")
-              .join(src, id_col)
-              .select(id_col, text_col, "query_id", "qdef"))
+    # candidates aggregate per doc BEFORE the text join, so each doc's
+    # full text is shuffled exactly ONCE however many candidate queries it
+    # has (joining text per candidate pair duplicated hot docs' text
+    # thousands of times at skew — the round-3 scale hazard); the qdef
+    # join stays per-pair but qdefs are small pickled trees, and both
+    # joins are plain equi-joins AQE's skew-join splitting can rebalance
+    per_doc = (cand.join(qdefs, "query_id")
+               .groupBy(id_col)
+               .agg(F.collect_list(F.struct("query_id", "qdef"))
+                    .alias("cands"))
+               .join(src, id_col)
+               .select(id_col, text_col, "cands"))
 
     cfg = analyzer
     id_type = dict((f.name, f.dataType.simpleString())
                    for f in docs.schema.fields)[id_col]
 
-    def verify(key, pdf):
+    def verify(batches):
         import pickle
         import pandas as pd
         from ..oracle import index_corpus
         from ..operators.executor import evaluate
-        reader, stats = index_corpus(pdf.iloc[:1], text_col=text_col,
-                                     cfg=cfg)
-        out = []
         memo: dict = {}
-        for r in pdf.itertuples():
-            q = memo.get(r.query_id)
-            if q is None:
-                q = memo[r.query_id] = pickle.loads(bytes(r.qdef))
-            m = evaluate(reader, stats, q, needs_scores=False)
-            if len(m.docids):
-                out.append(r.query_id)
-        return pd.DataFrame({"query_id": out,
-                             id_col: [key[0]] * len(out)})
+        for pdf in batches:
+            out_q, out_i = [], []
+            for r in pdf.itertuples():
+                reader, stats = index_corpus(
+                    pd.DataFrame({text_col: [getattr(r, text_col)]}),
+                    text_col=text_col, cfg=cfg)
+                rid = getattr(r, id_col)
+                for c in r.cands:
+                    qid = c["query_id"]
+                    q = memo.get(qid)
+                    if q is None:
+                        q = memo[qid] = pickle.loads(bytes(c["qdef"]))
+                    m = evaluate(reader, stats, q, needs_scores=False)
+                    if len(m.docids):
+                        out_q.append(qid)
+                        out_i.append(rid)
+            yield pd.DataFrame({"query_id": out_q, id_col: out_i})
 
     # explicit repartition: the verify UDF is compute-bound (per-doc
     # memory index + query evaluation), and AQE would otherwise coalesce
     # the grouped-UDF shuffle to ~64MB partitions (the repo's documented
     # AQE landmine — see build_index hash mode)
-    return (joined.repartition(n_par, id_col).groupBy(id_col)
-            .applyInPandas(verify,
-                           schema=f"query_id string, {id_col} {id_type}"))
+    return (per_doc.repartition(n_par, id_col)
+            .mapInPandas(verify,
+                         schema=f"query_id string, {id_col} {id_type}"))
 
 
 def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",

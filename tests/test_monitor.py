@@ -134,3 +134,67 @@ def test_percolate_rejects_field_scoped_queries(spark):
         percolate(docs, fieldq)
     with pytest.raises(ValueError, match="field-scoped"):
         register_queries(spark, fieldq)
+
+
+def test_presearcher_indexes_only_most_selective_conjunct(spark):
+    # TermFilteredPresearcher weighting: a conjunction containing a
+    # stop-term must index ONLY its rare term — indexing 'the' would pair
+    # the query with nearly every doc in the candidate join (the skew that
+    # kills indexed percolation at scale)
+    from lucene_7_x_9_x_spark.streaming.monitor import register_queries
+    qs = {"q": BooleanQuery([(Occur.MUST, TermQuery("the")),
+                             (Occur.MUST, TermQuery("paradoxically"))])}
+    # token-length heuristic (no df stats)
+    qt, _, ma = register_queries(spark, qs)
+    assert ma == []
+    assert [(r.query_id, r.term) for r in qt.collect()] == \
+        [("q", "paradoxically")]
+    # df-weighted: explicit stats override the length proxy
+    qt2, _, _ = register_queries(
+        spark, {"q": BooleanQuery([(Occur.MUST, TermQuery("zz")),
+                                   (Occur.MUST, TermQuery("longcommon"))])},
+        term_df={"longcommon": 50_000, "zz": 3})
+    assert [(r.query_id, r.term) for r in qt2.collect()] == [("q", "zz")]
+
+
+def test_presearcher_disjunction_keeps_every_branch(spark):
+    # a disjunct can match on its own, so no branch may be dropped; a
+    # phrase (conjunction of its terms) contributes only its rarest term
+    from lucene_7_x_9_x_spark.streaming.monitor import register_queries
+    qs = {"q": BooleanQuery([(Occur.SHOULD, TermQuery("alpha")),
+                             (Occur.SHOULD,
+                              PhraseQuery(["the", "excellent"]))])}
+    qt, _, _ = register_queries(spark, qs)
+    assert {r.term for r in qt.collect()} == {"alpha", "excellent"}
+
+
+def test_percolate_indexed_skewed_corpus_stop_conjunction(spark):
+    # end-to-end on a skewed corpus: every doc holds 'the'; the stop-term
+    # conjunction query must produce candidates ONLY for docs holding the
+    # rare term (candidate pairs stay bounded by the rare term's df, not
+    # the corpus size), and the result must equal broadcast percolation
+    from lucene_7_x_9_x_spark.streaming.monitor import (percolate_indexed,
+                                                        register_queries)
+    rows = [(i, "the common filler text row number %d" % i)
+            for i in range(400)]
+    rows += [(1000 + i, "the raremarker appears here %d" % i)
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = {"q": BooleanQuery([(Occur.MUST, TermQuery("the")),
+                             (Occur.MUST, TermQuery("raremarker"))])}
+    qt, qd, ma = register_queries(spark, qs)
+    # the presearcher table holds only the rare term -> the candidate join
+    # touches 5 docs, not 405
+    from pyspark.sql import functions as FF
+    from lucene_7_x_9_x_spark.pipeline.dedup import TOKEN_SPLIT
+    toks = FF.array_distinct(FF.filter(
+        FF.split(FF.lower(FF.col("text")), TOKEN_SPLIT),
+        lambda x: x != ""))
+    cand_pairs = (docs.select("doc_id", FF.explode(toks).alias("term"))
+                  .join(qt, "term").count())
+    assert cand_pairs == 5
+    got = {(r.query_id, r.doc_id)
+           for r in percolate_indexed(docs, qt, qd, ma).collect()}
+    want = {(r.query_id, r.doc_id)
+            for r in percolate(docs, qs).collect()}
+    assert got == want and len(got) == 5
