@@ -32,7 +32,11 @@ QDL = ("CAST(CASE WHEN dl < 24 THEN dl WHEN dl - 24 < 8 THEN dl "
 
 
 def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
-              cond: str | None = None) -> str:
+              cond: str | None = None, src_sql: str | None = None,
+              toks: str | None = None) -> str:
+    """BM25 top-k oracle. src_sql/toks override the source table and the
+    tokenizer expression (used by the Unicode-analyzer entries, which
+    tokenize with regexp_extract_all over the shared Unicode pattern)."""
     tf_cols = ", ".join(
         f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
         for i, t in enumerate(terms))
@@ -49,8 +53,9 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
                         for i in range(len(terms)))
     if cond is None:
         cond = f"nmatch = {len(terms)}" if conjunctive else "nmatch >= 1"
+    src = f"({src_sql})" if src_sql else "documents"
     return f"""
-WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+WITH toks AS (SELECT doc_id, {toks or TOKS} AS ts FROM {src}),
 dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
 stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
                  sum(dl) AS sum_ttf FROM dl_t),
@@ -389,7 +394,8 @@ _FORMAT_VERSION = 2
 
 
 def _cache_is_stale(out: str, require_offsets: bool = False,
-                    require_sort: str | None = None) -> bool:
+                    require_sort: str | None = None,
+                    require_regex: str | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -399,6 +405,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
     if require_offsets and not m.get("with_offsets"):
         return True
     if require_sort is not None and m.get("index_sort") != require_sort:
+        return True
+    if require_regex is not None and \
+            m.get("analyzer", {}).get("token_regex") != require_regex:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -453,6 +462,69 @@ def _get_searcher_mf(spark: SparkSession, sf_dir: str):
         build_index(spark, docs, out, id_cols=["doc_id"],
                     text_col="text", segment_by="input",
                     extra_fields=[("head", "head"), ("lang", "lang")])
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+# deterministic non-ASCII corpus derived from doc_id arithmetic over
+# literal snippets — Spark and the DuckDB oracles synthesize the SAME text,
+# so the Unicode analyzer (UAX#29-class token types) is exercised end to
+# end: CJK ideographs one-token-per-char, katakana/hangul runs, accented
+# Latin word runs
+_UNI_A = ["搜索 引擎 索引", "中文 分词 系统", "数据 处理 管道",
+          "搜索 排序 算法"]
+_UNI_B = ["カタカナ テスト", "ひらがな かな", "한국어 형태소"]
+_UNI_C = ["café résumé", "naïve façade", "über größe", "déjà vu",
+          "señor niño"]
+
+
+def _unicode_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_UNI_A, 4), pick(_UNI_B, 3),
+                    pick(_UNI_C, 5)).alias("text"))
+
+
+def _uni_toks() -> str:
+    """DuckDB tokenizer expression reproducing the engine's Unicode mode
+    bit-for-bit: the SAME pattern string under RE2 (explicit codepoint
+    ranges — no \\p classes, no \\w — precisely so both regex engines and
+    Java regex agree)."""
+    from lucene_7_x_9_x_spark.functions.analysis import UNICODE_TOKEN_REGEX
+    return ("list_filter(regexp_extract_all(lower(text), "
+            f"'{UNICODE_TOKEN_REGEX}'), t -> t <> '')")
+
+
+def _unicode_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_UNI_A, 4)} || ' ' || "
+            f"{pick(_UNI_B, 3)} || ' ' || {pick(_UNI_C, 5)} AS text "
+            "FROM documents")
+
+
+def _get_searcher_unicode(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, unicode_analyzer)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "unicode")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "uni_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_regex=UNICODE_TOKEN_REGEX):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_unicode_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=unicode_analyzer())
     s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
@@ -583,6 +655,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # negation wraps as [MUST_NOT x, SHOULD MatchAll]
         from lucene_7_x_9_x_spark.plans.simple_parser import parse_simple
         return _match_ids(spark, sf, parse_simple("join + -window"))
+
+    def unicode_term_top10(spark, sf):
+        # UAX#29-class Unicode analysis end to end (StandardTokenizer
+        # token types): BM25 top-10 over a CJK + kana + accented-Latin
+        # corpus where ideographs tokenize one char per token
+        s = _get_searcher_unicode(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("搜")),
+                                     (O.SHOULD, T("café")),
+                                     (O.SHOULD, T("カタカナ"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def unicode_phrase(spark, sf):
+        # per-ideograph positions: the phrase 搜索 = adjacent single-char
+        # tokens (how CJK phrase search works over a UAX#29 index)
+        s = _get_searcher_unicode(spark, sf)
+        m = s.matches(Q.PhraseQuery(["搜", "索"]))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        return m.join(dm, ["segment", "docid"]).select("doc_id")
 
     def span_near(spark, sf):
         # ordered span-near (NearSpansOrdered): key ... hash ... row with
@@ -1120,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_query_matches": parse_query_matches,
         "simple_query_top10": simple_query_top10,
         "simple_query_matches": simple_query_matches,
+        "unicode_term_top10": unicode_term_top10,
+        "unicode_phrase": unicode_phrase,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "function_score_top10": function_score_top10,
@@ -1339,6 +1433,15 @@ def oracle_sql() -> dict[str, str]:
             cond="(tf_0 > 0 OR tf_1 > 0) AND tf_2 > 0"),
         "simple_query_matches": _contains_sql(
             "list_contains(ts, 'join') AND NOT list_contains(ts, 'window')"),
+        "unicode_term_top10": _bm25_sql(
+            ["搜", "café", "カタカナ"], 10, False,
+            src_sql=_unicode_src_sql(), toks=_uni_toks()),
+        "unicode_phrase": f"""
+            WITH toks AS (SELECT doc_id, {_uni_toks()} AS ts
+                          FROM ({_unicode_src_sql()}))
+            SELECT doc_id FROM toks
+            WHERE len(list_filter(range(1, len(ts)), i ->
+                    ts[i] = '搜' AND ts[i+1] = '索')) > 0""",
         "span_near": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,

@@ -28,12 +28,51 @@ import pandas as pd
 TOKEN_REGEX = r"[a-z0-9_]+"
 MAX_TOKEN_LENGTH = 255
 
+# ---------------------------------------------------------------------------
+# Unicode word-char mode — the StandardTokenizer UAX#29 token-type behavior
+# (solr-8.4.0/.../analysis/standard/StandardTokenizer.java:44-69: ALPHANUM
+# runs, IDEOGRAPHIC/HIRAGANA one token per char, KATAKANA/HANGUL runs),
+# expressed as ONE alternation over explicit codepoint ranges so the exact
+# same pattern string runs identically under Python re (engine kernels),
+# Java regex (any JVM-side path) and RE2 (DuckDB oracles:
+# regexp_extract_all(lower(text), UNICODE_TOKEN_REGEX)).  Explicit ranges
+# because \p{Han}-style classes don't exist in Python's re and \w is
+# ASCII-only in RE2.  Documented approximation of the full UAX#29 DFA: no
+# mid-number punctuation (3.14 -> '3','14') and Southeast-Asian scripts
+# tokenize as runs rather than dictionary syllables (the reference needs
+# whole analyzer modules for those: solr-8.4.0/lucene/analysis/
+# smartcn|kuromoji|nori|icu).
+_HAN = "一-鿿㐀-䶿豈-﫿"          # CJK ideographs
+_HIRAGANA = "぀-ゟ"
+_KATAKANA = "゠-ヿㇰ-ㇿ"                   # incl. ー
+_HANGUL = "가-힯ᄀ-ᇿ㄰-㆏"
+_UWORD = ("a-z0-9_"
+          "À-ÖØ-öø-ÿ"        # Latin-1 letters
+          "Ā-ɏ"                                  # Latin extended
+          "Ͱ-Ͽἀ-῿"                     # Greek
+          "Ѐ-ԯ"                                  # Cyrillic
+          "֐-׿؀-ۿݐ-ݿ"        # Hebrew, Arabic
+          "ऀ-ॿ"                                  # Devanagari
+          "฀-๿")                                 # Thai
+UNICODE_TOKEN_REGEX = (f"[{_KATAKANA}]+"
+                       f"|[{_HANGUL}]+"
+                       f"|[{_HAN}{_HIRAGANA}]"
+                       f"|[{_UWORD}]+")
+
 
 @dataclass(frozen=True)
 class AnalyzerConfig:
     token_regex: str = TOKEN_REGEX
     max_token_length: int = MAX_TOKEN_LENGTH
     stopwords: frozenset = field(default_factory=frozenset)  # default EMPTY
+
+
+def unicode_analyzer(stopwords: frozenset = frozenset()) -> AnalyzerConfig:
+    """AnalyzerConfig in Unicode word-char mode (see UNICODE_TOKEN_REGEX).
+    Use the SAME config for build and any query-text analysis; DuckDB
+    oracles reproduce it with regexp_extract_all(lower(text), pattern)."""
+    return AnalyzerConfig(token_regex=UNICODE_TOKEN_REGEX,
+                          stopwords=stopwords)
 
 
 def _split_oversize(tokens: list[str], max_len: int) -> list[str]:
@@ -59,9 +98,16 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
         # vectorized pre-mask: only docs that can contain an oversize token
         # pay the per-token split scan (rare in practice). Runs on the SAME
         # lowercased text findall sees, so characters that only become
-        # word-chars after lower() (e.g. U+212A -> 'k') can't slip past it
-        might = lowered.str.contains(
-            "[a-z0-9_]{%d,}" % (cfg.max_token_length + 1), regex=True)
+        # word-chars after lower() (e.g. U+212A -> 'k') can't slip past it.
+        # The ASCII class is only a valid pre-mask for the default ASCII
+        # tokenizer; any custom regex (e.g. the Unicode mode) gets an
+        # exact per-row length check instead — same result, no false skips
+        if cfg.token_regex == TOKEN_REGEX:
+            might = lowered.str.contains(
+                "[a-z0-9_]{%d,}" % (cfg.max_token_length + 1), regex=True)
+        else:
+            ml = cfg.max_token_length
+            might = toks.map(lambda ts: any(len(t) > ml for t in ts))
         if might.any():
             toks = toks.where(~might, toks[might].map(
                 lambda ts: _split_oversize(ts, cfg.max_token_length)))
