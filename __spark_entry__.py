@@ -676,6 +676,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
         return m.join(dm, ["segment", "docid"]).select("doc_id")
 
+    def knn_filtered_top10(spark, sf):
+        # Searcher-level KNN composable with an engine filter
+        # (KnnFloatVectorQuery + TieBreakDocIdKNNQuery capability): top-10
+        # by cosine to vec_id 0's embedding among docs whose text matches
+        # TermQuery('filter'); ties (cosine desc, id asc)
+        s = _get_searcher(spark, sf)
+        emb = _emb(spark, sf)
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        r = s.knn(qv, 10, filter=T("filter"), vectors=emb,
+                  vec_id_col="vec_id")
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("vec_id").cast("long").alias("vec_id"))
+
     def span_near(spark, sf):
         # ordered span-near (NearSpansOrdered): key ... hash ... row with
         # total gap <= 6
@@ -1214,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_query_matches": simple_query_matches,
         "unicode_term_top10": unicode_term_top10,
         "unicode_phrase": unicode_phrase,
+        "knn_filtered_top10": knn_filtered_top10,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "function_score_top10": function_score_top10,
@@ -1442,6 +1457,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM toks
             WHERE len(list_filter(range(1, len(ts)), i ->
                     ts[i] = '搜' AND ts[i+1] = '索')) > 0""",
+        "knn_filtered_top10": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            m AS (SELECT doc_id FROM toks
+                  WHERE list_contains(ts, 'filter')),
+            cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                     JOIN m ON e.vec_id = m.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY
+                     list_cosine_similarity(c.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]) DESC,
+                     c.vec_id) AS BIGINT) AS rank, c.vec_id
+            FROM cand c, q
+            ORDER BY rank LIMIT 10""",
         "span_near": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,

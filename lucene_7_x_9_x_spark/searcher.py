@@ -516,6 +516,77 @@ class Searcher:
             dm = dm.where(c <= upper if include_upper else c < upper)
         return dm.select("segment", "docid", *self.index.id_cols, col)
 
+    def knn(self, query_vec, k: int = 10, filter=None,
+            vectors: DataFrame = None, vec_id_col: str = "vec_id",
+            vec_col: str = "embedding", bucketed: DataFrame = None,
+            ivf=None, nprobe: int = 4, n_planes: int = 8,
+            probe_hamming: int = 1, seed: int = 42) -> DataFrame:
+        """KNN vector search as a query-surface citizen — the
+        KnnFloatVectorQuery capability with docid tie-break
+        (LuceneDemo9.1.0/src/main/java/TestKNNQuery.java,
+        TieBreakDocIdKNNQuery.java: equal scores order by id asc), here
+        composable with ANY engine filter query ("top-k by cosine among
+        docs matching lang:py").
+
+        vectors: DataFrame keyed by `vec_id_col` whose values equal the
+        index's FIRST id column (the stored-KnnVectorField analogue kept
+        as its own columnar table — column pruning means text queries
+        never read vectors).
+
+        Routing (Lucene's KnnVectorQuery does the same split):
+          - filter given -> EXACT cosine over the filter's match set: the
+            filter runs through the normal postings kernel, its (tiny)
+            id set semi-joins the vector table, and only those rows are
+            scored. At any scale the filtered-exact path is the right
+            plan when the filter is selective — per-query work is
+            O(|matches|), not O(|corpus|).
+          - no filter   -> ANN when an index is supplied: `bucketed` (a
+            build_lsh_index frame -> multi-probe hyperplane LSH) or
+            `ivf=(centroids, assigned_df_or_path)` (probed coarse cells;
+            a path routes through the partition-pruned on-disk layout);
+            else brute-force exact.
+        Returns DataFrame(rank, <vec_id_col>, cosine) ordered
+        (cosine desc, id asc)."""
+        from .pipeline.similarity import (cosine_topk_bruteforce,
+                                          cosine_topk_lsh, ivf_topk,
+                                          ivf_topk_from_disk)
+        if vectors is None and bucketed is None and ivf is None:
+            raise ValueError("knn needs `vectors` (or an ANN index via "
+                             "`bucketed`/`ivf`)")
+        if filter is not None:
+            id0 = self.index.id_cols[0]
+            ids = (self.cached_matches(filter)
+                   .join(self.index.docmap().select("segment", "docid",
+                                                    id0),
+                         ["segment", "docid"])
+                   .select(F.col(id0).alias(vec_id_col)).distinct())
+            cand = vectors.join(ids, vec_id_col, "left_semi")
+            return cosine_topk_bruteforce(cand, query_vec, vec_id_col,
+                                          vec_col, k)
+        # unfiltered: exclude tombstoned docs when the snapshot has any
+        dels = self.index.deletes()
+        if dels is not None and vectors is not None:
+            id0 = self.index.id_cols[0]
+            live = (self.index.docmap()
+                    .join(dels, ["segment", "docid"], "left_anti")
+                    .select(F.col(id0).alias(vec_id_col)))
+            vectors = vectors.join(live, vec_id_col, "left_semi")
+        if ivf is not None:
+            centroids, assigned = ivf
+            if isinstance(assigned, str):
+                return ivf_topk_from_disk(self.index.spark, assigned,
+                                          centroids, query_vec, k, nprobe,
+                                          vec_id_col, vec_col)
+            return ivf_topk(assigned, centroids, query_vec, k, nprobe,
+                            vec_id_col, vec_col)
+        if bucketed is not None:
+            dim = len(query_vec)
+            return cosine_topk_lsh(vectors, query_vec, dim, vec_id_col,
+                                   vec_col, k, n_planes, probe_hamming,
+                                   seed, bucketed=bucketed)
+        return cosine_topk_bruteforce(vectors, query_vec, vec_id_col,
+                                      vec_col, k)
+
     def term_offsets(self, term: str, field: str | None = None
                      ) -> DataFrame:
         """Stored character offsets of every occurrence of `term` — the
