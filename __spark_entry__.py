@@ -690,6 +690,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("vec_id").cast("long").alias("vec_id"))
 
+    def intervals_ordered(spark, sf):
+        # intervals module (minimal-interval semantics,
+        # queries/intervals/): ordered(key, or(hash, row)) filtered to
+        # gaps <= 4 — a nested source the classic span queries cannot
+        # express (or INSIDE ordered)
+        from lucene_7_x_9_x_spark.plans.query import (IntervalOr,
+                                                      IntervalOrdered,
+                                                      IntervalQuery,
+                                                      IntervalTerm)
+        tree = IntervalOrdered(
+            (IntervalTerm("key"),
+             IntervalOr((IntervalTerm("hash"), IntervalTerm("row")))),
+            max_gaps=4)
+        return _match_ids(spark, sf, IntervalQuery(tree))
+
     def span_near(spark, sf):
         # ordered span-near (NearSpansOrdered): key ... hash ... row with
         # total gap <= 6
@@ -1229,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_term_top10": unicode_term_top10,
         "unicode_phrase": unicode_phrase,
         "knn_filtered_top10": knn_filtered_top10,
+        "intervals_ordered": intervals_ordered,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "function_score_top10": function_score_top10,
@@ -1471,6 +1487,18 @@ def oracle_sql() -> dict[str, str]:
                      c.vec_id) AS BIGINT) AS rank, c.vec_id
             FROM cand c, q
             ORDER BY rank LIMIT 10""",
+        "intervals_ordered": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            p AS (SELECT doc_id,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'key')
+                      AS pk,
+                    list_filter(range(1, len(ts)+1), i -> ts[i] = 'hash'
+                      OR ts[i] = 'row') AS px
+                  FROM t)
+            SELECT doc_id FROM p
+            WHERE len(list_filter(pk, a ->
+                    len(list_filter(px, b -> b > a AND b - a - 1 <= 4))
+                    > 0)) > 0""",
         "span_near": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,

@@ -25,7 +25,8 @@ import numpy as np
 from ..functions import bm25
 from ..functions.bm25 import F32
 from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
-                           DisjunctionMaxQuery, MatchAllDocsQuery,
+                           DisjunctionMaxQuery, IntervalQuery,
+                           MatchAllDocsQuery,
                            MatchNoDocsQuery, Occur, PhraseQuery, Query,
                            SpanFirstQuery, SpanNearQuery, SpanOrQuery,
                            SynonymQuery, TermInSetQuery,
@@ -268,6 +269,22 @@ def evaluate(reader, stats: SegmentStats, q: Query,
             return Matches.empty()
         docids = np.unique(np.concatenate(parts))
         return Matches(docids, np.full(len(docids), b32, dtype=np.float32))
+
+    if isinstance(q, IntervalQuery):
+        # intervals module (queries/intervals/IntervalQuery.java): minimal-
+        # interval matching; scored like spans — sloppyFreq over intervals
+        # with the summed-idf SpanWeight over the distinct leaf terms
+        from .intervals import interval_match
+        from ..plans.query import interval_terms
+        docids, sfreqs = interval_match(reader, q)
+        if len(docids) == 0:
+            return Matches.empty()
+        if not needs_scores:
+            return Matches(docids)
+        leaves = tuple(sorted(interval_terms(q.source)))
+        return Matches(docids, _span_scores(
+            reader, stats, leaves, q.field, docids, sfreqs,
+            F32(b32 * F32(q.boost))))
 
     if isinstance(q, (SpanNearQuery, SpanOrQuery, SpanFirstQuery)):
         if isinstance(q, SpanOrQuery):

@@ -191,6 +191,79 @@ class SpanFirstQuery(Query):
     field: str | None = None
 
 
+# ---- intervals module (minimal-interval semantics) ------------------------
+# The modern proximity algebra of the reference's queries module
+# (solr-8.4.0/lucene/queries/src/java/org/apache/lucene/queries/intervals/:
+# Intervals.ordered/unordered/or/maxgaps with OrderedIntervalsSource /
+# UnorderedIntervalsSource / MinimizingConjunctionIntervalsSource): every
+# source yields, per document, its MINIMAL intervals (no interval
+# containing another), and sources COMPOSE — ordered inside unordered
+# inside or — which the classic span queries cannot.  Evaluation in
+# operators/intervals.py.
+
+
+@dataclass(frozen=True)
+class IntervalTerm:
+    """Leaf source: one [p, p] interval per occurrence of `term`."""
+    term: str
+
+
+@dataclass(frozen=True)
+class IntervalOrdered:
+    """Minimal intervals containing one interval of each child IN ORDER,
+    successive child intervals non-overlapping (next.start > prev.end —
+    OrderedIntervalsSource.nextInterval). max_gaps filters the node's
+    minimal intervals on gaps = width - covered (Intervals.maxgaps)."""
+    sources: tuple
+    max_gaps: int | None = None
+
+    def __init__(self, sources, max_gaps=None):
+        object.__setattr__(self, "sources", tuple(sources))
+        object.__setattr__(self, "max_gaps", max_gaps)
+
+
+@dataclass(frozen=True)
+class IntervalUnordered:
+    """Minimal windows containing one interval of each child in ANY order
+    (overlaps allowed — UnorderedIntervalsSource)."""
+    sources: tuple
+    max_gaps: int | None = None
+
+    def __init__(self, sources, max_gaps=None):
+        object.__setattr__(self, "sources", tuple(sources))
+        object.__setattr__(self, "max_gaps", max_gaps)
+
+
+@dataclass(frozen=True)
+class IntervalOr:
+    """Union of the children's intervals, minimized
+    (DisjunctionIntervalsSource)."""
+    sources: tuple
+
+    def __init__(self, sources):
+        object.__setattr__(self, "sources", tuple(sources))
+
+
+def interval_terms(src) -> set:
+    """All leaf terms of an interval source tree."""
+    if isinstance(src, IntervalTerm):
+        return {src.term}
+    return set().union(*[interval_terms(s) for s in src.sources]) \
+        if src.sources else set()
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Query over an interval source (queries/intervals/IntervalQuery.java):
+    matches docs where the source yields at least one interval; scored with
+    the SpanScorer-style sloppyFreq sum(1/(1+gaps)) over the doc's minimal
+    intervals and the summed-idf span weight (the reference scores interval
+    freq through the same per-interval saturation idea)."""
+    source: object
+    boost: float = 1.0
+    field: str | None = None
+
+
 @dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
@@ -367,6 +440,8 @@ def scoring_terms(q: Query) -> set:
         return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, SpanFirstQuery):
         return {term_key(q.field, q.term)}
+    if isinstance(q, IntervalQuery):
+        return {term_key(q.field, t) for t in interval_terms(q.source)}
     if isinstance(q, TermInSetQuery):
         return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
@@ -406,6 +481,8 @@ def map_fields(q: Query, f) -> Query:
         return SpanOrQuery(q.terms, q.boost, f(q.field))
     if isinstance(q, SpanFirstQuery):
         return SpanFirstQuery(q.term, q.end, q.boost, f(q.field))
+    if isinstance(q, IntervalQuery):
+        return IntervalQuery(q.source, q.boost, f(q.field))
     if isinstance(q, FuzzyQuery):
         return FuzzyQuery(q.term, q.max_edits, q.transpositions,
                           q.prefix_length, f(q.field))

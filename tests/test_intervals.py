@@ -1,0 +1,147 @@
+"""Intervals module (queries/intervals minimal-interval semantics):
+minimize() properties, greedy-vs-brute-force enumeration equivalence on
+random position data (including nesting — ordered inside unordered —
+which classic spans cannot express), gap filtering, and end-to-end
+matching through the Spark engine."""
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+from lucene_7_x_9_x_spark.operators.intervals import eval_source, minimize
+from lucene_7_x_9_x_spark.plans.query import (IntervalOr, IntervalOrdered,
+                                              IntervalQuery, IntervalTerm,
+                                              IntervalUnordered)
+
+SF = "/root/testdata/sf0.001"
+
+
+def brute(src, pos):
+    """Exhaustive enumerator: every combination, then minimize — the
+    specification the lazy algorithms must reproduce (on (start, end);
+    covered can differ between equal-(start,end) chains, and the engine
+    keeps the greedy chain's value like the reference's lazy iterators)."""
+    if isinstance(src, IntervalTerm):
+        return minimize([(int(p), int(p), 1) for p in pos.get(src.term, [])])
+    if isinstance(src, IntervalOr):
+        iv = []
+        for s in src.sources:
+            iv.extend(brute(s, pos))
+        return minimize(iv)
+    lists = [brute(s, pos) for s in src.sources]
+    if any(not li for li in lists):
+        return []
+    cands = []
+    for combo in itertools.product(*lists):
+        if isinstance(src, IntervalOrdered):
+            if not all(combo[i + 1][0] > combo[i][1]
+                       for i in range(len(combo) - 1)):
+                continue
+            cands.append((combo[0][0], combo[-1][1],
+                          sum(c[2] for c in combo)))
+        else:
+            cands.append((min(c[0] for c in combo),
+                          max(c[1] for c in combo),
+                          sum(c[2] for c in combo)))
+    iv = minimize(cands)
+    if src.max_gaps is not None:
+        iv = [t for t in iv if max(0, t[1] - t[0] + 1 - t[2])
+              <= src.max_gaps]
+    return iv
+
+
+def se(iv):
+    return [(s, e) for s, e, _ in iv]
+
+
+def test_minimize_drops_containing_intervals():
+    assert minimize([(1, 5, 2), (2, 4, 2), (1, 3, 2)]) == [(1, 3, 2),
+                                                           (2, 4, 2)]
+    # duplicates collapse; same (start, end) keeps the max-covered one
+    assert minimize([(1, 3, 2), (1, 3, 3)]) == [(1, 3, 3)]
+
+
+TREES = [
+    IntervalOrdered((IntervalTerm("a"), IntervalTerm("b"))),
+    IntervalOrdered((IntervalTerm("a"), IntervalTerm("b"),
+                     IntervalTerm("c"))),
+    IntervalUnordered((IntervalTerm("a"), IntervalTerm("b"))),
+    IntervalUnordered((IntervalTerm("a"), IntervalTerm("b"),
+                       IntervalTerm("c"))),
+    IntervalOr((IntervalOrdered((IntervalTerm("a"), IntervalTerm("b"))),
+                IntervalTerm("c"))),
+    IntervalOrdered((IntervalTerm("a"),
+                     IntervalOr((IntervalTerm("b"), IntervalTerm("c"))))),
+    # nesting the spans module cannot express: ordered INSIDE unordered
+    IntervalUnordered((IntervalOrdered((IntervalTerm("a"),
+                                        IntervalTerm("b"))),
+                       IntervalTerm("c"))),
+    IntervalOr((IntervalUnordered((IntervalTerm("a"), IntervalTerm("b"))),
+                IntervalOrdered((IntervalTerm("b"), IntervalTerm("c"))))),
+]
+
+
+def test_lazy_equals_bruteforce_on_random_positions():
+    rng = np.random.RandomState(7)
+    for trial in range(300):
+        pos = {}
+        for t in "abc":
+            n = rng.randint(0, 5)
+            if n:
+                pos[t] = np.unique(rng.randint(0, 14, size=n))
+        for tree in TREES:
+            got = se(eval_source(tree, pos))
+            want = se(brute(tree, pos))
+            assert got == want, (trial, tree, pos, got, want)
+
+
+def test_maxgaps_two_term_chain():
+    pos = {"a": np.array([0, 10]), "b": np.array([3, 11])}
+    t0 = IntervalOrdered((IntervalTerm("a"), IntervalTerm("b")),
+                         max_gaps=0)
+    assert se(eval_source(t0, pos)) == [(10, 11)]
+    t2 = IntervalOrdered((IntervalTerm("a"), IntervalTerm("b")),
+                         max_gaps=2)
+    assert se(eval_source(t2, pos)) == [(0, 3), (10, 11)]
+    # brute agrees under the gap filter for 2-term (covered is unambiguous)
+    assert se(brute(t2, pos)) == [(0, 3), (10, 11)]
+
+
+def test_engine_interval_matching_vs_bruteforce(spark, tmp_path_factory):
+    import re
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("iv_idx"))
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, out, id_cols=["doc_id"],
+                      text_col="text", segment_by="input")
+    s = Searcher(idx)
+    pdf = docs.select("doc_id", "text").toPandas()
+    trees = [
+        IntervalOrdered((IntervalTerm("key"),
+                         IntervalOr((IntervalTerm("hash"),
+                                     IntervalTerm("row")))), max_gaps=4),
+        IntervalUnordered((IntervalOrdered((IntervalTerm("key"),
+                                            IntervalTerm("hash"))),
+                           IntervalTerm("row")), max_gaps=8),
+    ]
+    for tree in trees:
+        got = {int(r.doc_id) for r in
+               s.matches(IntervalQuery(tree))
+               .join(idx.docmap().select("segment", "docid", "doc_id"),
+                     ["segment", "docid"]).collect()}
+        want = set()
+        for r in pdf.itertuples():
+            toks = [t for t in re.split(r"[^a-z0-9_]+", r.text.lower())
+                    if t]
+            pos = {}
+            for t in {"key", "hash", "row"}:
+                p = [i for i, x in enumerate(toks) if x == t]
+                if p:
+                    pos[t] = np.asarray(p)
+            if eval_source(tree, pos):
+                want.add(int(r.doc_id))
+        assert got == want, tree
