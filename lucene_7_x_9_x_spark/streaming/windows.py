@@ -33,28 +33,54 @@ def run_windowed_counts(spark: SparkSession, events_glob: str,
                         schema: str, checkpoint_dir: str,
                         query_name: str = "windowed_events",
                         window: str = "1 hour",
-                        watermark: str = "10 minutes") -> DataFrame:
+                        watermark: str = "10 minutes",
+                        sink_dir: str | None = None) -> DataFrame:
     """availableNow streaming pass: aggregate all currently-available event
     files into tumbling windows. Runs in ``update`` output mode so the
     watermark actually finalizes and evicts window state (in ``complete``
-    mode the watermark is inert and state grows without bound); each
-    micro-batch's updated windows are upserted keyed by (window, key) — the
-    same discipline as a MERGE into a Delta/parquet sink in production.
-    Returns the upserted windows as a DataFrame."""
+    mode the watermark is inert and state grows without bound).
+
+    Each micro-batch's updated windows are MERGE-upserted into a parquet
+    sink partitioned by window start: the batch's touched windows are
+    partition-pruned out of the sink, merged keyed by (window, key), and
+    written back with DYNAMIC partition overwrite — so per-batch work and
+    rewrite volume are bounded by the batch's ACTIVE windows, never by
+    sink history, and no state accumulates on the driver (a long-running
+    high-cardinality stream previously grew a driver dict without bound).
+    With a Delta/Iceberg catalog the same upsert is a single MERGE
+    statement; this is the plain-parquet equivalent with identical
+    bounded-work behavior. sink_dir defaults beside the checkpoint.
+    Returns the sink contents as a DataFrame."""
     stream = spark.readStream.schema(schema).parquet(events_glob)
     agg = windowed_aggregate(stream, window=window, watermark=watermark)
-    store: dict = {}
+    cols = agg.columns  # original order (partitioning reorders on disk)
+    key_col = cols[2]
+    sink = sink_dir or (checkpoint_dir.rstrip("/") + "_sink")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # windows are already aggregated, so a batch carries at most one row
-        # per updated (window, key) — bounded by active windows, not events
-        for r in batch_df.collect():
-            store[(r.win_start, r[2])] = r
+        b = batch_df
+        import os
+        if os.path.exists(sink):
+            # MERGE: prune the sink scan to the batch's touched windows
+            # (partition filters), drop superseded (window, key) rows,
+            # union the new rows; dynamic overwrite rewrites ONLY those
+            # window partitions
+            touched = [r[0] for r in
+                       b.select("win_start").distinct().collect()]
+            if not touched:
+                return
+            existing = (spark.read.parquet(sink)
+                        .where(F.col("win_start").isin(touched)))
+            keep = existing.join(b.select("win_start", key_col),
+                                 ["win_start", key_col], "left_anti")
+            b = keep.select(*cols).unionByName(b.select(*cols))
+        (b.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("win_start").parquet(sink))
 
     q = (agg.writeStream.outputMode("update")
          .foreachBatch(upsert)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = list(store.values())
-    return spark.createDataFrame(rows, schema=agg.schema)
+    return spark.read.parquet(sink).select(*cols)

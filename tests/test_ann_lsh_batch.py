@@ -54,3 +54,36 @@ def test_prebuilt_index_equals_rebucketing(emb):
                 == [(r["rank"], r["vec_id"]) for r in cold])
     finally:
         idx.unpersist()
+
+
+def test_lsh_disk_layout_prunes_partitions(emb, spark, tmp_path):
+    from lucene_7_x_9_x_spark.pipeline.similarity import (hyperplane_bucket,
+                                                          lsh_topk_from_disk,
+                                                          lsh_write)
+    import numpy as np
+    path = str(tmp_path / "lsh")
+    lsh_write(hyperplane_bucket(emb, dim=64), path)
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    got = lsh_topk_from_disk(spark, path, qv, dim=64, k=10).toPandas()
+    want = cosine_topk_lsh(emb, qv, dim=64, k=10).toPandas()
+    assert got.vec_id.tolist() == want.vec_id.tolist()
+    assert np.allclose(got.cosine, want.cosine)
+    # probed buckets must be PARTITION filters (planning-time pruning)
+    plan = (lsh_topk_from_disk(spark, path, qv, dim=64, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters")[1][:120]
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from lucene_7_x_9_x_spark.pipeline.similarity import auto_n_planes
+    assert auto_n_planes(500) == 2
+    assert auto_n_planes(128 * 1024) == 10
+    assert auto_n_planes(128 * 2**20) == 20
+    # monotone non-decreasing in corpus size
+    last = 0
+    for n in [10**3, 10**5, 10**7, 10**9, 10**12]:
+        v = auto_n_planes(n)
+        assert v >= last
+        last = v
