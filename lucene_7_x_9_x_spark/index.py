@@ -149,6 +149,69 @@ class IndexSnapshot:
             out[t if f is None else (f, t)] = (int(df_), int(ttf))
         return out
 
+    def impacts_lookup(self, keys) -> dict:
+        """Driver-side read of the index-time IMPACT pairs of the given
+        term keys — (freq, norm) frontier entries accumulated per block by
+        the CompetitiveImpactAccumulator analogue (functions/codec.py;
+        solr-8.4.0/.../codecs/CompetitiveImpactAccumulator.java). Every
+        stored pair was observed on a REAL document, and within one
+        (term, segment) all pairs belong to distinct docs — which is what
+        makes the k-th best achieved impact score a SAFE driver-side
+        floor for top-k pruning (see Searcher._seed_theta). Pure pyarrow
+        column read (term + impact arrays only; the postings files are
+        term-sorted so row groups prune) — no Spark job.
+
+        Returns {key: (freqs int64[], norms int64[])} concatenated across
+        segments and blocks."""
+        import pyarrow.dataset as pads
+        dirs = [os.path.join(self.root, d, "kind=postings")
+                for d in self.manifest["batches"]]
+        if len(dirs) == 1:
+            dset = pads.dataset(dirs[0], format="parquet")
+        else:  # pyarrow accepts one dir or a union of datasets
+            dset = pads.dataset(
+                [pads.dataset(d, format="parquet") for d in dirs])
+        has_field = "field" in dset.schema.names
+        bare = sorted(k for k in keys if isinstance(k, str))
+        by_field: dict = {}
+        for k in keys:
+            if not isinstance(k, str):
+                by_field.setdefault(k[0], []).append(k[1])
+        expr = None
+        if bare:
+            e = pads.field("term").isin(bare)
+            if has_field:
+                e = e & pads.field("field").is_null()
+            expr = e
+        for f, ts in sorted(by_field.items()):
+            e = (pads.field("field") == f) & pads.field("term").isin(
+                sorted(ts))
+            expr = e if expr is None else expr | e
+        if expr is None:
+            return {}
+        cols = (["field"] if has_field else []) + [
+            "term", "imp_freqs", "imp_norms"]
+        tbl = dset.to_table(filter=expr, columns=cols).to_pydict()
+        fields = tbl.get("field", [None] * len(tbl["term"]))
+        def _flat(x):
+            # imp columns are list<list<int>> (one inner list per block)
+            for item in x:
+                if isinstance(item, (list, tuple)):
+                    yield from item
+                else:
+                    yield item
+
+        acc: dict = {}
+        for f, t, fr, no in zip(fields, tbl["term"], tbl["imp_freqs"],
+                                tbl["imp_norms"]):
+            k = t if f is None else (f, t)
+            got = acc.setdefault(k, ([], []))
+            got[0].extend(_flat(fr))
+            got[1].extend(_flat(no))
+        return {k: (np.asarray(v[0], dtype=np.int64),
+                    np.asarray(v[1], dtype=np.int64))
+                for k, v in acc.items()}
+
     def deletes(self) -> DataFrame | None:
         """Tombstoned (segment, docid) rows committed by operators.deletes
         (the liveDocs analogue), or None if this snapshot has none."""

@@ -124,6 +124,7 @@ class Searcher:
         self._ctx = RewriteContext(expand_terms=self._expand,
                                    max_expansions=max_expansions)
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
+        self._theta_seed_cache: dict = {}  # seed-theta memo per query shape
         self._deletes_cache: object = False  # False = not loaded yet
         self._deletes_bc: object = False  # broadcast handle (False = unset)
         self.query_cache = LRUQueryCache()
@@ -295,6 +296,86 @@ class Searcher:
             doc_freqs=dfs, total_term_freqs=ttfs, k1=self.k1, b=self.b,
             similarity=self.similarity, field_stats=self._field_stats)
 
+    # ---------------- global theta seeding (MaxScoreAccumulator completion)
+    def _seed_theta(self, plan: dict, stats: ex.SegmentStats,
+                    k: int) -> float:
+        """Driver-side GLOBAL competitive-threshold floor, completing the
+        MaxScoreAccumulator role across tasks
+        (L/search/IndexSearcher.java:399-402, MaxScoreAccumulator.java —
+        Lucene shares the floor between slices through an atomic; Spark
+        tasks can't share memory, so the floor is computed ONCE at the
+        driver from index-time impacts and pickled into every task's
+        theta dict).
+
+        Safety: each stored impact pair (freq, norm) of a term was
+        observed on a real document, and all pairs of one (term, segment)
+        belong to DISTINCT docs — so the k-th largest achieved
+        single-term score over a term's impact pairs is attained by k
+        distinct matching docs, hence a true lower bound on the global
+        k-th best score (any matching doc's total is a float64 sum of
+        non-negative clause scores >= its single-clause score, and
+        rounding a float64 >= an exactly-representable float32 to nearest
+        cannot go below it). Eligible shapes: pure disjunctions
+        (msm <= 1, no FILTER/MUST_NOT) seed from every term-bearing unit,
+        a single-MUST query (msm == 0) seeds from that unit; synonym
+        units seed from members (summed freq >= member freq, monotone),
+        dismax from members (max >= member). Deleted docs void the
+        achievedness argument, so any tombstones disable seeding."""
+        if plan.get("filter") or plan.get("must_not"):
+            return 0.0
+        units = plan["units"]
+        musts = [u for u in units if u.get("is_must")]
+        if musts:
+            if len(musts) != 1 or plan.get("msm", 0) > 0:
+                return 0.0
+            units = musts
+        elif plan.get("msm", 0) > 1:
+            return 0.0
+        F32 = np.float32
+        pairs = []  # (key, weight) eligible achieved-score sources
+        for u in units:
+            if u["kind"] == "term":
+                pairs.append((u["key"],
+                              F32(F32(u["boost"]) * stats.idf(u["key"]))))
+            elif u["kind"] == "synonym":
+                from .functions import bm25 as _bm25
+                df = max((stats.doc_freqs.get(kk, 0) for kk in u["keys"]),
+                         default=0)
+                if df > 0:
+                    w = F32(F32(u["boost"]) * _bm25.idf(
+                        df, stats.doc_count_for(u.get("field"))))
+                    pairs.extend((kk, w) for kk in u["keys"])
+            elif u["kind"] == "dismax":
+                pairs.extend(
+                    (m["key"], F32(F32(m["boost"]) * stats.idf(m["key"])))
+                    for m in u["members"])
+            # phrase units contribute no pairs (a term-achieving doc need
+            # not match the phrase) but don't void the other units' floors
+        pairs = [(kk, w) for kk, w in pairs if float(w) > 0]
+        if not pairs:
+            return 0.0
+        memo_key = (tuple(sorted((kk, float(w)) for kk, w in pairs)), k)
+        got = self._theta_seed_cache.get(memo_key)
+        if got is not None:
+            return got
+        try:
+            imp = self.index.impacts_lookup([kk for kk, _ in pairs])
+        except Exception:
+            self._theta_seed_cache[memo_key] = 0.0
+            return 0.0
+        best = 0.0
+        for kk, w in pairs:
+            got_i = imp.get(kk)
+            if got_i is None or len(got_i[0]) < k:
+                continue  # fewer than k achieved scores: no floor
+            cache = stats.cache_for(key_field(kk))
+            sc = bm25.score_term(got_i[0], got_i[1], w, cache)
+            kth = float(np.partition(sc, -k)[-k])
+            if kth > best:
+                best = kth
+        self._theta_seed_cache[memo_key] = best
+        return best
+
     # ---------------- kernels
     def _segnorms_broadcast(self):
         """Hot-serving norms: the per-(segment, field) blobs parsed once at
@@ -366,8 +447,16 @@ class Searcher:
         # other's competitive threshold (the MaxScoreAccumulator slice-
         # sharing analogue, IndexSearcher.java:399-402) with zero
         # cross-task coordination; exact because any subset's k-th score
-        # lower-bounds the global k-th and skips stay strict
+        # lower-bounds the global k-th and skips stay strict.
+        # When the query shape allows it, the dict starts PRE-SEEDED with
+        # the driver-computed global floor from index-time impacts
+        # (_seed_theta) — every task, including each one's FIRST segment,
+        # then prunes against a near-final threshold
         task_theta: dict = {}
+        if use_blockmax and del_bc is None:
+            t0 = self._seed_theta(plan, stats, k)
+            if t0 > 0.0:
+                task_theta["q"] = t0
 
         def kernel_body(seg: int, post_pdf: pd.DataFrame, norms, max_doc,
                         fnorms) -> pd.DataFrame:
