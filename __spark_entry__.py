@@ -395,7 +395,8 @@ _FORMAT_VERSION = 2
 
 def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_sort: str | None = None,
-                    require_regex: str | None = None) -> bool:
+                    require_regex: str | None = None,
+                    require_stemmer: str | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -408,6 +409,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
         return True
     if require_regex is not None and \
             m.get("analyzer", {}).get("token_regex") != require_regex:
+        return True
+    if require_stemmer is not None and \
+            m.get("analyzer", {}).get("stemmer") != require_stemmer:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -506,6 +510,72 @@ def _unicode_src_sql() -> str:
     return (f"SELECT doc_id, {pick(_UNI_A, 4)} || ' ' || "
             f"{pick(_UNI_B, 3)} || ' ' || {pick(_UNI_C, 5)} AS text "
             "FROM documents")
+
+
+# deterministic English corpus with rich inflection, derived from doc_id
+# arithmetic over literal snippets (same construction as the Unicode
+# entries) — exercises the Porter stemming analyzer end to end; the DuckDB
+# oracle reproduces the stemmer with a vocabulary CASE mapping generated
+# from the SAME porter_stem function (whose behavior is pinned by the
+# published-vector tests in tests/test_stem.py)
+_STEM_A = ["the runner was running and jumped easily",
+           "connection connections connected connecting",
+           "relational conditional rational arguments",
+           "generalizations oscillators itemization sensational"]
+_STEM_B = ["happiness happy happily",
+           "adjustable adjustment adjusted",
+           "traditional references plotted"]
+
+
+def _stem_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_STEM_A, 4), pick(_STEM_B, 3)).alias("text"))
+
+
+def _stem_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_STEM_A, 4)} || ' ' || "
+            f"{pick(_STEM_B, 3)} AS text FROM documents")
+
+
+def _stem_toks() -> str:
+    """DuckDB tokenizer+stemmer: default ASCII tokens mapped through a
+    CASE built from porter_stem over the (finite, literal-defined)
+    corpus vocabulary."""
+    import re
+    from lucene_7_x_9_x_spark.functions.stem import porter_stem
+    vocab = sorted({t for s in _STEM_A + _STEM_B
+                    for t in re.findall(r"[a-z0-9_]+", s.lower())})
+    cases = " ".join(f"WHEN '{t}' THEN '{porter_stem(t)}'" for t in vocab
+                     if porter_stem(t) != t)
+    return (f"list_transform({TOKS}, t -> CASE t {cases} ELSE t END)")
+
+
+def _get_searcher_stem(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "stem")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "stem_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_stemmer="porter"):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_stem_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(stemmer="porter"))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
 
 
 def _get_searcher_unicode(spark: SparkSession, sf_dir: str):
@@ -689,6 +759,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   vec_id_col="vec_id")
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("vec_id").cast("long").alias("vec_id"))
+
+    def stem_term_top10(spark, sf):
+        # Porter stemming analyzer (EnglishAnalyzer/PorterStemFilter):
+        # BM25 top-10 over a stemmed index; query terms are the stemmed
+        # forms (run/connect/relat), matching runner/running/connections/
+        # relational... in the inflected corpus
+        s = _get_searcher_stem(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("run")),
+                                     (O.SHOULD, T("connect")),
+                                     (O.SHOULD, T("relat"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
 
     def intervals_ordered(spark, sf):
         # intervals module (minimal-interval semantics,
@@ -1255,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_phrase": unicode_phrase,
         "knn_filtered_top10": knn_filtered_top10,
         "intervals_ordered": intervals_ordered,
+        "stem_term_top10": stem_term_top10,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "function_score_top10": function_score_top10,
@@ -1497,6 +1580,9 @@ def oracle_sql() -> dict[str, str]:
                      c.vec_id) AS BIGINT) AS rank, c.vec_id
             FROM cand c, q
             ORDER BY rank LIMIT 10""",
+        "stem_term_top10": _bm25_sql(
+            ["run", "connect", "relat"], 10, False,
+            src_sql=_stem_src_sql(), toks=_stem_toks()),
         "intervals_ordered": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,

@@ -65,6 +65,10 @@ class AnalyzerConfig:
     token_regex: str = TOKEN_REGEX
     max_token_length: int = MAX_TOKEN_LENGTH
     stopwords: frozenset = field(default_factory=frozenset)  # default EMPTY
+    # "porter" enables the PorterStemFilter stage (EnglishAnalyzer's
+    # stemmer, solr-8.4.0/lucene/analysis/common/.../en/PorterStemFilter
+    # .java) applied AFTER lowercase+stop filtering, Lucene's chain order
+    stemmer: str | None = None
 
 
 def unicode_analyzer(stopwords: frozenset = frozenset()) -> AnalyzerConfig:
@@ -116,6 +120,12 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
         # keep original positions: represent holes by filtering (term,pos)
         # downstream; here we return tokens with None markers removed later
         toks = toks.map(lambda ts: [t if t not in sw else None for t in ts])
+    if cfg.stemmer == "porter":
+        from .stem import stem_tokens
+        memo: dict = {}  # batch-wide vocab memo: one stem per DISTINCT token
+        toks = toks.map(lambda ts: stem_tokens(ts, memo))
+    elif cfg.stemmer is not None:
+        raise ValueError(f"unknown stemmer {cfg.stemmer!r}")
     return toks
 
 
@@ -166,6 +176,7 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
     rx = re.compile(cfg.token_regex, re.IGNORECASE)
     sw = cfg.stopwords
     ml = cfg.max_token_length
+    stem_memo = {} if cfg.stemmer == "porter" else None
     rows_i: list = []
     rows_p: list = []
     rows_t: list = []
@@ -189,6 +200,12 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
                 if sw and t in sw:
                     pos += 1  # stopword hole keeps the position increment
                     continue
+                if stem_memo is not None:
+                    got = stem_memo.get(t)
+                    if got is None:
+                        from .stem import porter_stem
+                        got = stem_memo[t] = porter_stem(t)
+                    t = got  # stemmed term keeps the ORIGINAL char span
                 rows_i.append(i)
                 rows_p.append(pos)
                 rows_t.append(t)

@@ -68,7 +68,8 @@ class IndexSnapshot:
         self.analyzer = AnalyzerConfig(
             token_regex=self.manifest["analyzer"]["token_regex"],
             max_token_length=self.manifest["analyzer"]["max_token_length"],
-            stopwords=frozenset(self.manifest["analyzer"]["stopwords"]))
+            stopwords=frozenset(self.manifest["analyzer"]["stopwords"]),
+            stemmer=self.manifest["analyzer"].get("stemmer"))
 
     # lazy DataFrames — memoized: re-listing parquet files and re-deriving
     # the relation per query costs driver milliseconds that dominate hot
@@ -491,7 +492,8 @@ def build_index(
         "with_offsets": with_offsets,
         "analyzer": {"token_regex": cfg.token_regex,
                      "max_token_length": cfg.max_token_length,
-                     "stopwords": sorted(cfg.stopwords)},
+                     "stopwords": sorted(cfg.stopwords),
+                     "stemmer": cfg.stemmer},
         "stats": stats,
         "checkpoints": checkpoints,
         "build_secs": round(time.time() - t_total, 3),

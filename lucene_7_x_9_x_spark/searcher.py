@@ -354,7 +354,10 @@ class Searcher:
         pairs = [(kk, w) for kk, w in pairs if float(w) > 0]
         if not pairs:
             return 0.0
-        memo_key = (tuple(sorted((kk, float(w)) for kk, w in pairs)), k)
+        # sort key via repr: term keys mix bare strings and (field, term)
+        # tuples, which don't compare to each other directly
+        memo_key = (tuple(sorted(((kk, float(w)) for kk, w in pairs),
+                                 key=repr)), k)
         got = self._theta_seed_cache.get(memo_key)
         if got is not None:
             return got
