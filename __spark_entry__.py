@@ -772,6 +772,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
+    def facet_taxonomy(spark, sf):
+        # hierarchical taxonomy faceting (facet/taxonomy
+        # getTopChildren): depth 0 = top sources among matches of
+        # 'filter'; depth 1 = top langs under source 'src3'
+        from lucene_7_x_9_x_spark.functions.facets import taxonomy_children
+        s = _get_searcher(spark, sf)
+        m = s.matches(T("filter"))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        attrs = dm.join(
+            _docs(spark, sf).select(F.col("doc_id").cast("long").alias(
+                "doc_id"), "source", "lang"), "doc_id")
+        l0 = (taxonomy_children(m, attrs, ["source", "lang"], (), 5)
+              .select(F.lit(0).cast("long").alias("depth"),
+                      F.col("rank").cast("long").alias("rank"),
+                      "label", F.col("cnt").cast("long").alias("cnt")))
+        l1 = (taxonomy_children(m, attrs, ["source", "lang"], ("src3",), 5)
+              .select(F.lit(1).cast("long").alias("depth"),
+                      F.col("rank").cast("long").alias("rank"),
+                      "label", F.col("cnt").cast("long").alias("cnt")))
+        return l0.unionByName(l1)
+
     def intervals_ordered(spark, sf):
         # intervals module (minimal-interval semantics,
         # queries/intervals/): ordered(key, or(hash, row)) filtered to
@@ -1338,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_top10": knn_filtered_top10,
         "intervals_ordered": intervals_ordered,
         "stem_term_top10": stem_term_top10,
+        "facet_taxonomy": facet_taxonomy,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "function_score_top10": function_score_top10,
@@ -1580,6 +1603,26 @@ def oracle_sql() -> dict[str, str]:
                      c.vec_id) AS BIGINT) AS rank, c.vec_id
             FROM cand c, q
             ORDER BY rank LIMIT 10""",
+        "facet_taxonomy": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            m AS (SELECT doc_id FROM toks
+                  WHERE list_contains(ts, 'filter')),
+            j AS (SELECT d.source, d.lang FROM documents d
+                  JOIN m USING (doc_id)),
+            g0 AS (SELECT source AS label, count(*) AS cnt FROM j
+                   GROUP BY source),
+            l0 AS (SELECT CAST(0 AS BIGINT) AS depth,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, label)
+                          AS BIGINT) AS rank, label, cnt
+                   FROM g0 QUALIFY rank <= 5),
+            g1 AS (SELECT lang AS label, count(*) AS cnt FROM j
+                   WHERE source = 'src3' GROUP BY lang),
+            l1 AS (SELECT CAST(1 AS BIGINT) AS depth,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, label)
+                          AS BIGINT) AS rank, label, cnt
+                   FROM g1 QUALIFY rank <= 5)
+            SELECT depth, rank, label, cnt FROM l0
+            UNION ALL SELECT depth, rank, label, cnt FROM l1""",
         "stem_term_top10": _bm25_sql(
             ["run", "connect", "relat"], 10, False,
             src_sql=_stem_src_sql(), toks=_stem_toks()),

@@ -98,3 +98,36 @@ def top_hits_per_group(scored: DataFrame, meta: DataFrame,
             .where(F.col("rank") <= k_per_group)
             .select(F.col(group_col).alias("grp"), "rank", "segment",
                     "docid", "score"))
+
+
+def taxonomy_children(matches: DataFrame, attrs: DataFrame,
+                      path_cols: list, prefix: tuple = (),
+                      top_n: int = 10) -> DataFrame:
+    """Hierarchical (taxonomy) faceting — the facet module's
+    TaxonomyReader/FastTaxonomyFacetCounts.getTopChildren capability
+    (solr-8.4.0/lucene/facet/src/java/org/apache/lucene/facet/taxonomy/:
+    a dimension is a PATH like ("Publish Date", "2010", "October"); a
+    facet request at a path prefix returns the top child labels one level
+    below it with match counts). Spark-first shape: the taxonomy is the
+    ordered list of attribute columns (`path_cols`); no ordinal
+    interning is needed because the columnar attribute join plays the
+    taxonomy array's role, and the per-path filter pushes down to the
+    attribute scan.
+
+    matches: (segment, docid) match set; attrs: DataFrame keyed
+    (segment, docid) carrying the path columns. Returns
+    (rank, label, cnt) ordered (count desc, label asc) — the
+    getTopChildren ordering."""
+    if len(prefix) >= len(path_cols):
+        raise ValueError("prefix exhausts the taxonomy path")
+    j = matches.join(attrs, ["segment", "docid"])
+    for col, val in zip(path_cols, prefix):
+        j = j.where(F.col(col) == val)
+    child = path_cols[len(prefix)]
+    from pyspark.sql import Window
+    agg = (j.groupBy(F.col(child).alias("label"))
+           .agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), "label")
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select("rank", "label", "cnt"))

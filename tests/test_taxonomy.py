@@ -1,0 +1,66 @@
+"""Hierarchical taxonomy faceting (facet/taxonomy getTopChildren):
+path-prefixed child counts vs a pandas brute force, getTopChildren
+ordering (count desc, label asc)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_7_x_9_x_spark.functions.facets import taxonomy_children
+from lucene_7_x_9_x_spark.plans.query import TermQuery
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture(spark, tmp_path_factory):
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("tax_idx"))
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, out, id_cols=["doc_id"],
+                      text_col="text", segment_by="input")
+    s = Searcher(idx)
+    m = s.matches(TermQuery("filter"))
+    dm = idx.docmap().select("segment", "docid", "doc_id")
+    attrs = dm.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    import re
+    pdf = docs.select("doc_id", "text", "source", "lang").toPandas()
+    match_ids = {int(r.doc_id) for r in pdf.itertuples()
+                 if "filter" in re.split(r"[^a-z0-9_]+", r.text.lower())}
+    sub = pdf[pdf.doc_id.isin(match_ids)]
+    return m, attrs, sub
+
+
+def _expected(sub, col, top_n, **flt):
+    for k, v in flt.items():
+        sub = sub[sub[k] == v]
+    counts = sub.groupby(col).size().reset_index(name="cnt")
+    counts = counts.sort_values(["cnt", col],
+                                ascending=[False, True]).head(top_n)
+    return [(r[col], int(r.cnt)) for _, r in counts.iterrows()]
+
+
+def test_top_children_root(fixture):
+    m, attrs, sub = fixture
+    got = taxonomy_children(m, attrs, ["source", "lang"], (), 5).collect()
+    assert [(r.label, int(r.cnt)) for r in got] == \
+        _expected(sub, "source", 5)
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_top_children_under_prefix(fixture):
+    m, attrs, sub = fixture
+    src0 = _expected(sub, "source", 1)[0][0]
+    got = taxonomy_children(m, attrs, ["source", "lang"],
+                            (src0,), 3).collect()
+    assert [(r.label, int(r.cnt)) for r in got] == \
+        _expected(sub, "lang", 3, source=src0)
+
+
+def test_prefix_exhaustion_raises(fixture):
+    m, attrs, _ = fixture
+    with pytest.raises(ValueError, match="exhausts"):
+        taxonomy_children(m, attrs, ["source"], ("src0",))
