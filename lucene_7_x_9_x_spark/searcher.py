@@ -230,6 +230,30 @@ class Searcher:
                 .limit(self.max_expansions).collect())
         return [r.term for r in rows]
 
+    def analyze(self, text: str) -> list:
+        """Run query TEXT through this index's own analyzer — the
+        QueryParser-shares-the-Analyzer discipline (the reference parser
+        is constructed with the index's Analyzer,
+        solr-8.4.0/.../queryparser/classic/QueryParser.java): tokenize,
+        lowercase, stop-filter (holes dropped), and stem exactly as the
+        index was built, so terms match stemmed/Unicode indexes. Returns
+        the analyzed terms in order."""
+        from .functions.analysis import tokenize_series
+        toks = tokenize_series(pd.Series([text]), self.index.analyzer)[0]
+        return [t for t in toks if t is not None]
+
+    def text_query(self, text: str, occur=None):
+        """BooleanQuery over the analyzed terms of `text` (one SHOULD —
+        or `occur` — clause per token): the minimal "parse with the
+        index's analyzer" surface for stemmed/Unicode indexes."""
+        occur = occur if occur is not None else Q.Occur.SHOULD
+        terms = self.analyze(text)
+        if not terms:
+            return Q.MatchNoDocsQuery()
+        if len(terms) == 1:
+            return Q.TermQuery(terms[0])
+        return Q.BooleanQuery([(occur, Q.TermQuery(t)) for t in terms])
+
     def rewrite(self, query):
         if self._default_field is not None:
             query = Q.map_fields(
@@ -1022,6 +1046,15 @@ class Searcher:
 
         del_bc = self._deleted_broadcast()
         task_theta: dict = {}  # per-qid cross-segment theta (see _run)
+        if del_bc is None:
+            # driver-seeded global floors, one per eligible query (the
+            # MaxScoreAccumulator completion — see _seed_theta); the
+            # impact reads are memoized per query shape
+            for qid, plan in plans.items():
+                if plan is not None:
+                    t0 = self._seed_theta(plan, stats, k)
+                    if t0 > 0.0:
+                        task_theta[qid] = t0
 
         def kernel_body(seg: int, post_pdf: pd.DataFrame, norms, max_doc,
                         fnorms) -> pd.DataFrame:
@@ -1061,7 +1094,10 @@ class Searcher:
                                *_parse_segnorms(sn_pdf))
 
         qschema = "qid string, segment int, docid long, score float"
-        if self._hot:  # broadcast norms: one stage, no cogroup (see _run)
+        if self._hot or self._small_norms:
+            # broadcast norms: one stage, no cogroup (see _run); cold-
+            # with-small-norms repartitions the pruned postings explicitly
+            # so AQE can't coalesce the compute-bound kernel
             bc = self._segnorms_broadcast()
 
             def kernel_hot(key, post_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1071,7 +1107,9 @@ class Searcher:
                                          "docid": [], "score": []})
                 return kernel_body(int(key[0]), post_pdf, *got)
 
-            res = (post.groupBy("segment")
+            pf = post if self._hot else post.repartition(self._n_part,
+                                                         "segment")
+            res = (pf.groupBy("segment")
                    .applyInPandas(kernel_hot, schema=qschema))
         else:
             res = (post.groupBy("segment").cogroup(sn.groupBy("segment"))

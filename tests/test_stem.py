@@ -93,3 +93,21 @@ def test_engine_stemmed_search_matches_oracle(spark, tmp_path_factory):
         np.testing.assert_array_equal(
             got.score.to_numpy(np.float32),
             want.score.to_numpy(np.float32), str(q))
+
+
+def test_searcher_analyze_uses_index_analyzer(spark, tmp_path_factory):
+    # query text analyzed with the index's OWN chain (stemming included):
+    # the QueryParser-shares-the-Analyzer discipline
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("an_idx"))
+    df = spark.createDataFrame(
+        [(0, "the runner was running"), (1, "nothing here")],
+        "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input",
+                      analyzer=AnalyzerConfig(stemmer="porter"))
+    s = Searcher(idx)
+    assert s.analyze("Running Connections!") == ["run", "connect"]
+    got = s.search(s.text_query("running runners"), 5).toPandas()
+    assert list(got.doc_id) == [0]
