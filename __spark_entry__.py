@@ -760,6 +760,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("vec_id").cast("long").alias("vec_id"))
 
+    def intervals_scored_top10(spark, sf):
+        # scored IntervalQuery: sloppyFreq = f32 sum of 1/(1+gaps) over
+        # the doc's MINIMAL intervals (a pair (a, next_b) is minimal only
+        # when no other 'key' position lies between a and next_b), scored
+        # with the summed-idf span weight. max_gaps=1 keeps the weights
+        # dyadic (1, 1/2) so the f32 accumulation equals the oracle's f64
+        from lucene_7_x_9_x_spark.plans.query import (IntervalOr,
+                                                      IntervalOrdered,
+                                                      IntervalQuery,
+                                                      IntervalTerm)
+        tree = IntervalOrdered(
+            (IntervalTerm("key"),
+             IntervalOr((IntervalTerm("hash"), IntervalTerm("row")))),
+            max_gaps=1)
+        return _topk_ids(spark, sf, IntervalQuery(tree), 10)
+
     def stem_term_top10(spark, sf):
         # Porter stemming analyzer (EnglishAnalyzer/PorterStemFilter):
         # BM25 top-10 over a stemmed index; query terms are the stemmed
@@ -1361,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_ordered": intervals_ordered,
         "stem_term_top10": stem_term_top10,
         "facet_taxonomy": facet_taxonomy,
+        "intervals_scored_top10": intervals_scored_top10,
         "span_near": span_near,
         "span_near_unordered": span_near_unordered,
         "function_score_top10": function_score_top10,
@@ -1603,6 +1620,41 @@ def oracle_sql() -> dict[str, str]:
                      c.vec_id) AS BIGINT) AS rank, c.vec_id
             FROM cand c, q
             ORDER BY rank LIMIT 10""",
+        "intervals_scored_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+p AS (SELECT doc_id, qdl, ts,
+        list_filter(range(1, len(ts)+1), i -> ts[i] = 'key') AS pa,
+        list_filter(range(1, len(ts)+1), i -> ts[i] = 'hash'
+          OR ts[i] = 'row') AS px
+      FROM q),
+tf AS (SELECT doc_id, qdl,
+         list_sum(list_transform(pa, a ->
+           CASE WHEN len(list_filter(px, b -> b > a)) > 0
+                 AND list_min(list_filter(px, b -> b > a)) - a <= 2
+                 AND len(list_filter(pa, a2 -> a2 > a AND
+                       a2 < list_min(list_filter(px, b -> b > a)))) = 0
+                THEN 1.0 / (list_min(list_filter(px, b -> b > a)) - a)
+                ELSE 0 END)) AS sfreq,
+         len(list_filter(ts, t -> t = 'key')) AS tf_a,
+         len(list_filter(ts, t -> t = 'hash')) AS tf_b,
+         len(list_filter(ts, t -> t = 'row')) AS tf_c FROM p),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a,
+               count(*) FILTER (WHERE tf_b > 0) AS df_b,
+               count(*) FILTER (WHERE tf_c > 0) AS df_c FROM tf),
+scored AS (SELECT doc_id,
+    (ln(1 + (s.doc_count - d.df_b + 0.5) / (d.df_b + 0.5))
+     + ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5))
+     + ln(1 + (s.doc_count - d.df_c + 0.5) / (d.df_c + 0.5))) * sfreq
+      / (sfreq + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE sfreq > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "facet_taxonomy": f"""
             WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             m AS (SELECT doc_id FROM toks

@@ -703,6 +703,64 @@ class Searcher:
         return cosine_topk_bruteforce(vectors, query_vec, vec_id_col,
                                       vec_col, k)
 
+    def knn_many(self, queries: dict, k: int = 10, filter=None,
+                 vectors: DataFrame = None, vec_id_col: str = "vec_id",
+                 vec_col: str = "embedding", bucketed: DataFrame = None,
+                 n_planes: int = 8, probe_hamming: int = 1,
+                 seed: int = 42) -> DataFrame:
+        """Batched KNN: MANY query vectors in ONE Spark job — the vector
+        analogue of search_many (per-query scheduling amortized across
+        the batch). queries = {qid: vector}. With a (shared) `filter`
+        query: exact cosine over the filter's match set for EVERY query —
+        the (qid, qvec) probe table is broadcast and one per-qid window
+        reduces top-k. Without a filter: routes to the persisted LSH
+        bucketing (cosine_topk_lsh_many) when given, else brute force.
+        Returns DataFrame(qid, rank, <vec_id_col>, cosine), ties
+        (cosine desc, id asc)."""
+        from pyspark.sql import Window
+        from .pipeline.similarity import (_dot, cosine_topk_lsh_many,
+                                          with_norm)
+        if filter is None and bucketed is not None:
+            dim = len(next(iter(queries.values())))
+            return cosine_topk_lsh_many(bucketed, queries, dim, vec_id_col,
+                                        vec_col, k, n_planes,
+                                        probe_hamming, seed)
+        if vectors is None:
+            raise ValueError("knn_many needs `vectors` (or `bucketed`)")
+        cand = vectors
+        id0 = self.index.id_cols[0]
+        if filter is not None:
+            ids = (self.cached_matches(filter)
+                   .join(self.index.docmap().select("segment", "docid",
+                                                    id0),
+                         ["segment", "docid"])
+                   .select(F.col(id0).alias(vec_id_col)).distinct())
+            cand = cand.join(ids, vec_id_col, "left_semi")
+        else:
+            dels = self.index.deletes()
+            if dels is not None:
+                live = (self.index.docmap()
+                        .join(dels, ["segment", "docid"], "left_anti")
+                        .select(F.col(id0).alias(vec_id_col)))
+                cand = cand.join(live, vec_id_col, "left_semi")
+        rows = []
+        for qid, qv in queries.items():
+            qv = [float(x) for x in qv]
+            rows.append((str(qid), qv, float(np.sqrt(np.dot(qv, qv)))))
+        probe = self.index.spark.createDataFrame(
+            rows, "qid string, qvec array<double>, qnorm double")
+        scored = (with_norm(cand, vec_col)
+                  .crossJoin(F.broadcast(probe))
+                  .select("qid", F.col(vec_id_col),
+                          (_dot(F.col(vec_col), F.col("qvec"))
+                           / (F.col("_norm") * F.col("qnorm")))
+                          .alias("cosine")))
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                              F.col(vec_id_col))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("qid", "rank", vec_id_col, "cosine"))
+
     def term_offsets(self, term: str, field: str | None = None
                      ) -> DataFrame:
         """Stored character offsets of every occurrence of `term` — the

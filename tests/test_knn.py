@@ -83,3 +83,27 @@ def test_knn_ann_routes(spark, searcher_and_vecs):
                            n_planes=6, bucketed=b).toPandas()
     assert list(got.vec_id) == list(want.vec_id)
     b.unpersist()
+
+
+def test_knn_many_matches_per_query(spark, searcher_and_vecs):
+    s, emb = searcher_and_vecs
+    pdf = emb.toPandas()
+    qs = {f"q{i}": [float(x) for x in pdf.iloc[i].embedding]
+          for i in range(4)}
+    batch = s.knn_many(qs, 5, filter=TermQuery("filter"),
+                       vectors=emb).toPandas()
+    for qid, qv in qs.items():
+        one = s.knn(qv, 5, filter=TermQuery("filter"),
+                    vectors=emb).toPandas()
+        sub = batch[batch.qid == qid].sort_values("rank")
+        assert list(sub.vec_id) == list(one.vec_id), qid
+    # unfiltered LSH routing parity with the batch API
+    from lucene_7_x_9_x_spark.pipeline.similarity import (
+        build_lsh_index, cosine_topk_lsh_many)
+    b = build_lsh_index(emb, 64, n_planes=6)
+    got = s.knn_many(qs, 5, bucketed=b, n_planes=6).toPandas()
+    want = cosine_topk_lsh_many(b, qs, 64, k=5, n_planes=6).toPandas()
+    key = ["qid", "rank"]
+    assert got.sort_values(key).vec_id.tolist() == \
+        want.sort_values(key).vec_id.tolist()
+    b.unpersist()
