@@ -206,6 +206,27 @@ def main():
              (Occur.MUST_NOT, TermQuery("window"))]),
     }).count())
 
+    # ---- round-4 surfaces: KNN, intervals, stemming ---------------------
+    timed("knn_filtered_top10", lambda: searcher.knn(
+        qv, 10, filter=TermQuery("filter"), vectors=emb).collect())
+    from lucene_7_x_9_x_spark.plans.query import (IntervalOr,
+                                                  IntervalOrdered,
+                                                  IntervalQuery,
+                                                  IntervalTerm)
+    timed("intervals_ordered_top10", lambda: searcher.search(
+        IntervalQuery(IntervalOrdered(
+            (IntervalTerm("key"),
+             IntervalOr((IntervalTerm("hash"), IntervalTerm("row")))),
+            max_gaps=4)), 10).collect())
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    sidx_stem = timed("index_build_stemmed", lambda: build_index(
+        spark, docs, os.path.join(tmp, "idx_stem"), id_cols=["doc_id"],
+        text_col="text", num_segments=CPUS,
+        analyzer=AnalyzerConfig(stemmer="porter")))
+    s_stem = Searcher(sidx_stem)
+    timed("stem_top10", lambda: s_stem.search(
+        s_stem.text_query("filtering joined windows"), 10).collect())
+
     total = round(time.time() - t_all, 3)
     result = {
         "metric": "index_build_plus_query_suite_sec",

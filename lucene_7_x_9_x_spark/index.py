@@ -635,22 +635,54 @@ def replicate(spark: SparkSession, index: IndexSnapshot,
     half-copied state). Files are copied first; the manifest is written
     LAST with an atomic rename, so a reader of dest_dir either sees
     nothing (no manifest) or the complete replica — the same
-    commit-ordering rule the builder itself uses (segments_N analogue)."""
+    commit-ordering rule the builder itself uses (segments_N analogue).
+
+    Replication is INCREMENTAL (the reference replicator ships only the
+    files a revision added, ReplicationClient's per-file diff): a file
+    already present at the destination with the same size and mtime is
+    skipped, so re-replicating after an incremental append / deletes
+    commit copies only the new segment/tombstone files — parquet parts
+    are immutable-once-written, which makes (path, size, mtime) a sound
+    identity. Files no longer in the source revision are removed AFTER
+    the new manifest commit (the old revision's reader already re-read)."""
     import shutil
     os.makedirs(dest_dir, exist_ok=True)
     skip = {MANIFEST}
+    copied = kept = 0
+    wanted: set = set()
     for name in sorted(os.listdir(index.root)):
         if name in skip or name == "checkpoints":
             continue
-        src = os.path.join(index.root, name)
-        dst = os.path.join(dest_dir, name)
-        if os.path.isdir(src):
-            shutil.copytree(src, dst, dirs_exist_ok=True)
-        else:
-            shutil.copy2(src, dst)
+        src_root = os.path.join(index.root, name)
+        for dirpath, _, files in os.walk(src_root) \
+                if os.path.isdir(src_root) else [(index.root, None,
+                                                  [name])]:
+            for fn in files:
+                src = os.path.join(dirpath, fn)
+                rel = os.path.relpath(src, index.root)
+                wanted.add(rel)
+                dst = os.path.join(dest_dir, rel)
+                st = os.stat(src)
+                if os.path.exists(dst):
+                    dt = os.stat(dst)
+                    if dt.st_size == st.st_size and \
+                            int(dt.st_mtime) == int(st.st_mtime):
+                        kept += 1
+                        continue
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+                copied += 1
     manifest = dict(index.manifest)
     manifest["replicated_from"] = index.root
+    manifest["replication"] = {"copied": copied, "reused": kept}
     _atomic_write_json(os.path.join(dest_dir, MANIFEST), manifest)
+    # garbage-collect files the new revision no longer references
+    for dirpath, _, files in os.walk(dest_dir):
+        for fn in files:
+            rel = os.path.relpath(os.path.join(dirpath, fn), dest_dir)
+            if rel != MANIFEST and rel not in wanted \
+                    and not rel.startswith("checkpoints"):
+                os.remove(os.path.join(dirpath, fn))
     return IndexSnapshot(spark, dest_dir)
 
 

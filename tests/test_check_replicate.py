@@ -73,3 +73,30 @@ def test_replicate_is_identical_and_atomic(spark, small_index, tmp_path):
     os.makedirs(half)
     with pytest.raises(FileNotFoundError):
         IndexSnapshot(spark, half)
+
+
+def test_replicate_is_incremental(spark, tmp_path):
+    # second replication of the same revision copies NOTHING; after a
+    # deletes commit only the new tombstone files ship
+    import os
+    from lucene_7_x_9_x_spark.index import (IndexSnapshot, build_index,
+                                            replicate)
+    from lucene_7_x_9_x_spark.operators.deletes import delete_by_ids
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    idx = build_index(spark, docs, src, id_cols=["doc_id"],
+                      text_col="text", num_segments=4)
+    r1 = replicate(spark, idx, dst)
+    c1 = r1.manifest["replication"]
+    assert c1["copied"] > 0
+    r2 = replicate(spark, IndexSnapshot(spark, src), dst)
+    c2 = r2.manifest["replication"]
+    assert c2["copied"] == 0 and c2["reused"] == c1["copied"]
+    # commit deletes -> only the tombstone parquet ships
+    delete_by_ids(spark, src, docs.where("doc_id < 5").select("doc_id"))
+    r3 = replicate(spark, IndexSnapshot(spark, src), dst)
+    c3 = r3.manifest["replication"]
+    assert 0 < c3["copied"] < c1["copied"]
+    assert r3.deletes() is not None and r3.deletes().count() == 5
