@@ -70,6 +70,12 @@ class IndexSnapshot:
             max_token_length=self.manifest["analyzer"]["max_token_length"],
             stopwords=frozenset(self.manifest["analyzer"]["stopwords"]),
             stemmer=self.manifest["analyzer"].get("stemmer"))
+        self.field_analyzers = {
+            n: AnalyzerConfig(token_regex=a["token_regex"],
+                              max_token_length=a["max_token_length"],
+                              stopwords=frozenset(a["stopwords"]),
+                              stemmer=a.get("stemmer"))
+            for n, a in self.manifest.get("field_analyzers", {}).items()}
 
     # lazy DataFrames — memoized: re-listing parquet files and re-deriving
     # the relation per query costs driver milliseconds that dominate hot
@@ -254,6 +260,7 @@ def build_index(
     extra_fields: list | None = None,
     with_offsets: bool = False,
     sort_by: str | None = None,
+    field_analyzers: dict | None = None,
 ) -> IndexSnapshot:
     """One-shot (optionally batched + resumable) index build.
 
@@ -337,7 +344,8 @@ def build_index(
         postings, docmap = invert_segment(
             pdf, segment=seg, id_cols=id_cols, text_col="__text__",
             cfg=cfg, with_positions=with_positions, extra_fields=xf_inv,
-            with_offsets=with_offsets, sort_by=sort_by)
+            with_offsets=with_offsets, sort_by=sort_by,
+            field_analyzers=field_analyzers)
         return combine_segment_rows(postings, docmap, dm_fields,
                                     [n for n, _ in xf_inv])
 
@@ -494,6 +502,14 @@ def build_index(
                      "max_token_length": cfg.max_token_length,
                      "stopwords": sorted(cfg.stopwords),
                      "stemmer": cfg.stemmer},
+        # PerFieldAnalyzerWrapper model: named fields may analyze
+        # differently; absent fields use the default analyzer above
+        "field_analyzers": {
+            n: {"token_regex": fc.token_regex,
+                "max_token_length": fc.max_token_length,
+                "stopwords": sorted(fc.stopwords),
+                "stemmer": fc.stemmer}
+            for n, fc in (field_analyzers or {}).items()},
         "stats": stats,
         "checkpoints": checkpoints,
         "build_secs": round(time.time() - t_total, 3),

@@ -64,7 +64,8 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
                    with_positions: bool = True,
                    extra_fields: list | None = None,
                    with_offsets: bool = False,
-                   sort_by: str | None = None):
+                   sort_by: str | None = None,
+                   field_analyzers: dict | None = None):
     """Build one segment from its documents. Returns (postings_df, docmap_df).
 
     docid = ordinal after a deterministic sort on id_cols (Lucene assigns by
@@ -79,7 +80,13 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
 
     sort_by: index-time sort (IndexWriterConfig.setIndexSort analogue) —
     docids are assigned in (sort_by, id_cols) order so sorted queries can
-    early-terminate; the column is carried as an extra docmap column."""
+    early-terminate; the column is carried as an extra docmap column.
+
+    field_analyzers: {field_name: AnalyzerConfig} — per-field analysis
+    chains for the NAMED extra fields (the PerFieldAnalyzerWrapper model,
+    solr-8.4.0/lucene/analysis/common/.../miscellaneous/
+    PerFieldAnalyzerWrapper.java); fields absent from the map use the
+    default `cfg`."""
     sort_keys = id_cols if sort_by is None else (
         [sort_by] + [c for c in id_cols if c != sort_by])
     pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
@@ -116,15 +123,16 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
         parts[0]["field"] = None
         extra_norm_cols = []
         for fname, fcol in extra_fields:
+            fcfg = (field_analyzers or {}).get(fname, cfg)
             f_offs = None
             if with_offsets:
                 from ..functions.analysis import (
                     tokenize_to_flat_with_offsets)
                 ri, po, tf, fdl, fcs, fce = \
-                    tokenize_to_flat_with_offsets(pdf[fcol], cfg)
+                    tokenize_to_flat_with_offsets(pdf[fcol], fcfg)
                 f_offs = (fcs, fce)
             else:
-                ri, po, tf, fdl = tokenize_to_flat(pdf[fcol], cfg)
+                ri, po, tf, fdl = tokenize_to_flat(pdf[fcol], fcfg)
             fnorms = int_to_byte4(fdl)
             extra_norm_cols.append(fnorms.astype(np.int32))
             fp = _invert_tokens(ri, po, tf, fnorms, segment, with_positions,

@@ -230,16 +230,22 @@ class Searcher:
                 .limit(self.max_expansions).collect())
         return [r.term for r in rows]
 
-    def analyze(self, text: str) -> list:
+    def analyze(self, text: str, field: str | None = None) -> list:
         """Run query TEXT through this index's own analyzer — the
         QueryParser-shares-the-Analyzer discipline (the reference parser
         is constructed with the index's Analyzer,
         solr-8.4.0/.../queryparser/classic/QueryParser.java): tokenize,
         lowercase, stop-filter (holes dropped), and stem exactly as the
-        index was built, so terms match stemmed/Unicode indexes. Returns
+        index was built, so terms match stemmed/Unicode indexes. A named
+        `field` uses that field's own chain when the index was built with
+        per-field analyzers (the PerFieldAnalyzerWrapper model). Returns
         the analyzed terms in order."""
         from .functions.analysis import tokenize_series
-        toks = tokenize_series(pd.Series([text]), self.index.analyzer)[0]
+        cfg = self.index.analyzer
+        if field is not None and field != self._default_field:
+            cfg = getattr(self.index, "field_analyzers", {}).get(field,
+                                                                 cfg)
+        toks = tokenize_series(pd.Series([text]), cfg)[0]
         return [t for t in toks if t is not None]
 
     def text_query(self, text: str, occur=None):

@@ -140,3 +140,46 @@ def test_boost_preserves_field_everywhere(corpora):
     b = s_head.search(TermQuery("fast", boost=2.0), 5).collect()
     assert ([(r["rank"], r["doc_id"], float(r["score"])) for r in a]
             == [(r["rank"], r["doc_id"], float(r["score"])) for r in b])
+
+
+def test_per_field_analyzers(spark, tmp_path):
+    # PerFieldAnalyzerWrapper model: the 'title' field stems with Porter
+    # while the default body field does not; each field's postings,
+    # dictionary and query analysis follow its own chain
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import TermQuery
+    rows = [(0, "the running dog", "running dogs everywhere"),
+            (1, "a sleeping cat", "cats sleeping soundly"),
+            (2, "dogs run fast", "fast running")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "title string")
+    out = str(tmp_path / "pfidx")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input",
+                      extra_fields=[("title", "title")],
+                      field_analyzers={
+                          "title": AnalyzerConfig(stemmer="porter")})
+    terms = {(r.field, r.term) for r in idx.terms().collect()}
+    assert ("title", "run") in terms          # stemmed in title
+    assert ("title", "running") not in terms
+    assert (None, "running") in terms         # unstemmed in body
+    # manifest round-trip
+    snap = IndexSnapshot(spark, out)
+    assert snap.field_analyzers["title"].stemmer == "porter"
+    s = Searcher(idx)
+    # body query: literal term; title query: stemmed term
+    body = {int(r.doc_id) for r in
+            s.matches(TermQuery("running"))
+            .join(idx.docmap().select("segment", "docid", "doc_id"),
+                  ["segment", "docid"]).collect()}
+    assert body == {0}
+    title = {int(r.doc_id) for r in
+             s.matches(TermQuery("run", field="title"))
+             .join(idx.docmap().select("segment", "docid", "doc_id"),
+                   ["segment", "docid"]).collect()}
+    assert title == {0, 2}
+    # analyze() picks the field's chain
+    assert s.analyze("running", field="title") == ["run"]
+    assert s.analyze("running") == ["running"]
