@@ -244,12 +244,45 @@ class IntervalOr:
         object.__setattr__(self, "sources", tuple(sources))
 
 
+@dataclass(frozen=True)
+class IntervalPrefix:
+    """Multi-term leaf: union of the intervals of every dictionary term
+    with this prefix (Intervals.prefix); expanded against the terms
+    dictionary at rewrite time like PrefixQuery."""
+    prefix: str
+
+
+@dataclass(frozen=True)
+class IntervalWildcard:
+    """Multi-term leaf: union over dictionary terms matching the
+    wildcard pattern (Intervals.wildcard); rewrite-time expansion."""
+    pattern: str
+
+
 def interval_terms(src) -> set:
-    """All leaf terms of an interval source tree."""
+    """All leaf terms of an interval source tree (expanded sources only —
+    prefix/wildcard leaves must be rewritten first)."""
     if isinstance(src, IntervalTerm):
         return {src.term}
+    if isinstance(src, (IntervalPrefix, IntervalWildcard)):
+        raise ValueError(
+            "interval prefix/wildcard sources must be rewritten against "
+            "the terms dictionary first (Searcher.rewrite does this)")
     return set().union(*[interval_terms(s) for s in src.sources]) \
         if src.sources else set()
+
+
+def map_interval_sources(src, f):
+    """Rebuild an interval source tree with every LEAF mapped through
+    f(leaf) (structure nodes rebuilt around the mapped children)."""
+    if isinstance(src, (IntervalTerm, IntervalPrefix, IntervalWildcard)):
+        return f(src)
+    kids = tuple(map_interval_sources(s, f) for s in src.sources)
+    if isinstance(src, IntervalOrdered):
+        return IntervalOrdered(kids, src.max_gaps)
+    if isinstance(src, IntervalUnordered):
+        return IntervalUnordered(kids, src.max_gaps)
+    return IntervalOr(kids)
 
 
 @dataclass(frozen=True)
@@ -343,6 +376,22 @@ def _rewrite_once(q: Query, ctx) -> Query:
         if isinstance(inner, BoostQuery):
             return BoostQuery(inner.query, inner.boost * q.boost)
         return BoostQuery(inner, q.boost)
+
+    if isinstance(q, IntervalQuery) and ctx is not None and ctx.expand_terms:
+        def xleaf(leaf):
+            if isinstance(leaf, IntervalPrefix):
+                got = ctx.expand_terms(PrefixQuery(leaf.prefix,
+                                                   field=q.field))
+            elif isinstance(leaf, IntervalWildcard):
+                got = ctx.expand_terms(WildcardQuery(leaf.pattern,
+                                                     field=q.field))
+            else:
+                return leaf
+            # empty expansion -> a source with no terms (never matches)
+            return IntervalOr(tuple(IntervalTerm(t) for t in (got or [])))
+        src2 = map_interval_sources(q.source, xleaf)
+        if src2 != q.source:
+            return IntervalQuery(src2, q.boost, q.field)
 
     if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
                       FuzzyQuery)) and ctx is not None and ctx.expand_terms:

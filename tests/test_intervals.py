@@ -145,3 +145,44 @@ def test_engine_interval_matching_vs_bruteforce(spark, tmp_path_factory):
             if eval_source(tree, pos):
                 want.add(int(r.doc_id))
         assert got == want, tree
+
+
+def test_interval_prefix_wildcard_expansion(spark, tmp_path_factory):
+    # Intervals.prefix / Intervals.wildcard: multi-term leaves expand
+    # against the terms dictionary at rewrite time, then evaluate as an
+    # or-source (union of the matched terms' positions)
+    import re
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import (IntervalOr,
+                                                  IntervalOrdered,
+                                                  IntervalPrefix,
+                                                  IntervalQuery,
+                                                  IntervalTerm,
+                                                  IntervalWildcard)
+    out = str(tmp_path_factory.mktemp("ivx_idx"))
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, out, id_cols=["doc_id"],
+                      text_col="text", segment_by="input")
+    s = Searcher(idx)
+    tree = IntervalOrdered((IntervalTerm("key"), IntervalPrefix("ro")),
+                           max_gaps=4)
+    rq = s.rewrite(IntervalQuery(tree))
+    inner = rq.source.sources[1]
+    assert isinstance(inner, IntervalOr)
+    expanded = {t.term for t in inner.sources}
+    assert "row" in expanded and all(t.startswith("ro") for t in expanded)
+    # expanded query matches == the explicit or-source query
+    explicit = IntervalQuery(IntervalOrdered(
+        (IntervalTerm("key"),
+         IntervalOr(tuple(IntervalTerm(t) for t in sorted(expanded)))),
+        max_gaps=4))
+    got = {(r.segment, r.docid) for r in s.matches(rq).collect()}
+    want = {(r.segment, r.docid) for r in s.matches(explicit).collect()}
+    assert got == want and got
+    # wildcard form agrees with prefix form
+    wq = s.rewrite(IntervalQuery(IntervalOrdered(
+        (IntervalTerm("key"), IntervalWildcard("ro*")), max_gaps=4)))
+    got_w = {(r.segment, r.docid) for r in s.matches(wq).collect()}
+    assert got_w == got
