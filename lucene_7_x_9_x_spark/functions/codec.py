@@ -115,15 +115,16 @@ def encode_block(vals: np.ndarray, allow_pfor: bool = True) -> bytes:
     width = max(mx.bit_length(), 1)
     if allow_pfor and len(v) > 8:
         # patched FOR: if excluding the top <=3 values lowers the width,
-        # patch their high bits out (PForUtil.java:49-96 capability)
+        # patch their high bits out (PForUtil.java:49-96 capability).
+        # base = the (k+1)-th largest value; exceptions = every value with
+        # bits above its width — at most k of them, all strictly larger
+        # than the base, so the selection is identical to (and bit-exact
+        # with) sorting out the top k, without tiny argsorts per block
         k = min(3, len(v) - 1)
-        top_idx = np.argpartition(v, -k - 1)[-k - 1:]
-        top_sorted = top_idx[np.argsort(v[top_idx])]
-        base_max = int(v[top_sorted[0]])
+        base_max = int(np.partition(v, -k - 1)[-k - 1])
         base_width = max(base_max.bit_length(), 1)
         if base_width < width:
-            exc_idx = np.sort(top_sorted[1:])
-            exc_idx = exc_idx[v[exc_idx] >= (1 << base_width)]
+            exc_idx = np.flatnonzero(v >= (1 << base_width))
             if len(exc_idx) and len(exc_idx) <= 3:
                 low = v.copy()
                 high = (v[exc_idx] >> np.uint64(base_width)).astype(np.uint64)
