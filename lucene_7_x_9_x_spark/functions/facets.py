@@ -131,3 +131,23 @@ def taxonomy_children(matches: DataFrame, attrs: DataFrame,
     return (agg.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_n)
             .select("rank", "label", "cnt"))
+
+
+def ssdv_facet_counts(matches: DataFrame, attrs: DataFrame,
+                      array_col: str, top_n: int = 10) -> DataFrame:
+    """Multi-valued faceting — the SortedSetDocValues facet capability
+    (solr-8.4.0/lucene/facet/.../sortedset/SortedSetDocValuesFacetCounts
+    .java; demo SortedSetDocValuesTest.java): a doc carries MANY values
+    for one dimension and contributes each DISTINCT value once. The
+    array column plays the per-doc ordinal set; explode + hash aggregate
+    is the counting pass. Returns (rank, label, cnt) ordered
+    (count desc, label asc)."""
+    from pyspark.sql import Window
+    j = matches.join(attrs, ["segment", "docid"])
+    agg = (j.select(F.explode(F.array_distinct(F.col(array_col)))
+                    .alias("label"))
+           .groupBy("label").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), "label")
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select("rank", "label", "cnt"))

@@ -111,3 +111,26 @@ def test_searcher_analyze_uses_index_analyzer(spark, tmp_path_factory):
     assert s.analyze("Running Connections!") == ["run", "connect"]
     got = s.search(s.text_query("running runners"), 5).toPandas()
     assert list(got.doc_id) == [0]
+
+
+def test_stemmed_index_offsets_highlight_surface_forms(spark,
+                                                       tmp_path_factory):
+    # stemmed term + stored offsets = the UnifiedHighlighter-with-
+    # EnglishAnalyzer behavior: querying the stem highlights the original
+    # inflected surface spans (offsets keep the pre-stem char ranges)
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("stemoff_idx"))
+    texts = ["He runs fast and keeps running daily", "nothing to see"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input", with_offsets=True,
+                      analyzer=AnalyzerConfig(stemmer="porter"))
+    s = Searcher(idx)
+    rows = s.term_offsets("run").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    spans = [texts[0][a:b] for a, b in zip(r.starts, r.ends)]
+    assert spans == ["runs", "running"]

@@ -64,3 +64,23 @@ def test_prefix_exhaustion_raises(fixture):
     m, attrs, _ = fixture
     with pytest.raises(ValueError, match="exhausts"):
         taxonomy_children(m, attrs, ["source"], ("src0",))
+
+
+def test_ssdv_multivalued_facets(spark, fixture):
+    # SortedSetDocValues-style: multi-valued dimension, each doc counts
+    # each of its DISTINCT values once
+    from lucene_7_x_9_x_spark.functions.facets import ssdv_facet_counts
+    m, attrs, sub = fixture
+    tagged = attrs.withColumn(
+        "tags", F.array_distinct(F.array("lang", "source",
+                                         F.substring("lang", 1, 1))))
+    got = ssdv_facet_counts(m, tagged, "tags", 8).collect()
+    import collections
+    want = collections.Counter()
+    pd_attrs = tagged.select("segment", "docid", "tags").join(
+        m, ["segment", "docid"]).toPandas()
+    for r in pd_attrs.itertuples():
+        for v in set(r.tags):
+            want[v] += 1
+    exp = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:8]
+    assert [(r.label, int(r.cnt)) for r in got] == exp
