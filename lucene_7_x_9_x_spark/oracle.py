@@ -22,14 +22,21 @@ from .plans import query as Q
 
 
 class InMemoryReader:
-    """Reader protocol over dict-of-numpy postings (single segment)."""
+    """Reader protocol over dict-of-numpy postings (single segment).
+    Multi-field: named-field postings use (field, term) tuple keys and
+    their norms live in field_norms (the per-field .nvd role)."""
 
     def __init__(self, postings: dict, norms: np.ndarray, max_doc: int,
-                 positions: dict | None = None):
+                 positions: dict | None = None,
+                 field_norms: dict | None = None):
         self._postings = postings      # term -> (docids, freqs)
         self._positions = positions or {}  # term -> (docids, [pos arrays])
         self._norms = norms
         self._max_doc = max_doc
+        self._field_norms = field_norms or {}
+
+    def norms_for(self, field: str):
+        return self._field_norms[field]
 
     def postings(self, term):
         return self._postings.get(term)
@@ -44,7 +51,14 @@ class InMemoryReader:
         return np.arange(self._max_doc, dtype=np.int64)
 
     def terms(self):
-        return sorted(self._postings.keys())
+        # default-field dictionary only (string keys); named-field keys
+        # are (field, term) tuples — see term_keys()
+        return sorted(t for t in self._postings if isinstance(t, str))
+
+    def term_keys(self):
+        """Every term KEY in the reader (bare default-field strings and
+        (field, term) tuples)."""
+        return set(self._postings.keys())
 
 
 def index_token_lists(token_lists: list[list[str]],
@@ -80,27 +94,50 @@ def index_token_lists(token_lists: list[list[str]],
 
 def index_corpus(df: pd.DataFrame, text_col: str = "content",
                  cfg: AnalyzerConfig | None = None,
-                 similarity: str = "bm25"):
-    """Tokenize a corpus DataFrame (docid = positional order) and index it."""
-    row_idx, pos, flat, dl = tokenize_to_flat(df[text_col], cfg)
+                 similarity: str = "bm25",
+                 extra_fields: list | None = None,
+                 field_analyzers: dict | None = None):
+    """Tokenize a corpus DataFrame (docid = positional order) and index it.
+
+    extra_fields: [(field_name, column)] — named fields indexed alongside
+    the default one with (field, term) tuple keys, per-field norms and
+    per-field collection stats (the FieldInfos model; per-field analyzer
+    chains via field_analyzers = the PerFieldAnalyzerWrapper model)."""
+
+    def _invert(series, fcfg, key_of):
+        ri, po, fl, fdl = tokenize_to_flat(series, fcfg)
+        post, posi = {}, {}
+        if len(fl):
+            pdf = pd.DataFrame({"term": fl, "docid": ri, "pos": po})
+            for term, g in pdf.groupby("term", sort=True):
+                gg = g.groupby("docid", sort=True)
+                docids = np.array(sorted(gg.groups.keys()), dtype=np.int64)
+                freqs = gg.size().reindex(docids).to_numpy(dtype=np.int64)
+                post[key_of(term)] = (docids, freqs)
+                posi[key_of(term)] = (
+                    docids, [g2["pos"].to_numpy(np.int64) for _, g2 in gg])
+        return post, posi, fdl
+
+    postings, positions, dl = _invert(df[text_col], cfg, lambda t: t)
     norms = int_to_byte4(dl)
-    postings, positions = {}, {}
-    if len(flat):
-        pdf = pd.DataFrame({"term": flat, "docid": row_idx, "pos": pos})
-        for term, g in pdf.groupby("term", sort=True):
-            gg = g.groupby("docid", sort=True)
-            docids = np.array(sorted(gg.groups.keys()), dtype=np.int64)
-            freqs = gg.size().reindex(docids).to_numpy(dtype=np.int64)
-            postings[term] = (docids, freqs)
-            positions[term] = (docids,
-                               [g2["pos"].to_numpy(np.int64) for _, g2 in gg])
+    field_norms, fstats = {}, {}
+    for fname, fcol in (extra_fields or []):
+        fcfg = (field_analyzers or {}).get(fname, cfg)
+        fp, fpos, fdl = _invert(df[fcol], fcfg,
+                                lambda t, fn=fname: (fn, t))
+        postings.update(fp)
+        positions.update(fpos)
+        field_norms[fname] = int_to_byte4(fdl)
+        fstats[fname] = (int((fdl > 0).sum()), int(fdl.sum()))
     doc_freqs = {t: len(p[0]) for t, p in postings.items()}
     ttfs = {t: int(p[1].sum()) for t, p in postings.items()}
     stats = SegmentStats(
         doc_count=int((dl > 0).sum()),
         sum_total_term_freq=int(dl.sum()),
-        doc_freqs=doc_freqs, total_term_freqs=ttfs, similarity=similarity)
-    return InMemoryReader(postings, norms, len(df), positions), stats
+        doc_freqs=doc_freqs, total_term_freqs=ttfs, similarity=similarity,
+        field_stats=fstats)
+    return InMemoryReader(postings, norms, len(df), positions,
+                          field_norms=field_norms), stats
 
 
 class OracleEngine:

@@ -94,19 +94,20 @@ def _cover_terms(q, weight) -> set | None:
         return out if out else None
     if isinstance(q, (Q.PhraseQuery, Q.SpanNearQuery)):
         # a phrase/span-near is a conjunction of its terms: index only the
-        # most selective one
-        ts = {t for t in Q.scoring_terms(q) if isinstance(t, str)}
+        # most selective one (term KEYS — bare strings or (field, term))
+        ts = set(Q.scoring_terms(q))
         if not ts:
             return set()
-        return {max(ts, key=lambda t: (weight(t), t))}
-    ts = Q.scoring_terms(q)
-    return {t for t in ts if isinstance(t, str)}
+        return {max(ts, key=lambda t: (weight(t), repr(t)))}
+    return set(Q.scoring_terms(q))
 
 
 def _set_weight(cov: set, weight) -> tuple:
     """Selectivity of a covering set = its WEAKEST term (the most frequent
-    term dominates the candidate-join cost); ties prefer smaller sets."""
-    return (min(weight(t) for t in cov), -len(cov), min(cov))
+    term dominates the candidate-join cost); ties prefer smaller sets.
+    Keys mix bare strings and (field, term) tuples — compare via repr."""
+    return (min(weight(t) for t in cov), -len(cov),
+            min((repr(t) for t in cov)))
 
 
 # one definition of "contains MatchAll" for the whole engine — the
@@ -135,18 +136,15 @@ def register_queries(spark, queries: dict, term_df: dict | None = None):
     Scales to millions of registered queries: both tables are plain
     DataFrames, nothing is broadcast."""
     import pickle
+    from ..plans.query import key_field, key_term
     if term_df:
         def weight(t):
-            return (-term_df.get(t, 0), len(t))
+            return (-term_df.get(t, 0), len(key_term(t)))
     else:
         def weight(t):
-            return (len(t),)
+            return (len(key_term(t)),)
     qterm_rows, qdef_rows, match_all = [], [], []
     for qid, q in sorted(queries.items()):
-        if any(not isinstance(t, str) for t in Q.scoring_terms(q)):
-            raise ValueError(
-                f"query {qid!r} is field-scoped — percolation matches "
-                "against the single document text column")
         cover = _cover_terms(q, weight)
         if cover is None or _contains_matchall(q):
             match_all.append(qid)
@@ -156,10 +154,13 @@ def register_queries(spark, queries: dict, term_df: dict | None = None):
                 f"query {qid!r} has no terms and no MatchAll — rewrite "
                 "dictionary-dependent queries before registering")
         qdef_rows.append((qid, bytearray(pickle.dumps(q))))
-        for t in sorted(cover):
-            qterm_rows.append((qid, t))
-    qterms = spark.createDataFrame(qterm_rows or [("", "")],
-                                   "query_id string, term string")
+        # field '' = the default field (a non-null sentinel so the
+        # candidate equi-join needs no null-safe comparison)
+        for t in sorted(cover, key=repr):
+            qterm_rows.append((qid, key_field(t) or "", key_term(t)))
+    qterms = spark.createDataFrame(qterm_rows or [("", "", "")],
+                                   "query_id string, field string, "
+                                   "term string")
     if not qterm_rows:
         qterms = qterms.where(F.lit(False))
     qdefs = spark.createDataFrame(qdef_rows,
@@ -170,7 +171,8 @@ def register_queries(spark, queries: dict, term_df: dict | None = None):
 def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
                       match_all: list, id_col: str = "doc_id",
                       text_col: str = "text",
-                      analyzer: AnalyzerConfig | None = None) -> DataFrame:
+                      analyzer: AnalyzerConfig | None = None,
+                      extra_fields: list | None = None) -> DataFrame:
     """percolate() for LARGE registered-query sets: instead of
     broadcasting every query to every task, candidates come from a
     relational presearcher join — (doc, distinct term) x (query_id, term)
@@ -180,6 +182,13 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
     then query_id, then doc): nothing scales with |queries| x |docs|
     except the true candidate pairs. MatchAll-containing queries bypass
     the join and are verified against every doc.
+
+    extra_fields: [(field_name, column)] — field-scoped registered
+    queries match against their field's column: the candidate side unions
+    each field's distinct tokens tagged with the field name and joins on
+    (field, term); the verify stage builds a multi-field memory index.
+    A query term on a field NOT supplied here simply never matches (the
+    field has no postings), which is also what a real index would do.
 
     Batch DataFrames only: the candidate join + per-doc grouped verify are
     multi-shuffle stateful plans that Structured Streaming's grouped-map
@@ -191,23 +200,36 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
                          "foreachBatch")
     spark = docs.sparkSession
     n_par = spark.sparkContext.defaultParallelism
-    src = docs.select(id_col, text_col).repartition(n_par)
+    xf = list(extra_fields or [])
+    src = docs.select(id_col, text_col,
+                      *[c for _, c in xf]).repartition(n_par)
     from ..pipeline.dedup import TOKEN_SPLIT
-    toks = F.array_distinct(F.filter(
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""))
+
+    def toks_of(col):
+        return F.array_distinct(F.filter(
+            F.split(F.lower(F.col(col)), TOKEN_SPLIT), lambda x: x != ""))
+
     if analyzer is not None and (
             analyzer.stopwords
             or analyzer.token_regex != "[a-z0-9_]+"
             or analyzer.max_token_length
-            != AnalyzerConfig().max_token_length):
+            != AnalyzerConfig().max_token_length
+            or analyzer.stemmer is not None):
         # the JVM-side candidate vocabulary above must agree with the
         # verify-time tokenizer (incl. oversize-token splitting) or a
         # query on a split-chunk term would silently never be a candidate
         raise ValueError("percolate_indexed presearcher supports the "
                          "default analyzer only (candidate terms must "
                          "match the verify-time tokenizer)")
-    doc_terms = src.select(id_col, F.explode(toks).alias("term"))
-    cand = (doc_terms.join(qterms, "term")
+    # (field, term) candidate rows; '' = the default field (same sentinel
+    # as register_queries, so the join is a plain two-column equi-join)
+    doc_terms = src.select(id_col, F.lit("").alias("field"),
+                           F.explode(toks_of(text_col)).alias("term"))
+    for fname, fcol in xf:
+        doc_terms = doc_terms.unionByName(
+            src.select(id_col, F.lit(fname).alias("field"),
+                       F.explode(toks_of(fcol)).alias("term")))
+    cand = (doc_terms.join(qterms, ["field", "term"])
             .select(id_col, "query_id").distinct())
     if match_all:
         ma = spark.createDataFrame([(q,) for q in match_all],
@@ -226,9 +248,10 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
                .agg(F.collect_list(F.struct("query_id", "qdef"))
                     .alias("cands"))
                .join(src, id_col)
-               .select(id_col, text_col, "cands"))
+               .select(id_col, text_col, *[c for _, c in xf], "cands"))
 
     cfg = analyzer
+    xf_local = xf  # plain list: safe to close over (no Spark objects)
     id_type = dict((f.name, f.dataType.simpleString())
                    for f in docs.schema.fields)[id_col]
 
@@ -241,9 +264,12 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
         for pdf in batches:
             out_q, out_i = [], []
             for r in pdf.itertuples():
+                cols = {text_col: [getattr(r, text_col)]}
+                for _, c in xf_local:
+                    cols[c] = [getattr(r, c)]
                 reader, stats = index_corpus(
-                    pd.DataFrame({text_col: [getattr(r, text_col)]}),
-                    text_col=text_col, cfg=cfg)
+                    pd.DataFrame(cols), text_col=text_col, cfg=cfg,
+                    extra_fields=xf_local)
                 rid = getattr(r, id_col)
                 for c in r.cands:
                     qid = c["query_id"]
@@ -267,7 +293,8 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
 
 def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
               text_col: str = "text",
-              analyzer: AnalyzerConfig | None = None) -> DataFrame:
+              analyzer: AnalyzerConfig | None = None,
+              extra_fields: list | None = None) -> DataFrame:
     """Match every registered query against every document: returns
     DataFrame(query_id string, <id_col>) with one row per (query, matching
     doc). `queries` maps query_id -> a term-based Query tree (queries
@@ -275,15 +302,25 @@ def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
     rewritten against a real index first; the reference Monitor likewise
     decomposes queries at registration time, monitor/QueryDecomposer.java).
 
+    extra_fields: [(field_name, column)] — the per-batch memory index is
+    MULTI-FIELD (MemoryIndex.addField per field): field-scoped query
+    terms match against their field's column with per-field norms/stats.
+    Queries may only reference registered field names.
+
     Matching only (ScoreMode.COMPLETE_NO_SCORES): the reference's
     Monitor.match with QueryMatch.SIMPLE_MATCHER."""
+    xf = list(extra_fields or [])
+    known = {n for n, _ in xf}
     qitems = sorted(queries.items())
     for qid, q in qitems:
         terms = Q.scoring_terms(q)
-        if any(not isinstance(t, str) for t in terms):
+        bad = {t[0] for t in terms
+               if not isinstance(t, str) and t[0] not in known}
+        if bad:
             raise ValueError(
-                f"query {qid!r} is field-scoped — percolation matches "
-                "against the single document text column")
+                f"query {qid!r} is field-scoped on unregistered "
+                f"field(s) {sorted(bad)} — pass extra_fields=[(name, "
+                "column)] to percolate against named fields")
         if terms == set() and not _contains_matchall(q) \
                 and not isinstance(q, Q.MatchNoDocsQuery):
             raise ValueError(
@@ -299,8 +336,9 @@ def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
         for pdf in batches:
             if not len(pdf):
                 continue
-            reader, stats = index_corpus(pdf, text_col=text_col, cfg=cfg)
-            vocab = set(reader.terms())
+            reader, stats = index_corpus(pdf, text_col=text_col, cfg=cfg,
+                                         extra_fields=xf)
+            vocab = reader.term_keys()
             ids = pdf[id_col].to_numpy()
             out_q, out_i = [], []
             for qid, q in bc.value:
@@ -316,7 +354,7 @@ def percolate(docs: DataFrame, queries: dict, id_col: str = "doc_id",
 
     id_type = dict((f.name, f.dataType.simpleString())
                    for f in docs.schema.fields)[id_col]
-    src = docs.select(id_col, text_col)
+    src = docs.select(id_col, text_col, *[c for _, c in xf])
     if not docs.isStreaming:
         # single-file corpora scan as ONE partition (the repo's documented
         # CollapseProject/single-partition landmine): spread the per-batch

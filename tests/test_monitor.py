@@ -126,14 +126,53 @@ def test_percolate_indexed_matchall_bypass(spark):
     assert percolate_indexed(docs, qt, qd, ma).count() == n
 
 
-def test_percolate_rejects_field_scoped_queries(spark):
-    from lucene_7_x_9_x_spark.streaming.monitor import register_queries
+def test_percolate_rejects_unregistered_field_queries(spark):
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
     fieldq = {"f": TermQuery("fast", field="head")}
     with pytest.raises(ValueError, match="field-scoped"):
-        percolate(docs, fieldq)
-    with pytest.raises(ValueError, match="field-scoped"):
-        register_queries(spark, fieldq)
+        percolate(docs, fieldq)  # 'head' not passed via extra_fields
+
+
+def _field_docs(spark):
+    rows = [(0, "alpha beta gamma", "news flash"),
+            (1, "delta alpha", "sports update"),
+            (2, "omega", "news roundup")]
+    return spark.createDataFrame(rows,
+                                 "doc_id long, text string, head string")
+
+
+FIELD_QUERIES = {
+    "q_head": TermQuery("news", field="head"),
+    "q_mixed": BooleanQuery([(Occur.MUST, TermQuery("alpha")),
+                             (Occur.MUST,
+                              TermQuery("update", field="head"))]),
+    "q_body": TermQuery("omega"),
+}
+FIELD_WANT = {("q_head", 0), ("q_head", 2), ("q_mixed", 1), ("q_body", 2)}
+
+
+def test_percolate_field_scoped(spark):
+    # multi-field memory index (MemoryIndex.addField per field)
+    docs = _field_docs(spark)
+    got = {(r.query_id, r.doc_id)
+           for r in percolate(docs, FIELD_QUERIES,
+                              extra_fields=[("head", "head")]).collect()}
+    assert got == FIELD_WANT
+
+
+def test_percolate_indexed_field_scoped(spark):
+    from lucene_7_x_9_x_spark.streaming.monitor import (percolate_indexed,
+                                                        register_queries)
+    docs = _field_docs(spark)
+    qt, qd, ma = register_queries(spark, FIELD_QUERIES)
+    # field-scoped covering terms carry the field name
+    rows = {(r.query_id, r.field, r.term) for r in qt.collect()}
+    assert ("q_head", "head", "news") in rows
+    got = {(r.query_id, r.doc_id)
+           for r in percolate_indexed(
+               docs, qt, qd, ma,
+               extra_fields=[("head", "head")]).collect()}
+    assert got == FIELD_WANT
 
 
 def test_presearcher_indexes_only_most_selective_conjunct(spark):
