@@ -1209,6 +1209,48 @@ class Searcher:
         norms, max_doc, fnorms = _parse_segnorms(sn_pdf)
         reader = SparkSegmentReader(rows, norms, max_doc, field_norms=fnorms)
         from .functions.smallfloat import byte4_to_int
+        if isinstance(query, (Q.SpanNearQuery, Q.SpanOrQuery,
+                              Q.SpanFirstQuery, Q.IntervalQuery)):
+            # span/interval explain: the score is sloppyFreq run through
+            # the summed-idf SpanWeight — report the enumerated freq, the
+            # per-term idf inputs, and the float32-reconstructed score
+            # (SpanScorer.scoreCurrentDoc / SpanWeight.explain shape)
+            if isinstance(query, Q.IntervalQuery):
+                from .operators.intervals import interval_match
+                docids, sfreqs = interval_match(reader, query)
+                span_terms = tuple(sorted(
+                    Q.interval_terms(query.source)))
+                kind = "intervals"
+            elif isinstance(query, Q.SpanOrQuery):
+                docids, sfreqs = ex._span_or_freqs(reader, query)
+                span_terms, kind = query.terms, "span_or"
+            elif isinstance(query, Q.SpanFirstQuery):
+                docids, sfreqs = ex._span_first_freqs(reader, query)
+                span_terms, kind = (query.term,), "span_first"
+            elif query.in_order:
+                docids, sfreqs = ex._span_near_freqs(reader, query)
+                span_terms, kind = query.terms, "span_near"
+            else:
+                docids, sfreqs = ex._span_near_unordered_freqs(
+                    reader, query, needs_freq=True)
+                span_terms, kind = query.terms, "span_near_unordered"
+            i = np.searchsorted(docids, docid)
+            if i >= len(docids) or docids[i] != docid:
+                return []
+            w = bm25.F32(bm25.F32(1.0) * bm25.F32(query.boost))
+            score = float(ex._span_scores(
+                reader, stats, span_terms, query.field,
+                docids[i:i + 1], sfreqs[i:i + 1], w)[0])
+            out = [{"kind": kind, "sloppy_freq": float(sfreqs[i]),
+                    "boost": float(query.boost), "score": score}]
+            for t in dict.fromkeys(span_terms):
+                kk = term_key(query.field, t)
+                if stats.doc_freqs.get(kk, 0) > 0:
+                    out.append({
+                        "term": t, "field": query.field,
+                        "doc_freq": stats.doc_freqs[kk],
+                        "idf": float(stats.idf(kk))})
+            return out
         out = []
         for t, boost in leaves:
             p = reader.postings(t)
