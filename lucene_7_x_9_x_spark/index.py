@@ -631,6 +631,32 @@ def check_index(spark: SparkSession, index: IndexSnapshot) -> dict:
         F.aggregate("block_ns", F.lit(0).cast("bigint"),
                     lambda a, x: a + x) != F.col("doc_freq")).count() == 0
 
+    # impact arrays: one frequency list per block, norms parallel to
+    # freqs, every entry positive (checkImpacts — structural only; the
+    # max-preservation property is owned by the codec tests)
+    out["impacts_match"] = post.where(
+        (F.size("imp_freqs") != F.size("block_ns"))
+        | (F.size("imp_norms") != F.size("imp_freqs"))
+        | F.exists(F.zip_with("imp_freqs", "imp_norms",
+                              lambda a, b: F.size(a) != F.size(b)),
+                   lambda x: x)
+        | F.exists("imp_freqs",
+                   lambda l: F.exists(l, lambda v: v <= 0))).count() == 0
+
+    # stored offsets: the per-posting offsets index must parallel the
+    # positions index — one slice bound per posting plus one, both
+    # monotone (checkOffsets role; blob payloads are codec-test-owned)
+    if index.manifest.get("with_offsets") and "off_offsets" in post.columns:
+        out["offsets_match"] = post.where(
+            F.col("off_offsets").isNotNull()
+            & ((F.size("off_offsets") != F.col("doc_freq") + 1)
+               | F.exists(
+                   F.zip_with(
+                       F.slice("off_offsets", 1, F.size("off_offsets") - 1),
+                       F.slice("off_offsets", 2, F.size("off_offsets") - 1),
+                       lambda a, b: b < a),
+                   lambda x: x))).count() == 0
+
     dels = index.deletes()
     if dels is None:
         out["deletes_valid"] = True
