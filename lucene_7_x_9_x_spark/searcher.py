@@ -869,6 +869,39 @@ class Searcher:
         return (out.withColumn("rank", F.row_number().over(w))
                 .select("rank", "parent", "score", "child_hits"))
 
+    def to_child_join(self, parent_query, parent, k: int = 10
+                      ) -> DataFrame:
+        """ToChildBlockJoinQuery analogue (solr-8.4.0/lucene/join/.../
+        ToChildBlockJoinQuery.java): match PARENTS, return their CHILD
+        docs, each child carrying its parent's score (the reference
+        propagates parentScore to every child of an accepted parent).
+        `parent` identifies each doc's parent (column name or Column over
+        docmap columns — the stored-attribute parentage model, as in
+        to_parent_join). Returns DataFrame(rank, segment, docid,
+        <id cols>, parent, score) ordered (score desc, parent asc,
+        segment asc, docid asc)."""
+        m = self._run(parent_query, None, "complete")
+        dm = self.index.docmap().select("segment", "docid",
+                                        *self.index.id_cols)
+        pcol = parent if not isinstance(parent, str) else F.col(parent)
+        tagged = dm.withColumn("parent", pcol)
+        # parent score per parent value: the query's matches roll to ONE
+        # row per parent (a parent group may hold several matching docs;
+        # the child inherits the group's max, the ToParent Max roll-up)
+        pscores = (m.join(tagged.select("segment", "docid", "parent"),
+                          ["segment", "docid"])
+                   .groupBy("parent")
+                   .agg(F.max(F.col("score").cast("double"))
+                        .cast("float").alias("score")))
+        out = (tagged.join(F.broadcast(
+            pscores.orderBy(F.desc("score"), "parent").limit(k)), "parent")
+            .orderBy(F.desc("score"), "parent", "segment", "docid")
+            .limit(k))
+        w = Window.orderBy(F.desc("score"), "parent", "segment", "docid")
+        return (out.withColumn("rank", F.row_number().over(w))
+                .select("rank", "segment", "docid", *self.index.id_cols,
+                        "parent", "score"))
+
     def function_score(self, query, value_col: str = "dl",
                        mode: str = "replace", k: int = 10) -> DataFrame:
         """FunctionScoreQuery (solr-8.4.0/lucene/queries/src/java/org/

@@ -319,3 +319,24 @@ def test_drill_sideways_excludes_own_dim(spark, spark_index):
             k = ("big", r.big)
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_to_child_block_join(spark, spark_index):
+    # ToChildBlockJoinQuery: parents matching 'h0' return their child
+    # docs, each carrying the parent group's (max) score
+    import numpy as np
+    from pyspark.sql import functions as F
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    pdf, idx = spark_index
+    s = Searcher(idx)
+    got = s.to_child_join(TermQuery("h0"),
+                          F.substring("id", 1, 5), k=10).toPandas()
+    assert len(got) == 10
+    # brute force: parent score = max score among its matching docs
+    m = (s.search(TermQuery("h0"), 10_000, with_ids=True).toPandas()
+         .assign(parent=lambda d: d.id.str[:5]))
+    pmax = m.groupby("parent").score.max()
+    for r in got.itertuples():
+        assert np.float32(r.score) == np.float32(pmax[r.parent])
+        assert r.id[:5] == r.parent
+    assert list(got["rank"]) == list(range(1, 11))
