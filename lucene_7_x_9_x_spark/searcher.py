@@ -682,7 +682,11 @@ class Searcher:
                                                     id0),
                          ["segment", "docid"])
                    .select(F.col(id0).alias(vec_id_col)).distinct())
-            cand = vectors.join(ids, vec_id_col, "left_semi")
+            # the match set is the SMALL side (the filtered-exact path is
+            # for selective filters): broadcast it so the vector table is
+            # scan-filtered in place — a sort-merge join would shuffle
+            # the whole vector corpus per query at scale
+            cand = vectors.join(F.broadcast(ids), vec_id_col, "left_semi")
             return cosine_topk_bruteforce(cand, query_vec, vec_id_col,
                                           vec_col, k)
         # unfiltered: exclude tombstoned docs when the snapshot has any
@@ -741,7 +745,8 @@ class Searcher:
                                                     id0),
                          ["segment", "docid"])
                    .select(F.col(id0).alias(vec_id_col)).distinct())
-            cand = cand.join(ids, vec_id_col, "left_semi")
+            # broadcast the (selective) match set — see knn()
+            cand = cand.join(F.broadcast(ids), vec_id_col, "left_semi")
         else:
             dels = self.index.deletes()
             if dels is not None:
