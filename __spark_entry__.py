@@ -788,6 +788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
+    def facet_ssdv(spark, sf):
+        # SortedSetDocValues-style multi-valued facets: each matching doc
+        # contributes each DISTINCT value of its [lang, source] value set
+        from lucene_7_x_9_x_spark.functions.facets import ssdv_facet_counts
+        s = _get_searcher(spark, sf)
+        m = s.matches(T("filter"))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        attrs = (dm.join(
+            _docs(spark, sf).select(F.col("doc_id").cast("long").alias(
+                "doc_id"), "source", "lang"), "doc_id")
+            .withColumn("vals", F.array_distinct(F.array("lang", "source"))))
+        return (ssdv_facet_counts(m, attrs, "vals", 8)
+                .select(F.col("rank").cast("long").alias("rank"), "label",
+                        F.col("cnt").cast("long").alias("cnt")))
+
     def facet_taxonomy(spark, sf):
         # hierarchical taxonomy faceting (facet/taxonomy
         # getTopChildren): depth 0 = top sources among matches of
@@ -1414,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": collection_stats,
         "norms": norms,
         "term_stats": term_stats,
+        "facet_ssdv": facet_ssdv,
     }
 
 
@@ -1655,6 +1672,18 @@ scored AS (SELECT doc_id,
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank, doc_id
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        "facet_ssdv": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            m AS (SELECT doc_id FROM toks
+                  WHERE list_contains(ts, 'filter')),
+            v AS (SELECT unnest(list_distinct([d.lang, d.source]))
+                    AS label
+                  FROM documents d JOIN m USING (doc_id)),
+            g AS (SELECT label, count(*) AS cnt FROM v GROUP BY label)
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, label)
+                        AS BIGINT) AS rank, label, cnt
+            FROM g QUALIFY rank <= 8
+            ORDER BY rank""",
         "facet_taxonomy": f"""
             WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             m AS (SELECT doc_id FROM toks
