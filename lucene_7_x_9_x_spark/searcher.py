@@ -1029,6 +1029,61 @@ class Searcher:
         return (t.withColumn("rank", F.row_number().over(w))
                 .select("rank", "term", "weight"))
 
+    def word_breaks(self, term: str, num_sug: int = 5,
+                    min_part_len: int = 2,
+                    field: str | None = None) -> list[dict]:
+        """WordBreakSpellChecker.suggestWordBreaks analogue
+        (solr-8.4.0/lucene/suggest/src/java/org/apache/lucene/search/
+        spell/WordBreakSpellChecker.java: an out-of-dictionary compound
+        splits into dictionary words). Single break point (maxChanges=1):
+        every split (left, right) with both parts indexed and at least
+        min_part_len chars qualifies; results order by the LESS frequent
+        part's doc_freq descending (the weakest-link selectivity the
+        reference's frequency comparator expresses), ties by left part
+        asc. The dictionary probes are driver-side pyarrow seeks
+        (term_stats_lookup) — no Spark job. Returns
+        [{"left", "right", "df_left", "df_right"}]."""
+        if field is not None and field == self._default_field:
+            field = None
+        cands = []
+        for i in range(min_part_len, len(term) - min_part_len + 1):
+            cands.append((term[:i], term[i:]))
+        if not cands:
+            return []
+        keys = {term_key(field, p) for lr in cands for p in lr}
+        stats = self._global_stats(keys)
+        out = []
+        for left, right in cands:
+            dfl = stats.doc_freqs.get(term_key(field, left), 0)
+            dfr = stats.doc_freqs.get(term_key(field, right), 0)
+            if dfl > 0 and dfr > 0:
+                out.append({"left": left, "right": right,
+                            "df_left": dfl, "df_right": dfr})
+        out.sort(key=lambda s: (-min(s["df_left"], s["df_right"]),
+                                s["left"]))
+        return out[:num_sug]
+
+    def combine_words(self, terms: list, num_sug: int = 5,
+                      field: str | None = None) -> list[dict]:
+        """WordBreakSpellChecker.suggestWordCombinations analogue: adjacent
+        query terms whose CONCATENATION is itself a dictionary word (the
+        user typed "data base" for "database"). Returns
+        [{"index", "combined", "doc_freq"}] ordered (doc_freq desc,
+        index asc); index = position of the pair's first term."""
+        if field is not None and field == self._default_field:
+            field = None
+        pairs = [(i, terms[i] + terms[i + 1])
+                 for i in range(len(terms) - 1)]
+        if not pairs:
+            return []
+        stats = self._global_stats({term_key(field, c) for _, c in pairs})
+        out = [{"index": i, "combined": c,
+                "doc_freq": stats.doc_freqs.get(term_key(field, c), 0)}
+               for i, c in pairs
+               if stats.doc_freqs.get(term_key(field, c), 0) > 0]
+        out.sort(key=lambda s: (-s["doc_freq"], s["index"]))
+        return out[:num_sug]
+
     def spell_correct(self, term: str, num_sug: int = 5,
                       max_edits: int = 2, min_prefix: int = 1,
                       accuracy: float = 0.5,

@@ -124,3 +124,31 @@ def test_spell_correct_direct_spellchecker(spark):
     sug2 = s.spell_correct("fasst")
     assert sug2 and sug2[0]["term"] == "fast"
     assert abs(sug2[0]["score"] - 0.75) < 1e-6
+
+
+def test_word_breaks_and_combinations(spark, tmp_path_factory):
+    # WordBreakSpellChecker: compounds split into dictionary words;
+    # adjacent words combine into a dictionary compound
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("wb_idx"))
+    texts = ["the database filter joins data", "base rate of the filter",
+             "data and base and database again"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input")
+    s = Searcher(idx)
+    # 'database' IS indexed; 'filterjoins' is not -> split suggestions
+    got = s.word_breaks("databasefilter")
+    assert {(g["left"], g["right"]) for g in got} == {
+        ("database", "filter")}
+    # split of an indexed compound still reports its parts when asked
+    got2 = s.word_breaks("database")
+    assert got2 and got2[0]["left"] == "data" and got2[0]["right"] == "base"
+    assert s.word_breaks("zzzzqqqq") == []
+    # combinations: 'data base' -> 'database' (df 2)
+    comb = s.combine_words(["data", "base", "rate"])
+    assert comb and comb[0]["combined"] == "database"
+    assert comb[0]["doc_freq"] == 2 and comb[0]["index"] == 0
+    assert s.combine_words(["rate", "zz"]) == []
