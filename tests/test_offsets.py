@@ -180,3 +180,29 @@ def test_highlight_from_named_field(spark, tmp_path):
         assert "<b>" in sn
         # the wrapped token really is a 'fast' occurrence in the head text
         assert sn.replace("<b>", "").replace("</b>", "") in heads[did]
+
+
+def test_best_passage_selection(spark, tmp_path_factory):
+    # passages="best": the window holding MORE (and rarer) matched terms
+    # wins over the first-occurrence window (PassageScorer behavior)
+    from lucene_7_x_9_x_spark.functions.highlight import \
+        highlight_from_index
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("bp_idx"))
+    # 'alpha' appears alone early; 'alpha beta' co-occur much later
+    txt = ("alpha " + "filler " * 30 + "alpha beta gamma end")
+    df = spark.createDataFrame([(0, txt), (1, "no matches here")],
+                               "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input", with_offsets=True)
+    s = Searcher(idx)
+    first = highlight_from_index(
+        s, df, ["alpha", "beta"], width=40, lead=5).toPandas()
+    best = highlight_from_index(
+        s, df, ["alpha", "beta"], width=40, lead=5,
+        passages="best").toPandas()
+    f0 = first[first.doc_id == 0].snippet.iloc[0]
+    b0 = best[best.doc_id == 0].snippet.iloc[0]
+    assert "<b>beta</b>" not in f0          # first window: early alpha only
+    assert "<b>alpha</b>" in b0 and "<b>beta</b>" in b0
