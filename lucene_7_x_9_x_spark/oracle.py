@@ -146,7 +146,11 @@ class OracleEngine:
     def __init__(self, reader: InMemoryReader, stats: SegmentStats):
         self.reader = reader
         self.stats = stats
-        self._rewrite_ctx = RewriteContext(expand_terms=self._expand)
+        self._rewrite_ctx = RewriteContext(
+            expand_terms=self._expand,
+            term_doc_freqs=lambda keys: {
+                k: self.stats.doc_freqs.get(k, 0) for k in keys},
+            doc_count=self.stats.doc_count)
 
     def _expand(self, q):
         import re as _re

@@ -298,6 +298,41 @@ class IntervalQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """queries/CommonTermsQuery.java: terms partition by document
+    frequency against `max_term_frequency` (a ratio of docCount when < 1,
+    an absolute df otherwise). LOW-frequency terms form the selective
+    clause with `low_freq_occur` (the reference's lowFreqOccur; MUST =
+    all rare terms required); HIGH-frequency terms become a SHOULD-only
+    sibling that influences scoring but cannot match alone — the
+    stop-word-resilient query shape. With no low-frequency terms the
+    high clause stands alone with `high_freq_occur` per term (the
+    reference's degenerate case). Rewrites against the terms dictionary
+    (RewriteContext.term_doc_freqs); terms absent from the index count
+    as low-frequency, exactly as the reference's zero-df handling."""
+    terms: tuple
+    max_term_frequency: float = 0.01
+    low_freq_occur: "Occur" = Occur.SHOULD
+    high_freq_occur: "Occur" = Occur.SHOULD
+    boost: float = 1.0
+    field: str | None = None
+
+    def __init__(self, terms, max_term_frequency=0.01,
+                 low_freq_occur=Occur.SHOULD,
+                 high_freq_occur=Occur.SHOULD, boost=1.0, field=None):
+        if Occur.MUST_NOT in (low_freq_occur, high_freq_occur):
+            raise ValueError("MUST_NOT makes no sense for "
+                             "CommonTermsQuery occurs")
+        object.__setattr__(self, "terms", tuple(terms))
+        object.__setattr__(self, "max_term_frequency",
+                           max_term_frequency)
+        object.__setattr__(self, "low_freq_occur", low_freq_occur)
+        object.__setattr__(self, "high_freq_occur", high_freq_occur)
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 
@@ -354,6 +389,10 @@ class RewriteContext:
     """Driver-side stats for rewrites that need the term dictionary."""
     expand_terms: object = None  # callable(Query) -> list[str] | None
     max_expansions: int = 1024
+    # callable(set of term KEYS) -> {key: doc_freq} and the collection
+    # doc count — used by df-dependent rewrites (CommonTermsQuery)
+    term_doc_freqs: object = None
+    doc_count: int = 0
 
 
 def rewrite(q: Query, ctx: RewriteContext | None = None) -> Query:
@@ -376,6 +415,30 @@ def _rewrite_once(q: Query, ctx) -> Query:
         if isinstance(inner, BoostQuery):
             return BoostQuery(inner.query, inner.boost * q.boost)
         return BoostQuery(inner, q.boost)
+
+    if isinstance(q, CommonTermsQuery) and ctx is not None \
+            and ctx.term_doc_freqs is not None:
+        keys = {term_key(q.field, t) for t in q.terms}
+        dfs = ctx.term_doc_freqs(keys)
+        cutoff = (q.max_term_frequency if q.max_term_frequency >= 1
+                  else q.max_term_frequency * max(ctx.doc_count, 1))
+        low, high = [], []
+        for t in q.terms:
+            (high if dfs.get(term_key(q.field, t), 0) > cutoff
+             else low).append(t)
+        def bq(ts, occur):
+            return BooleanQuery([(occur, TermQuery(t, field=q.field))
+                                 for t in ts])
+        if not low:
+            out = bq(high, q.high_freq_occur)
+        elif not high:
+            out = bq(low, q.low_freq_occur)
+        else:
+            # the reference's two-clause form: the low (selective) clause
+            # is REQUIRED, the high clause only adds score
+            out = BooleanQuery([(Occur.MUST, bq(low, q.low_freq_occur)),
+                                (Occur.SHOULD, bq(high, Occur.SHOULD))])
+        return BoostQuery(out, q.boost) if q.boost != 1.0 else out
 
     if isinstance(q, IntervalQuery) and ctx is not None and ctx.expand_terms:
         def xleaf(leaf):
@@ -491,6 +554,8 @@ def scoring_terms(q: Query) -> set:
         return {term_key(q.field, q.term)}
     if isinstance(q, IntervalQuery):
         return {term_key(q.field, t) for t in interval_terms(q.source)}
+    if isinstance(q, CommonTermsQuery):
+        return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, TermInSetQuery):
         return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
@@ -532,6 +597,10 @@ def map_fields(q: Query, f) -> Query:
         return SpanFirstQuery(q.term, q.end, q.boost, f(q.field))
     if isinstance(q, IntervalQuery):
         return IntervalQuery(q.source, q.boost, f(q.field))
+    if isinstance(q, CommonTermsQuery):
+        return CommonTermsQuery(q.terms, q.max_term_frequency,
+                                q.low_freq_occur, q.high_freq_occur,
+                                q.boost, f(q.field))
     if isinstance(q, FuzzyQuery):
         return FuzzyQuery(q.term, q.max_edits, q.transpositions,
                           q.prefix_length, f(q.field))

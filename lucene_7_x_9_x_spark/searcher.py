@@ -122,7 +122,9 @@ class Searcher:
                               .persist())
             self._terms_src = self._terms_src.persist()
         self._ctx = RewriteContext(expand_terms=self._expand,
-                                   max_expansions=max_expansions)
+                                   max_expansions=max_expansions,
+                                   term_doc_freqs=self._term_doc_freqs,
+                                   doc_count=int(index.stats["doc_count"]))
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
         self._theta_seed_cache: dict = {}  # seed-theta memo per query shape
         self._deletes_cache: object = False  # False = not loaded yet
@@ -167,6 +169,12 @@ class Searcher:
             None if not d
             else self.index.spark.sparkContext.broadcast(d))
         return self._deletes_bc
+
+    def _term_doc_freqs(self, keys: set) -> dict:
+        """Doc freqs for df-dependent rewrites (CommonTermsQuery) — same
+        memoized driver-side seek as _global_stats."""
+        stats = self._global_stats(set(keys))
+        return dict(stats.doc_freqs)
 
     # ---------------- driver-side rewrite/expansion over the terms table
     def _expand(self, q) -> list | None:

@@ -152,3 +152,41 @@ def test_word_breaks_and_combinations(spark, tmp_path_factory):
     assert comb and comb[0]["combined"] == "database"
     assert comb[0]["doc_freq"] == 2 and comb[0]["index"] == 0
     assert s.combine_words(["rate", "zz"]) == []
+
+
+def test_common_terms_query(spark, tmp_path_factory):
+    # CommonTermsQuery: high-df terms become optional scoring-only
+    # clauses; low-df terms are the required selective clause
+    import numpy as np
+    from lucene_7_x_9_x_spark import oracle
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import (BooleanQuery,
+                                                  CommonTermsQuery, Occur)
+    import pandas as pd
+    texts = (["the common word everywhere"] * 20
+             + ["the rareword appears", "rareword again the"])
+    out = str(tmp_path_factory.mktemp("ctq_idx"))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input")
+    s = Searcher(idx)
+    q = CommonTermsQuery(("the", "rareword"), max_term_frequency=0.5,
+                         low_freq_occur=Occur.MUST)
+    rq = s.rewrite(q)
+    # 'the' (df=22) is high-freq at cutoff 11; 'rareword' (df=2) low
+    assert isinstance(rq, BooleanQuery)
+    got = s.search(q, 10).toPandas()
+    # only the rareword docs match (high clause can't match alone)
+    assert set(got.doc_id) == {20, 21}
+    # rank identity vs the oracle engine's identical rewrite
+    eng = oracle.OracleEngine(*oracle.index_corpus(
+        pd.DataFrame({"text": texts}), text_col="text"))
+    want = eng.search(q, 10)
+    assert [int(x) for x in got.doc_id] == [int(d) for d in want.docid]
+    np.testing.assert_array_equal(got.score.to_numpy(np.float32),
+                                  want.score.to_numpy(np.float32))
+    # degenerate: all terms high-freq -> pure SHOULD query still matches
+    q2 = CommonTermsQuery(("the", "common"), max_term_frequency=0.05)
+    assert s.search(q2, 30).count() > 0
