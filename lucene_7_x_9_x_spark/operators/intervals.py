@@ -106,6 +106,33 @@ def eval_source(src, pos: dict) -> list:
             if ptr[j] == len(child[j]):
                 break
         return _gaps_filter(minimize(cands), src.max_gaps)
+    if isinstance(src, Q.IntervalFilter):
+        sv = eval_source(src.source, pos)
+        if not sv:
+            return []
+        rv = eval_source(src.reference, pos)
+
+        def contains(a, b):   # a contains b
+            return a[0] <= b[0] and b[1] <= a[1]
+
+        def overlaps(a, b):
+            return not (b[1] < a[0] or b[0] > a[1])
+
+        kind = src.kind
+        if kind == "containing":
+            keep = lambda s: any(contains(s, r) for r in rv)
+        elif kind == "not_containing":
+            keep = lambda s: not any(contains(s, r) for r in rv)
+        elif kind == "contained_by":
+            keep = lambda s: any(contains(r, s) for r in rv)
+        elif kind == "not_contained_by":
+            keep = lambda s: not any(contains(r, s) for r in rv)
+        elif kind == "overlapping":
+            keep = lambda s: any(overlaps(s, r) for r in rv)
+        else:  # non_overlapping
+            keep = lambda s: not any(overlaps(s, r) for r in rv)
+        # a filtered subset of a minimal list stays minimal
+        return [s for s in sv if keep(s)]
     raise TypeError(f"unknown interval source {type(src).__name__}")
 
 
@@ -115,6 +142,8 @@ def _required_docids(src, term_docs: dict) -> np.ndarray:
     if isinstance(src, Q.IntervalTerm):
         return term_docs.get(src.term,
                              np.empty(0, dtype=np.int64))
+    if isinstance(src, Q.IntervalFilter):
+        return _filter_required(src, term_docs)
     parts = [_required_docids(s, term_docs) for s in src.sources]
     if isinstance(src, Q.IntervalOr):
         return np.unique(np.concatenate(parts)) if parts else \
@@ -123,6 +152,18 @@ def _required_docids(src, term_docs: dict) -> np.ndarray:
     for p in parts[1:]:
         out = np.intersect1d(out, p, assume_unique=True)
     return out
+
+
+def _filter_required(src, term_docs):
+    """Candidates for an IntervalFilter node: positive kinds need BOTH
+    sides present; negative kinds need only the source (docs without the
+    reference keep every source interval)."""
+    s_req = _required_docids(src.source, term_docs)
+    if src.kind in ("containing", "contained_by", "overlapping"):
+        return np.intersect1d(
+            s_req, _required_docids(src.reference, term_docs),
+            assume_unique=True)
+    return s_req
 
 
 def interval_match(reader, q) -> tuple:

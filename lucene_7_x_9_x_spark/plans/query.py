@@ -259,6 +259,39 @@ class IntervalWildcard:
     pattern: str
 
 
+_FILTER_KINDS = ("containing", "not_containing", "contained_by",
+                 "not_contained_by", "overlapping", "non_overlapping")
+
+
+@dataclass(frozen=True)
+class IntervalFilter:
+    """Filtered view of `source`'s minimal intervals against a
+    `reference` source — the intervals module's filter operators
+    (queries/intervals/ ContainingIntervalsSource,
+    ContainedByIntervalsSource, NotContainingIntervalsSource,
+    NotContainedByIntervalsSource, OverlappingIntervalsSource,
+    NonOverlappingIntervalsSource; Intervals.containing/notContaining/
+    containedBy/notContainedBy/overlapping/nonOverlapping):
+      containing        source intervals that contain a reference interval
+      not_containing    ... that contain none
+      contained_by      source intervals inside a reference interval
+      not_contained_by  ... inside none
+      overlapping       source intervals overlapping a reference interval
+      non_overlapping   ... overlapping none
+    Positive kinds require the reference to match the doc too; negative
+    kinds keep all source intervals in docs without the reference."""
+    source: object
+    reference: object
+    kind: str
+
+    def __init__(self, source, reference, kind):
+        if kind not in _FILTER_KINDS:
+            raise ValueError(f"unknown interval filter kind {kind!r}")
+        object.__setattr__(self, "source", source)
+        object.__setattr__(self, "reference", reference)
+        object.__setattr__(self, "kind", kind)
+
+
 def interval_terms(src) -> set:
     """All leaf terms of an interval source tree (expanded sources only —
     prefix/wildcard leaves must be rewritten first)."""
@@ -268,6 +301,8 @@ def interval_terms(src) -> set:
         raise ValueError(
             "interval prefix/wildcard sources must be rewritten against "
             "the terms dictionary first (Searcher.rewrite does this)")
+    if isinstance(src, IntervalFilter):
+        return interval_terms(src.source) | interval_terms(src.reference)
     return set().union(*[interval_terms(s) for s in src.sources]) \
         if src.sources else set()
 
@@ -277,6 +312,10 @@ def map_interval_sources(src, f):
     f(leaf) (structure nodes rebuilt around the mapped children)."""
     if isinstance(src, (IntervalTerm, IntervalPrefix, IntervalWildcard)):
         return f(src)
+    if isinstance(src, IntervalFilter):
+        return IntervalFilter(map_interval_sources(src.source, f),
+                              map_interval_sources(src.reference, f),
+                              src.kind)
     kids = tuple(map_interval_sources(s, f) for s in src.sources)
     if isinstance(src, IntervalOrdered):
         return IntervalOrdered(kids, src.max_gaps)

@@ -186,3 +186,82 @@ def test_interval_prefix_wildcard_expansion(spark, tmp_path_factory):
         (IntervalTerm("key"), IntervalWildcard("ro*")), max_gaps=4)))
     got_w = {(r.segment, r.docid) for r in s.matches(wq).collect()}
     assert got_w == got
+
+
+def test_interval_filters_random_vs_bruteforce():
+    # containing / contained_by / overlapping (+ negations): filtered
+    # views of the source's minimal intervals, verified against the same
+    # predicate applied to brute-force-evaluated children
+    from lucene_7_x_9_x_spark.plans.query import IntervalFilter
+    rng = np.random.RandomState(11)
+
+    def brute_filter(node, pos):
+        sv = brute(node.source, pos)
+        rv = brute(node.reference, pos)
+
+        def contains(a, b):
+            return a[0] <= b[0] and b[1] <= a[1]
+
+        def overlaps(a, b):
+            return not (b[1] < a[0] or b[0] > a[1])
+        pred = {
+            "containing": lambda s: any(contains(s, r) for r in rv),
+            "not_containing":
+                lambda s: not any(contains(s, r) for r in rv),
+            "contained_by": lambda s: any(contains(r, s) for r in rv),
+            "not_contained_by":
+                lambda s: not any(contains(r, s) for r in rv),
+            "overlapping": lambda s: any(overlaps(s, r) for r in rv),
+            "non_overlapping":
+                lambda s: not any(overlaps(s, r) for r in rv),
+        }[node.kind]
+        return [s for s in sv if pred(s)]
+
+    kinds = ["containing", "not_containing", "contained_by",
+             "not_contained_by", "overlapping", "non_overlapping"]
+    for trial in range(200):
+        pos = {}
+        for t in "abc":
+            n = rng.randint(0, 5)
+            if n:
+                pos[t] = np.unique(rng.randint(0, 14, size=n))
+        src = IntervalUnordered((IntervalTerm("a"), IntervalTerm("b")))
+        ref = IntervalTerm("c")
+        for kind in kinds:
+            node = IntervalFilter(src, ref, kind)
+            got = se(eval_source(node, pos))
+            want = se(brute_filter(node, pos))
+            assert got == want, (trial, kind, pos)
+
+
+def test_interval_filter_end_to_end(spark, tmp_path_factory):
+    # "key..hash windows that do NOT contain 'row'" through the engine
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    from lucene_7_x_9_x_spark.plans.query import IntervalFilter
+    import re
+    out = str(tmp_path_factory.mktemp("ivf_idx"))
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .repartitionByRange(4, "doc_id"))
+    idx = build_index(spark, docs, out, id_cols=["doc_id"],
+                      text_col="text", segment_by="input")
+    s = Searcher(idx)
+    tree = IntervalFilter(
+        IntervalUnordered((IntervalTerm("key"), IntervalTerm("hash")),
+                          max_gaps=6),
+        IntervalTerm("row"), "not_containing")
+    got = {int(r.doc_id) for r in
+           s.matches(IntervalQuery(tree))
+           .join(idx.docmap().select("segment", "docid", "doc_id"),
+                 ["segment", "docid"]).collect()}
+    want = set()
+    for r in docs.select("doc_id", "text").toPandas().itertuples():
+        toks = [t for t in re.split(r"[^a-z0-9_]+", r.text.lower()) if t]
+        pos = {}
+        for t in {"key", "hash", "row"}:
+            p = [i for i, x in enumerate(toks) if x == t]
+            if p:
+                pos[t] = np.asarray(p)
+        if eval_source(tree, pos):
+            want.add(int(r.doc_id))
+    assert got == want and got
