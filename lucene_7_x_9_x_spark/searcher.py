@@ -1037,6 +1037,31 @@ class Searcher:
         return (t.withColumn("rank", F.row_number().over(w))
                 .select("rank", "term", "weight"))
 
+    def suggest_infix(self, fragment: str, k: int = 10,
+                      field: str | None = None) -> DataFrame:
+        """Infix suggester — the AnalyzingInfixSuggester capability
+        (solr-8.4.0/lucene/suggest/.../analyzing/AnalyzingInfixSuggester
+        .java: suggestions may match ANYWHERE in the surface form, not
+        just the prefix). Dictionary terms containing `fragment`,
+        weighted by doc_freq; prefix matches rank before pure-infix
+        matches at equal weight (the suggester's exact-first bias).
+        Returns DataFrame(rank, term, weight)."""
+        t = self._terms_src
+        if self._has_field_col:
+            fld = None if (field is None or field == self._default_field) \
+                else field
+            t = t.where(F.col("field").isNull() if fld is None
+                        else (F.col("field") == fld))
+        t = (t.where(F.col("term").contains(fragment))
+             .select("term", F.col("doc_freq").alias("weight"),
+                     F.col("term").startswith(fragment).cast("int")
+                     .alias("is_prefix")))
+        order = [F.desc("weight"), F.desc("is_prefix"), F.col("term")]
+        t = t.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return (t.withColumn("rank", F.row_number().over(w))
+                .select("rank", "term", "weight"))
+
     def word_breaks(self, term: str, num_sug: int = 5,
                     min_part_len: int = 2,
                     field: str | None = None) -> list[dict]:

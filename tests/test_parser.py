@@ -190,3 +190,25 @@ def test_common_terms_query(spark, tmp_path_factory):
     # degenerate: all terms high-freq -> pure SHOULD query still matches
     q2 = CommonTermsQuery(("the", "common"), max_term_frequency=0.05)
     assert s.search(q2, 30).count() > 0
+
+
+def test_suggest_infix(spark, tmp_path_factory):
+    # AnalyzingInfixSuggester role: matches anywhere in the term, df
+    # weighted, prefix matches first at equal weight
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("inf_idx"))
+    texts = ["stream streaming restream", "stream downstream",
+             "banner stream"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input")
+    s = Searcher(idx)
+    got = s.suggest_infix("stream", 10).toPandas()
+    # weight desc ('stream' df=3), then prefix-first at equal weight
+    # ('streaming'), then infix matches term asc
+    assert list(got.term) == ["stream", "streaming", "downstream",
+                              "restream"]
+    assert int(got.weight.iloc[0]) == 3
+    assert list(got["rank"]) == [1, 2, 3, 4]
