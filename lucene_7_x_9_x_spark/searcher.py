@@ -1117,6 +1117,58 @@ class Searcher:
         out.sort(key=lambda s: (-s["doc_freq"], s["index"]))
         return out[:num_sug]
 
+    def did_you_mean(self, text: str,
+                     field: str | None = None) -> str | None:
+        """Spell collation — the Solr-style spellcheck.collate discipline
+        over this engine's three spell facilities: analyze `text` with
+        the index's own chain, then for each out-of-dictionary token try
+        (1) DirectSpellChecker corrections (spell_correct), then
+        (2) a word break into dictionary parts (word_breaks); adjacent
+        in-dictionary tokens whose concatenation is a more frequent
+        dictionary word combine (combine_words). Returns the corrected
+        query string, or None when nothing changed."""
+        terms = self.analyze(text, field=field)
+        if not terms:
+            return None
+        stats = self._global_stats({term_key(field, t) for t in terms})
+        out, changed = [], False
+        for t in terms:
+            if stats.doc_freqs.get(term_key(field, t), 0) > 0:
+                out.append(t)
+                continue
+            sugg = self.spell_correct(t, num_sug=1, field=field)
+            if sugg:
+                out.append(sugg[0]["term"])
+                changed = True
+                continue
+            brk = self.word_breaks(t, num_sug=1, field=field)
+            if brk:
+                out.extend([brk[0]["left"], brk[0]["right"]])
+                changed = True
+                continue
+            out.append(t)
+        # combine pass: merge an adjacent pair when the compound's df
+        # exceeds BOTH parts' (the reference's combine-words acceptance)
+        comb = {c["index"]: c for c in self.combine_words(out, field=field)}
+        merged, i = [], 0
+        while i < len(out):
+            c = comb.get(i)
+            if c is not None and i + 1 < len(out):
+                dfl = self._global_stats(
+                    {term_key(field, out[i])}).doc_freqs.get(
+                        term_key(field, out[i]), 0)
+                dfr = self._global_stats(
+                    {term_key(field, out[i + 1])}).doc_freqs.get(
+                        term_key(field, out[i + 1]), 0)
+                if c["doc_freq"] > max(dfl, dfr):
+                    merged.append(c["combined"])
+                    changed = True
+                    i += 2
+                    continue
+            merged.append(out[i])
+            i += 1
+        return " ".join(merged) if changed else None
+
     def spell_correct(self, term: str, num_sug: int = 5,
                       max_edits: int = 2, min_prefix: int = 1,
                       accuracy: float = 0.5,

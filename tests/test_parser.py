@@ -212,3 +212,26 @@ def test_suggest_infix(spark, tmp_path_factory):
                               "restream"]
     assert int(got.weight.iloc[0]) == 3
     assert list(got["rank"]) == [1, 2, 3, 4]
+
+
+def test_did_you_mean_collation(spark, tmp_path_factory):
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    out = str(tmp_path_factory.mktemp("dym_idx"))
+    texts = (["the database filter stream"] * 3
+             + ["data base filter stream again"])
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    idx = build_index(spark, df, out, id_cols=["doc_id"], text_col="text",
+                      segment_by="input")
+    s = Searcher(idx)
+    # misspelling -> DirectSpellChecker correction
+    assert s.did_you_mean("the fitler stream") == "the filter stream"
+    # unknown compound -> word break
+    assert s.did_you_mean("filterstream works") is not None
+    assert "filter stream" in s.did_you_mean("filterstream stream")
+    # adjacent words whose compound is MORE frequent -> combined
+    got = s.did_you_mean("data base filter")
+    assert got == "database filter"
+    # clean query -> None
+    assert s.did_you_mean("the database filter") is None
