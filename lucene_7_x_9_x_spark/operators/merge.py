@@ -317,3 +317,173 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     })
     _atomic_write_json(os.path.join(out_dir, MANIFEST), manifest)
     return IndexSnapshot(spark, out_dir)
+
+
+def resort_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
+                 sort_by: str, attrs: DataFrame = None) -> IndexSnapshot:
+    """Apply an index-time sort to an EXISTING index — the Sorter /
+    SortingCodecReader capability (solr-8.4.0/.../index/Sorter.java,
+    SortingCodecReader: wrap a reader with a docid permutation so the
+    committed segment comes out in sort order). merge_index must clear
+    index_sort (concatenation breaks per-segment order); merge_index +
+    resort_index together ARE the reference's sort-aware merge path, and
+    resort also upgrades an unsorted index in place.
+
+    Per segment, in one cogroup kernel: docids re-assign by rank in
+    (sort_by, id_cols) order; every term's postings decode once, map
+    through the permutation, re-sort by new docid and re-encode (freqs
+    and the per-doc position/offset slices ride the same permutation;
+    impact frontiers recompute per new block). Docmap rows renumber, and
+    terms/stats/segnorms re-finalize from the rewritten tables.
+
+    attrs: DataFrame keyed by the index id columns supplying `sort_by`
+    when the docmap doesn't already store it (an index built with
+    sort_by= stores it; others don't). The column is stored in the new
+    docmap either way, so sorted_topk early-termination works."""
+    import time as _time
+    import uuid as _uuid
+    from ..index import MANIFEST, IndexSnapshot as _Snap, \
+        _atomic_write_json
+    from ..operators.build import POSTINGS_COLS, postings_schema_ddl
+    from ..streaming.incremental import finalize
+    t0 = _time.time()
+    if index.deletes() is not None:
+        raise ValueError("resort_index requires a tombstone-free index — "
+                         "compact_index first (early termination counts "
+                         "docids, not live docs)")
+    os.makedirs(out_dir, exist_ok=True)
+    id_cols = index.id_cols
+    dm = index.docmap()
+    if sort_by not in dm.columns:
+        if attrs is None:
+            raise ValueError(
+                f"docmap has no {sort_by!r} column — pass attrs with "
+                f"({', '.join(id_cols)}, {sort_by})")
+        dm = dm.join(attrs.select(*id_cols, sort_by), id_cols)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("segment").orderBy(
+        sort_by, *[c for c in id_cols if c != sort_by])
+    ndm = dm.withColumn("new_docid",
+                        F.row_number().over(w).cast("long") - 1)
+    other = [c for c in dm.columns if c not in ("segment", "docid")]
+    new_dm = ndm.select("segment", F.col("new_docid").alias("docid"),
+                        *other)
+    # permutation rides the small cogroup side: perm[old_docid] = new
+    # (docids are dense 0..n-1 per segment — a check_index invariant)
+    perm = (ndm.select("segment", "docid", "new_docid")
+            .groupBy("segment")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("docid", "new_docid"))),
+                lambda s: s["new_docid"]).alias("perm")))
+
+    schema = postings_schema_ddl()
+    pcols = [n for n, _ in POSTINGS_COLS]
+
+    def kernel(key, post_pdf: pd.DataFrame, side_pdf: pd.DataFrame
+               ) -> pd.DataFrame:
+        seg = int(key[0])
+        if len(side_pdf) == 0 or len(post_pdf) == 0:
+            return post_pdf[pcols] if len(post_pdf) else \
+                pd.DataFrame({c: [] for c in pcols})
+        pm = np.asarray(side_pdf["perm"].iloc[0], dtype=np.int64)
+        norms_by_field = {}
+        for rr in side_pdf.itertuples():
+            fkey = rr.field if isinstance(getattr(rr, "field", None), str) \
+                else None
+            norms_by_field[fkey] = np.frombuffer(bytes(rr.norms), np.uint8)
+        out = {c: [] for c in pcols}
+        has_field = "field" in post_pdf.columns
+        for r in post_pdf.itertuples():
+            rfld = (r.field if has_field and isinstance(r.field, str)
+                    else None)
+            norms = norms_by_field[rfld]
+            ds, fs = [], []
+            base = -1
+            for j in range(len(r.block_ns)):
+                n = int(r.block_ns[j])
+                ds.append(codec.decode_doc_block(bytes(r.block_docs[j]),
+                                                 n, base))
+                fs.append(codec.decode_freq_block(
+                    bytes(r.block_freqs[j]), n))
+                base = int(r.block_max_docs[j])
+            docids = np.concatenate(ds) if ds else np.zeros(0, np.int64)
+            freqs = np.concatenate(fs) if fs else np.zeros(0, np.int64)
+            new_ids = pm[docids]
+            order = np.argsort(new_ids)
+            s_ids = new_ids[order]
+            s_f = freqs[order]
+            s_norm = norms[docids][order]  # a doc keeps its norm byte
+            blocks, ns, max_docs = codec.encode_doc_blocks(s_ids)
+            fblocks = codec.encode_freq_blocks(s_f)
+            impf, impn = [], []
+            BS = codec.BLOCK_SIZE
+            for bs in range(0, len(s_ids), BS):
+                be = min(bs + BS, len(s_ids))
+                ff, nn = codec.impacts_frontier(s_f[bs:be],
+                                                s_norm[bs:be])
+                impf.append(ff.astype(np.int32))
+                impn.append(nn.astype(np.int32))
+            out["term"].append(r.term)
+            out["field"].append(rfld)
+            out["segment"].append(seg)
+            out["doc_freq"].append(len(s_ids))
+            out["total_term_freq"].append(int(s_f.sum()))
+            out["block_max_docs"].append(np.asarray(max_docs, np.int64))
+            out["block_ns"].append(np.asarray(ns, np.int32))
+            out["block_docs"].append(blocks)
+            out["block_freqs"].append(fblocks)
+            out["imp_freqs"].append(impf)
+            out["imp_norms"].append(impn)
+            for ocol, dcol in (("pos_offsets", "pos_data"),
+                               ("off_offsets", "off_data")):
+                if getattr(r, dcol, None) is not None:
+                    offs = np.asarray(getattr(r, ocol), np.int64)
+                    data = bytes(getattr(r, dcol))
+                    parts = [data[offs[i]:offs[i + 1]] for i in order]
+                    lens = np.fromiter((len(p) for p in parts), np.int64,
+                                       len(parts))
+                    out[ocol].append(
+                        np.concatenate(([0], np.cumsum(lens))))
+                    out[dcol].append(b"".join(parts))
+                else:
+                    out[ocol].append(None)
+                    out[dcol].append(None)
+        res = pd.DataFrame({c: pd.Series(v, dtype=object)
+                            for c, v in out.items()})
+        if len(res):
+            res["segment"] = res["segment"].astype(np.int32)
+            res["doc_freq"] = res["doc_freq"].astype(np.int64)
+            res["total_term_freq"] = \
+                res["total_term_freq"].astype(np.int64)
+        return res
+
+    post = index.postings()
+    if "field" not in post.columns:
+        post = post.withColumn("field", F.lit(None).cast("string"))
+    side = index.segnorms().join(perm, "segment")
+    new_post = (post.groupBy("segment").cogroup(side.groupBy("segment"))
+                .applyInPandas(kernel, schema=schema))
+    batch_dir = os.path.join(out_dir, "batch_0")
+    (new_post.repartitionByRange(
+        max(int(index.manifest.get("num_segments", 8)), 8),
+        "segment", "field", "term")
+     .sortWithinPartitions("segment", "field", "term")
+     .write.mode("overwrite").parquet(os.path.join(batch_dir,
+                                                   "kind=postings")))
+    (new_dm.repartition("segment")
+     .sortWithinPartitions("segment", "docid")
+     .write.mode("overwrite").parquet(os.path.join(batch_dir,
+                                                   "kind=docmap")))
+    manifest = dict(index.manifest)
+    manifest.update({
+        "run_id": _uuid.uuid4().hex[:12],
+        "batches": ["batch_0"],
+        "index_sort": sort_by,
+        "checkpoints": index.manifest.get("checkpoints", []) + [{
+            "stage": "resort", "status": "done", "sort_by": sort_by,
+            "secs": round(_time.time() - t0, 3)}],
+    })
+    _atomic_write_json(os.path.join(out_dir, MANIFEST), manifest)
+    return finalize(spark, out_dir)
