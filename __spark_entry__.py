@@ -396,7 +396,8 @@ _FORMAT_VERSION = 2
 def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_sort: str | None = None,
                     require_regex: str | None = None,
-                    require_stemmer: str | None = None) -> bool:
+                    require_stemmer: str | None = None,
+                    require_synonyms: list | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -412,6 +413,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
         return True
     if require_stemmer is not None and \
             m.get("analyzer", {}).get("stemmer") != require_stemmer:
+        return True
+    if require_synonyms is not None and \
+            m.get("analyzer", {}).get("synonyms") != require_synonyms:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -573,6 +577,71 @@ def _get_searcher_stem(spark: SparkSession, sf_dir: str):
         build_index(spark, docs, out, id_cols=["doc_id"],
                     text_col="text", segment_by="input",
                     analyzer=AnalyzerConfig(stemmer="porter"))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+# deterministic corpus exercising INDEX-time synonym injection
+# (SynonymGraphFilter's posIncr-0 index-side configuration): quick/rapid/
+# swift all inject 'fast' at their own position; the corpus mixes natural
+# and injected occurrences so the augmented tf/df actually reorder docs
+_SYN_A = ["the quick brown fox jumped over lazy dogs",
+          "a rapid red fox ran through the fields",
+          "the fast blue fox sat very still",
+          "slow green turtles crawled home today"]
+_SYN_B = ["swift rivers flow north quickly",
+          "fast delivery trucks arrive early",
+          "quiet calm ponds rest deeply"]
+_SYN_RULES = {"quick": ("fast",), "rapid": ("fast",), "swift": ("fast",)}
+
+
+def _syn_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_SYN_A, 4), pick(_SYN_B, 3)).alias("text"))
+
+
+def _syn_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_SYN_A, 4)} || ' ' || "
+            f"{pick(_SYN_B, 3)} AS text FROM documents")
+
+
+def _syn_toks() -> str:
+    """DuckDB replica of index-time injection for queries whose terms are
+    never a rule's lhs: mapping each lhs to its (single) rhs leaves dl,
+    doc_count and sum(dl) unchanged while reproducing the injected term's
+    tf/df exactly — the stem gate's vocabulary CASE-map trick."""
+    lhs = ", ".join(f"'{w}'" for w in sorted(_SYN_RULES))
+    return (f"list_transform({TOKS}, t -> CASE WHEN t IN ({lhs}) "
+            "THEN 'fast' ELSE t END)")
+
+
+def _get_searcher_syn(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import (AnalyzerConfig,
+                                                         canon_synonyms)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "syn")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    syn = canon_synonyms(_SYN_RULES)
+    out = os.path.join(_CACHE_ROOT, "syn_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_synonyms=[[l, list(r)] for l, r in syn]):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_syn_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(synonyms=syn,
+                                            synonyms_at="index"))
     s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
@@ -785,6 +854,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = s.search(Q.BooleanQuery([(O.SHOULD, T("run")),
                                      (O.SHOULD, T("connect")),
                                      (O.SHOULD, T("relat"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def synonym_analyzer_top10(spark, sf):
+        # index-time analyzer synonyms (SynonymGraphFilter posIncr-0
+        # injection): quick/rapid/swift inject 'fast'; BM25 top-10 for
+        # [fast, fox] sees the augmented tf/df while dl/norms and
+        # collection stats stay those of the original text
+        s = _get_searcher_syn(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("fast")),
+                                     (O.SHOULD, T("fox"))]), 10)
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
@@ -1350,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds 2-3 rotate to the tail.  Every entry is still checked locally
     # by scripts/check_entry.py regardless of position.
     return {
+        # -- new this round: never driver-gated --
+        "synonym_analyzer_top10": synonym_analyzer_top10,
+        "facet_ssdv": facet_ssdv,
         # -- never driver-gated before round 4 --
         "ann_ivf_top10": ann_ivf_top10,
         "term_offsets": term_offsets,
@@ -1430,7 +1513,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": collection_stats,
         "norms": norms,
         "term_stats": term_stats,
-        "facet_ssdv": facet_ssdv,
     }
 
 
@@ -1707,6 +1789,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "stem_term_top10": _bm25_sql(
             ["run", "connect", "relat"], 10, False,
             src_sql=_stem_src_sql(), toks=_stem_toks()),
+        "synonym_analyzer_top10": _bm25_sql(
+            ["fast", "fox"], 10, False,
+            src_sql=_syn_src_sql(), toks=_syn_toks()),
         "intervals_ordered": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,

@@ -151,8 +151,18 @@ def main():
         lat_h.append(time.time() - t0)
     lat_h.sort()
     q["bm25_hot_top10_p50"] = round(lat_h[len(lat_h) // 2], 3)
+    # hot batched serving: one warmup batch primes the code path and the
+    # driver-side impacts cache (per-KEY, so it stays warm across query
+    # streams on a serving node), then a DIFFERENT 32-query batch is
+    # timed — steady-state throughput on unseen queries
+    s_hot.search_many(batch, k=10).count()
+    batch2 = {}
+    for i in range(32):
+        ts = [vocab[rng.randint(len(vocab))] for _ in range(3)]
+        batch2[f"h{i}"] = BooleanQuery(
+            [(Occur.SHOULD, TermQuery(t)) for t in ts])
     t0 = time.time()
-    n_hot = s_hot.search_many(batch, k=10).count()
+    n_hot = s_hot.search_many(batch2, k=10).count()
     q["batch_32_hot"] = round(time.time() - t0, 3)
     extra["batched_hot_qps"] = round(32 / q["batch_32_hot"], 1)
     extra["batch_hot_rows"] = n_hot

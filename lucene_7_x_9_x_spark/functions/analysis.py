@@ -69,6 +69,32 @@ class AnalyzerConfig:
     # stemmer, solr-8.4.0/lucene/analysis/common/.../en/PorterStemFilter
     # .java) applied AFTER lowercase+stop filtering, Lucene's chain order
     stemmer: str | None = None
+    # SynonymGraphFilter role (solr-8.4.0/lucene/analysis/common/src/java/
+    # org/apache/lucene/analysis/synonym/SynonymGraphFilter.java):
+    # canonical tuple of (lhs, (rhs, ...)) rules built by canon_synonyms().
+    # lhs/rhs are POST-chain terms (after lowercase/stop/stem — place the
+    # filter at the end of the chain like Lucene's usual configuration);
+    # multi-word sides are space-joined. synonyms_at picks the side of the
+    # classic trade: "query" expands query text into SynonymQuery groups
+    # (Searcher.text_query), "index" injects rhs terms at the lhs token's
+    # position (position increment 0) at build time.
+    synonyms: tuple = ()
+    synonyms_at: str = "query"
+
+
+def canon_synonyms(mapping) -> tuple:
+    """Canonical frozen synonym-rule form for AnalyzerConfig.synonyms:
+    sorted tuple of (lhs, sorted tuple of rhs alternatives), lhs removed
+    from its own rhs set. Accepts {lhs: rhs_or_iterable} or pairs."""
+    items = mapping.items() if isinstance(mapping, dict) else mapping
+    out = []
+    for lhs, rhs in items:
+        if isinstance(rhs, str):
+            rhs = (rhs,)
+        rhss = tuple(sorted(set(rhs) - {lhs}))
+        if rhss:
+            out.append((lhs, rhss))
+    return tuple(sorted(out))
 
 
 def unicode_analyzer(stopwords: frozenset = frozenset()) -> AnalyzerConfig:
@@ -129,6 +155,54 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
     return toks
 
 
+def _inject_index_synonyms(row_idx, pos, flat, cfg,
+                           starts=None, ends=None):
+    """posIncr-0 index-time synonym injection — SynonymGraphFilter's
+    index-time role (solr-8.4.0/lucene/analysis/common/.../synonym/
+    SynonymGraphFilter.java with posIncr-0 output tokens): every
+    occurrence of a rule's lhs also emits each rhs term at the SAME
+    position (position increment 0), so phrases spanning the synonym
+    still match. dl is computed BEFORE injection and left unchanged —
+    BM25Similarity's discountOverlaps (default true,
+    solr-8.4.0/.../search/similarities/BM25Similarity.java:58-63)
+    excludes posIncr-0 tokens from the norm; collection stats here count
+    only first-increment tokens as well (documented divergence: Lucene's
+    sumTotalTermFreq includes overlaps — a known artifact).
+
+    Index-time rules must be single-word on both sides (the reference's
+    index-time graph flattening is lossy for multi-word rules; use
+    synonyms_at='query' for those). Offsets (when stored) copy the lhs
+    token's character span. Returns the stream re-sorted (row, pos) so
+    downstream delta encoders see ascending positions."""
+    add = []
+    for lhs, rhss in cfg.synonyms:
+        if " " in lhs or any(" " in r for r in rhss):
+            raise ValueError(
+                "index-time synonyms must be single-word on both sides; "
+                f"use synonyms_at='query' for rule {lhs!r}")
+        idx = np.nonzero(flat == lhs)[0]
+        if len(idx) == 0:
+            continue
+        for r in rhss:
+            add.append((idx, r))
+    if not add:
+        return (row_idx, pos, flat, starts, ends)
+    ri = [row_idx] + [row_idx[idx] for idx, _ in add]
+    po = [pos] + [pos[idx] for idx, _ in add]
+    fl = [flat] + [np.full(len(idx), r, dtype=object) for idx, r in add]
+    row_idx = np.concatenate(ri)
+    pos = np.concatenate(po)
+    flat = np.concatenate(fl)
+    if starts is not None:
+        starts = np.concatenate(
+            [starts] + [starts[idx] for idx, _ in add])
+        ends = np.concatenate([ends] + [ends[idx] for idx, _ in add])
+    order = np.lexsort((pos, row_idx))
+    return (row_idx[order], pos[order], flat[order],
+            None if starts is None else starts[order],
+            None if ends is None else ends[order])
+
+
 def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
     """Vectorized flatten: returns (row_idx:int64[], pos:int32[], term:object[])
     where pos is the token's position within its document (stopword holes
@@ -152,6 +226,9 @@ def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
         keep = np.array([t is not None for t in flat], dtype=bool)
         row_idx, pos, flat = row_idx[keep], pos[keep], flat[keep]
     dl = np.bincount(row_idx, minlength=len(toks)).astype(np.int64)
+    if cfg.synonyms and cfg.synonyms_at == "index":
+        row_idx, pos, flat, _, _ = _inject_index_synonyms(
+            row_idx, pos, flat, cfg)
     return row_idx, pos, flat, dl
 
 
@@ -214,9 +291,12 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
                 pos += 1
                 kept += 1
         dl[i] = kept
-    return (np.asarray(rows_i, dtype=np.int64),
-            np.asarray(rows_p, dtype=np.int32),
-            np.asarray(rows_t, dtype=object),
-            dl,
-            np.asarray(rows_s, dtype=np.int64),
-            np.asarray(rows_e, dtype=np.int64))
+    row_idx = np.asarray(rows_i, dtype=np.int64)
+    pos = np.asarray(rows_p, dtype=np.int32)
+    flat = np.asarray(rows_t, dtype=object)
+    starts = np.asarray(rows_s, dtype=np.int64)
+    ends = np.asarray(rows_e, dtype=np.int64)
+    if cfg.synonyms and cfg.synonyms_at == "index":
+        row_idx, pos, flat, starts, ends = _inject_index_synonyms(
+            row_idx, pos, flat, cfg, starts, ends)
+    return row_idx, pos, flat, dl, starts, ends

@@ -124,13 +124,9 @@ def taxonomy_children(matches: DataFrame, attrs: DataFrame,
     for col, val in zip(path_cols, prefix):
         j = j.where(F.col(col) == val)
     child = path_cols[len(prefix)]
-    from pyspark.sql import Window
     agg = (j.groupBy(F.col(child).alias("label"))
            .agg(F.count("*").alias("cnt")))
-    w = Window.orderBy(F.desc("cnt"), "label")
-    return (agg.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_n)
-            .select("rank", "label", "cnt"))
+    return _rank_top_labels(agg, top_n)
 
 
 def ssdv_facet_counts(matches: DataFrame, attrs: DataFrame,
@@ -142,12 +138,28 @@ def ssdv_facet_counts(matches: DataFrame, attrs: DataFrame,
     array column plays the per-doc ordinal set; explode + hash aggregate
     is the counting pass. Returns (rank, label, cnt) ordered
     (count desc, label asc)."""
-    from pyspark.sql import Window
     j = matches.join(attrs, ["segment", "docid"])
     agg = (j.select(F.explode(F.array_distinct(F.col(array_col)))
                     .alias("label"))
            .groupBy("label").agg(F.count("*").alias("cnt")))
-    w = Window.orderBy(F.desc("cnt"), "label")
-    return (agg.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_n)
+    return _rank_top_labels(agg, top_n)
+
+
+def _rank_top_labels(agg: DataFrame, top_n: int) -> DataFrame:
+    """Reduce a (label, cnt) aggregate to its ranked top_n rows the way
+    getTopChildren's bounded heap does — NEVER a global window over the
+    full aggregate. `.orderBy().limit()` plans as TakeOrderedAndProject
+    (per-partition k-heaps + a k-row driver merge), so a high-cardinality
+    dimension (URL host, author) at 100 TB stays distributed; only the k
+    survivors see the rank window, partitioned by a constant so the
+    single-partition WindowExec is over k rows by construction."""
+    from pyspark.sql import Window
+    top = agg.orderBy(F.desc("cnt"), "label").limit(top_n)
+    # partition key `cnt % 1`: constant 0 for every row, but NOT foldable,
+    # so Catalyst can't strip the partition spec (a bare lit(0) — and even
+    # cnt*0 — is simplified away and the WindowExec degenerates to the
+    # no-partition global form this function exists to avoid)
+    w = (Window.partitionBy(F.col("cnt") % F.lit(1))
+         .orderBy(F.desc("cnt"), "label"))
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "label", "cnt"))

@@ -65,16 +65,18 @@ class IndexSnapshot:
                              self.manifest.get("extra_fields", [])]
         self.field_names = [self.default_field] + [n for n, _ in
                                                    self.extra_fields]
-        self.analyzer = AnalyzerConfig(
-            token_regex=self.manifest["analyzer"]["token_regex"],
-            max_token_length=self.manifest["analyzer"]["max_token_length"],
-            stopwords=frozenset(self.manifest["analyzer"]["stopwords"]),
-            stemmer=self.manifest["analyzer"].get("stemmer"))
+        def _cfg(a: dict) -> AnalyzerConfig:
+            return AnalyzerConfig(
+                token_regex=a["token_regex"],
+                max_token_length=a["max_token_length"],
+                stopwords=frozenset(a["stopwords"]),
+                stemmer=a.get("stemmer"),
+                synonyms=tuple((lhs, tuple(rhs))
+                               for lhs, rhs in a.get("synonyms", [])),
+                synonyms_at=a.get("synonyms_at", "query"))
+        self.analyzer = _cfg(self.manifest["analyzer"])
         self.field_analyzers = {
-            n: AnalyzerConfig(token_regex=a["token_regex"],
-                              max_token_length=a["max_token_length"],
-                              stopwords=frozenset(a["stopwords"]),
-                              stemmer=a.get("stemmer"))
+            n: _cfg(a)
             for n, a in self.manifest.get("field_analyzers", {}).items()}
 
     # lazy DataFrames — memoized: re-listing parquet files and re-deriving
@@ -102,6 +104,24 @@ class IndexSnapshot:
                 os.path.join(self.root, "terms"))
         return self._terms_df
 
+    def _pads_dataset(self, dirs: tuple):
+        """Memoized pyarrow dataset per directory tuple — dataset discovery
+        (file listing + schema unification) costs tens of ms per call and
+        sits on the hot driver-side seek paths (term_stats_lookup /
+        impacts_lookup); a snapshot is point-in-time, so reuse is safe."""
+        import pyarrow.dataset as pads
+        if not hasattr(self, "_pads_cache"):
+            self._pads_cache = {}
+        got = self._pads_cache.get(dirs)
+        if got is None:
+            if len(dirs) == 1:
+                got = pads.dataset(dirs[0], format="parquet")
+            else:  # pyarrow accepts one dir or a union of datasets
+                got = pads.dataset(
+                    [pads.dataset(d, format="parquet") for d in dirs])
+            self._pads_cache[dirs] = got
+        return got
+
     def segnorms(self) -> DataFrame:
         """Per-segment norms blob: (segment, max_doc, norms binary) — one
         tiny row per segment so queries need never shuffle the docmap (the
@@ -126,8 +146,7 @@ class IndexSnapshot:
         (field, term) tuples. Returns {key: (doc_freq, total_term_freq)}
         for the keys present in the dictionary."""
         import pyarrow.dataset as pads
-        dset = pads.dataset(os.path.join(self.root, "terms"),
-                            format="parquet")
+        dset = self._pads_dataset((os.path.join(self.root, "terms"),))
         has_field = "field" in dset.schema.names
         bare = sorted(k for k in keys if isinstance(k, str))
         by_field: dict = {}
@@ -171,13 +190,9 @@ class IndexSnapshot:
         Returns {key: (freqs int64[], norms int64[])} concatenated across
         segments and blocks."""
         import pyarrow.dataset as pads
-        dirs = [os.path.join(self.root, d, "kind=postings")
-                for d in self.manifest["batches"]]
-        if len(dirs) == 1:
-            dset = pads.dataset(dirs[0], format="parquet")
-        else:  # pyarrow accepts one dir or a union of datasets
-            dset = pads.dataset(
-                [pads.dataset(d, format="parquet") for d in dirs])
+        dirs = tuple(os.path.join(self.root, d, "kind=postings")
+                     for d in self.manifest["batches"])
+        dset = self._pads_dataset(dirs)
         has_field = "field" in dset.schema.names
         bare = sorted(k for k in keys if isinstance(k, str))
         by_field: dict = {}
@@ -242,6 +257,18 @@ class IndexSnapshot:
 
     def checkpoints(self) -> list[dict]:
         return self.manifest.get("checkpoints", [])
+
+
+def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
+    """JSON form of an analyzer chain — persisted like the reference's
+    per-field analysis configuration so searchers reconstruct the exact
+    build-time chain (stemmer, synonyms) from the index alone."""
+    return {"token_regex": cfg.token_regex,
+            "max_token_length": cfg.max_token_length,
+            "stopwords": sorted(cfg.stopwords),
+            "stemmer": cfg.stemmer,
+            "synonyms": [[lhs, list(rhs)] for lhs, rhs in cfg.synonyms],
+            "synonyms_at": cfg.synonyms_at}
 
 
 def build_index(
@@ -498,17 +525,11 @@ def build_index(
         "batches": batches,
         "with_positions": with_positions,
         "with_offsets": with_offsets,
-        "analyzer": {"token_regex": cfg.token_regex,
-                     "max_token_length": cfg.max_token_length,
-                     "stopwords": sorted(cfg.stopwords),
-                     "stemmer": cfg.stemmer},
+        "analyzer": _analyzer_manifest(cfg),
         # PerFieldAnalyzerWrapper model: named fields may analyze
         # differently; absent fields use the default analyzer above
         "field_analyzers": {
-            n: {"token_regex": fc.token_regex,
-                "max_token_length": fc.max_token_length,
-                "stopwords": sorted(fc.stopwords),
-                "stemmer": fc.stemmer}
+            n: _analyzer_manifest(fc)
             for n, fc in (field_analyzers or {}).items()},
         "stats": stats,
         "checkpoints": checkpoints,

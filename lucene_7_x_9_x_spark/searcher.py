@@ -127,6 +127,7 @@ class Searcher:
                                    doc_count=int(index.stats["doc_count"]))
         self._stats_cache: dict = {}  # term -> (doc_freq, ttf) memo
         self._theta_seed_cache: dict = {}  # seed-theta memo per query shape
+        self._impacts_cache: dict = {}  # term key -> impact pairs memo
         self._deletes_cache: object = False  # False = not loaded yet
         self._deletes_bc: object = False  # broadcast handle (False = unset)
         self.query_cache = LRUQueryCache()
@@ -259,14 +260,57 @@ class Searcher:
     def text_query(self, text: str, occur=None):
         """BooleanQuery over the analyzed terms of `text` (one SHOULD —
         or `occur` — clause per token): the minimal "parse with the
-        index's analyzer" surface for stemmed/Unicode indexes."""
+        index's analyzer" surface for stemmed/Unicode indexes.
+
+        When the index's analyzer carries QUERY-time synonym rules
+        (AnalyzerConfig.synonyms, synonyms_at="query" — the
+        SynonymGraphFilter-in-the-search-analyzer configuration), each
+        token run matching a rule's lhs becomes a per-position group the
+        way the reference QueryBuilder consumes the synonym graph
+        (solr-8.4.0/.../util/QueryBuilder.java analyzeGraphBoolean):
+        all-single-word groups become a SynonymQuery (freqs summed, one
+        pseudo-term df); groups with a multi-word side become a SHOULD
+        BooleanQuery of phrase/term alternatives. Index-time rules
+        (synonyms_at="index") do NOT expand here — the postings already
+        carry the injected terms."""
         occur = occur if occur is not None else Q.Occur.SHOULD
         terms = self.analyze(text)
         if not terms:
             return Q.MatchNoDocsQuery()
-        if len(terms) == 1:
-            return Q.TermQuery(terms[0])
-        return Q.BooleanQuery([(occur, Q.TermQuery(t)) for t in terms])
+        cfg = self.index.analyzer
+        syn = (dict(cfg.synonyms)
+               if cfg.synonyms and cfg.synonyms_at == "query" else None)
+        if not syn:
+            if len(terms) == 1:
+                return Q.TermQuery(terms[0])
+            return Q.BooleanQuery([(occur, Q.TermQuery(t)) for t in terms])
+        max_n = max(len(lhs.split()) for lhs in syn)
+        clauses = []
+        i = 0
+        while i < len(terms):
+            hit = None
+            for n in range(min(max_n, len(terms) - i), 0, -1):
+                lhs = " ".join(terms[i:i + n])
+                if lhs in syn:
+                    hit = (lhs, syn[lhs], n)
+                    break
+            if hit is None:
+                clauses.append(Q.TermQuery(terms[i]))
+                i += 1
+                continue
+            lhs, rhss, n = hit
+            alts = [lhs, *rhss]
+            if all(" " not in a for a in alts):
+                clauses.append(Q.SynonymQuery(sorted(alts)))
+            else:
+                subs = [Q.PhraseQuery(a.split()) if " " in a
+                        else Q.TermQuery(a) for a in sorted(alts)]
+                clauses.append(Q.BooleanQuery(
+                    [(Q.Occur.SHOULD, s) for s in subs]))
+            i += n
+        if len(clauses) == 1:
+            return clauses[0]
+        return Q.BooleanQuery([(occur, c) for c in clauses])
 
     def rewrite(self, query):
         if self._default_field is not None:
@@ -359,16 +403,43 @@ class Searcher:
         units seed from members (summed freq >= member freq, monotone),
         dismax from members (max >= member). Deleted docs void the
         achievedness argument, so any tombstones disable seeding."""
-        if plan.get("filter") or plan.get("must_not"):
+        pairs = self._theta_pairs(plan, stats)
+        if not pairs:
             return 0.0
+        # sort key via repr: term keys mix bare strings and (field, term)
+        # tuples, which don't compare to each other directly
+        memo_key = (tuple(sorted(((kk, float(w)) for kk, w in pairs),
+                                 key=repr)), k)
+        got = self._theta_seed_cache.get(memo_key)
+        if got is not None:
+            return got
+        imp = self._impacts_for([kk for kk, _ in pairs])
+        best = 0.0
+        for kk, w in pairs:
+            got_i = imp.get(kk)
+            if got_i is None or len(got_i[0]) < k:
+                continue  # fewer than k achieved scores: no floor
+            cache = stats.cache_for(key_field(kk))
+            sc = bm25.score_term(got_i[0], got_i[1], w, cache)
+            kth = float(np.partition(sc, -k)[-k])
+            if kth > best:
+                best = kth
+        self._theta_seed_cache[memo_key] = best
+        return best
+
+    def _theta_pairs(self, plan: dict, stats: ex.SegmentStats) -> list:
+        """Eligible (key, weight) achieved-score sources for a plan, or []
+        when the shape disqualifies seeding (see _seed_theta safety)."""
+        if plan.get("filter") or plan.get("must_not"):
+            return []
         units = plan["units"]
         musts = [u for u in units if u.get("is_must")]
         if musts:
             if len(musts) != 1 or plan.get("msm", 0) > 0:
-                return 0.0
+                return []
             units = musts
         elif plan.get("msm", 0) > 1:
-            return 0.0
+            return []
         F32 = np.float32
         pairs = []  # (key, weight) eligible achieved-score sources
         for u in units:
@@ -389,33 +460,21 @@ class Searcher:
                     for m in u["members"])
             # phrase units contribute no pairs (a term-achieving doc need
             # not match the phrase) but don't void the other units' floors
-        pairs = [(kk, w) for kk, w in pairs if float(w) > 0]
-        if not pairs:
-            return 0.0
-        # sort key via repr: term keys mix bare strings and (field, term)
-        # tuples, which don't compare to each other directly
-        memo_key = (tuple(sorted(((kk, float(w)) for kk, w in pairs),
-                                 key=repr)), k)
-        got = self._theta_seed_cache.get(memo_key)
-        if got is not None:
-            return got
-        try:
-            imp = self.index.impacts_lookup([kk for kk, _ in pairs])
-        except Exception:
-            self._theta_seed_cache[memo_key] = 0.0
-            return 0.0
-        best = 0.0
-        for kk, w in pairs:
-            got_i = imp.get(kk)
-            if got_i is None or len(got_i[0]) < k:
-                continue  # fewer than k achieved scores: no floor
-            cache = stats.cache_for(key_field(kk))
-            sc = bm25.score_term(got_i[0], got_i[1], w, cache)
-            kth = float(np.partition(sc, -k)[-k])
-            if kth > best:
-                best = kth
-        self._theta_seed_cache[memo_key] = best
-        return best
+        return [(kk, w) for kk, w in pairs if float(w) > 0]
+
+    def _impacts_for(self, keys) -> dict:
+        """Key-level memoized impacts read. A batch (search_many) prefetches
+        the UNION of its queries' keys through this in ONE pyarrow read —
+        the round-4 regression was 32 per-query reads before one job."""
+        missing = [kk for kk in keys if kk not in self._impacts_cache]
+        if missing:
+            try:
+                found = self.index.impacts_lookup(missing)
+            except Exception:
+                found = {}
+            for kk in missing:
+                self._impacts_cache[kk] = found.get(kk)
+        return {kk: self._impacts_cache[kk] for kk in keys}
 
     # ---------------- kernels
     def _segnorms_broadcast(self):
@@ -1290,8 +1349,17 @@ class Searcher:
         task_theta: dict = {}  # per-qid cross-segment theta (see _run)
         if del_bc is None:
             # driver-seeded global floors, one per eligible query (the
-            # MaxScoreAccumulator completion — see _seed_theta); the
-            # impact reads are memoized per query shape
+            # MaxScoreAccumulator completion — see _seed_theta). Prefetch
+            # the UNION of the batch's eligible keys in ONE pyarrow read:
+            # per-query reads here cost 32 driver round-trips and caused
+            # the round-4 batch_32_hot 1.9x regression.
+            batch_keys: set = set()
+            for qid, plan in plans.items():
+                if plan is not None:
+                    batch_keys |= {kk for kk, _ in
+                                   self._theta_pairs(plan, stats)}
+            if batch_keys:
+                self._impacts_for(batch_keys)
             for qid, plan in plans.items():
                 if plan is not None:
                     t0 = self._seed_theta(plan, stats, k)

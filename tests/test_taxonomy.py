@@ -84,3 +84,26 @@ def test_ssdv_multivalued_facets(spark, fixture):
             want[v] += 1
     exp = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:8]
     assert [(r.label, int(r.cnt)) for r in got] == exp
+
+
+def test_topn_plan_never_windows_full_aggregate(fixture):
+    # the 100 TB shape guard (VERDICT r4 #1): the label aggregate is
+    # reduced by TakeOrderedAndProject (per-partition k-heaps), and the
+    # only Window in the plan runs AFTER the k-row limit with a non-empty
+    # partition spec — never a no-partition window over every distinct
+    # label
+    from lucene_7_x_9_x_spark.functions.facets import (ssdv_facet_counts,
+                                                       taxonomy_children)
+    m, attrs, _ = fixture
+    tagged = attrs.withColumn(
+        "tags", F.array_distinct(F.array("lang", "source")))
+    for df in (taxonomy_children(m, attrs, ["source", "lang"], (), 5),
+               ssdv_facet_counts(m, tagged, "tags", 5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                # partitioned Window prints 3 bracket groups
+                # ([wexprs], [partspec], [orderspec]); the no-partition
+                # form that moves everything to one task prints only 2
+                assert line.count("], [") == 2, line
