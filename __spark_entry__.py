@@ -582,6 +582,57 @@ def _get_searcher_stem(spark: SparkSession, sf_dir: str):
     return s
 
 
+# version-string / IP corpus for the UAX#29 NUM rule (interior-punctuation
+# numbers are single tokens under the Unicode analyzer): deterministic
+# literal-derived text, same construction as the other analysis gates
+_NUMC_A = ["release 2.4.1 fixes the parser crash",
+           "version 2.4.2 beta rollout started",
+           "pi equals 3.14 roughly in tests",
+           "build 10.0.1 shipped early today"]
+_NUMC_B = ["host 192.168.0.1 was unreachable",
+           "host 10.0.0.2 answered quickly",
+           "about 1,000,000 rows processed"]
+
+
+def _num_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_NUMC_A, 4), pick(_NUMC_B, 3)).alias("text"))
+
+
+def _num_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_NUMC_A, 4)} || ' ' || "
+            f"{pick(_NUMC_B, 3)} AS text FROM documents")
+
+
+def _get_searcher_num(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, unicode_analyzer)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "num")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "num_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_regex=UNICODE_TOKEN_REGEX):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_num_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=unicode_analyzer())
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
 # deterministic corpus exercising INDEX-time synonym injection
 # (SynonymGraphFilter's posIncr-0 index-side configuration): quick/rapid/
 # swift all inject 'fast' at their own position; the corpus mixes natural
@@ -854,6 +905,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         r = s.search(Q.BooleanQuery([(O.SHOULD, T("run")),
                                      (O.SHOULD, T("connect")),
                                      (O.SHOULD, T("relat"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def unicode_numeric_top10(spark, sf):
+        # UAX#29 NUM fidelity: version strings, dotted IPs and
+        # comma-grouped numbers are SINGLE tokens (StandardTokenizer NUM
+        # type, MidNum); BM25 top-10 over the version/IP corpus
+        s = _get_searcher_num(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("2.4.1")),
+                                     (O.SHOULD, T("192.168.0.1")),
+                                     (O.SHOULD, T("3.14"))]), 10)
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
@@ -1432,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round: never driver-gated --
         "synonym_analyzer_top10": synonym_analyzer_top10,
+        "unicode_numeric_top10": unicode_numeric_top10,
         "facet_ssdv": facet_ssdv,
         # -- never driver-gated before round 4 --
         "ann_ivf_top10": ann_ivf_top10,
@@ -1792,6 +1855,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "synonym_analyzer_top10": _bm25_sql(
             ["fast", "fox"], 10, False,
             src_sql=_syn_src_sql(), toks=_syn_toks()),
+        "unicode_numeric_top10": _bm25_sql(
+            ["2.4.1", "192.168.0.1", "3.14"], 10, False,
+            src_sql=_num_src_sql(), toks=_uni_toks()),
         "intervals_ordered": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,

@@ -54,7 +54,19 @@ _UWORD = ("a-z0-9_"
           "֐-׿؀-ۿݐ-ݿ"        # Hebrew, Arabic
           "ऀ-ॿ"                                  # Devanagari
           "฀-๿")                                 # Thai
-UNICODE_TOKEN_REGEX = (f"[{_KATAKANA}]+"
+# UAX#29 NUM rule (StandardTokenizer.java:44-69 NUM token type, MidNum):
+# digit runs joined by SINGLE interior '.' or ',' stay one token
+# (3.14, 192.168.0.1, 1,000,000); a trailing separator is not consumed
+# (no lookahead — RE2 has none — the (?:[.,][0-9]+)+ group only matches
+# when digits follow). Leftmost-FIRST alternation is identical in
+# Python re, Java regex and RE2 (none use POSIX longest-match here), so
+# the NUM alternative leads; it requires at least one separator so plain
+# digit/alnum runs (123abc) still tokenize via the word class exactly as
+# before. Approximation kept: a LETTER-led run stops at punctuation
+# (v1,5 -> v1, 5) where the full DFA would continue.
+_NUM = "[0-9]+(?:[.,][0-9]+)+"
+UNICODE_TOKEN_REGEX = (f"{_NUM}"
+                       f"|[{_KATAKANA}]+"
                        f"|[{_HANGUL}]+"
                        f"|[{_HAN}{_HIRAGANA}]"
                        f"|[{_UWORD}]+")

@@ -103,3 +103,26 @@ def test_unicode_search_rank_matches_oracle(spark, uidx):
         np.testing.assert_array_equal(
             got.score.to_numpy(np.float32),
             want.score.to_numpy(np.float32), str(q))
+
+
+def test_uax29_num_rule():
+    # NUM token type (StandardTokenizer.java:44-69 MidNum): interior
+    # single '.'/',' between digits keeps the run whole; doubles and
+    # trailing separators break; alnum runs unchanged
+    toks = tokenize_series(pd.Series(
+        ["release 2.4.1 and ip 192.168.0.1 totals 1,000,000",
+         "ranges 1..2 end 3. x 123abc v2 2.4.1x"]), unicode_analyzer())
+    assert list(toks[0]) == ["release", "2.4.1", "and", "ip",
+                             "192.168.0.1", "totals", "1,000,000"]
+    assert list(toks[1]) == ["ranges", "1", "2", "end", "3", "x",
+                             "123abc", "v2", "2.4.1", "x"]
+    # tri-runtime identity: DuckDB RE2 reproduces both rows exactly
+    import duckdb
+    con = duckdb.connect()
+    for txt, want in [
+        ("release 2.4.1 and ip 192.168.0.1 totals 1,000,000",
+         list(toks[0])),
+        ("ranges 1..2 end 3. x 123abc v2 2.4.1x", list(toks[1]))]:
+        got = con.execute("SELECT regexp_extract_all(lower(?), ?)",
+                          [txt, UNICODE_TOKEN_REGEX]).fetchone()[0]
+        assert got == want, txt
