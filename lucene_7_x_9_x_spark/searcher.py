@@ -215,6 +215,15 @@ class Searcher:
             if q.upper is not None:
                 t = t.where(c <= q.upper if q.include_upper else c < q.upper)
         elif isinstance(q, Q.FuzzyQuery):
+            got = self._fuzzy_seek_terms(
+                q.term, q.max_edits,
+                field=getattr(q, "field", None),
+                transpositions=q.transpositions,
+                prefix=q.term[:q.prefix_length])
+            if got is not None:
+                return got[:self.max_expansions]
+            # fallback (max_edits beyond the seek index depth): pruned
+            # distributed scan of the sorted dictionary
             if q.prefix_length > 0:
                 t = t.where(c.startswith(q.term[:q.prefix_length]))
             t = t.where((F.length(c) >= len(q.term) - q.max_edits)
@@ -238,6 +247,35 @@ class Searcher:
         rows = (t.select("term").orderBy("term")
                 .limit(self.max_expansions).collect())
         return [r.term for r in rows]
+
+    def _fuzzy_seek_terms(self, term: str, max_edits: int,
+                          field: str | None = None,
+                          transpositions: bool = True,
+                          prefix: str = "") -> list | None:
+        """Sub-linear fuzzy candidate generation — the
+        FST-intersect-LevenshteinAutomata seek (operators/fuzzy.py):
+        driver pyarrow lookup of the query term's deletion variants
+        against the per-index symmetric-delete side table (built once,
+        lazily), exact OSA/Levenshtein verify, sorted ascending. Returns
+        None when the seek can't answer completely (max_edits beyond the
+        indexed depth) so callers fall back to the distributed scan."""
+        from .operators.fuzzy import seek_candidates
+        if field is not None and field == self._default_field:
+            field = None
+        try:
+            cands = seek_candidates(self.index, term, max_edits,
+                                    field=field)
+        except Exception:
+            return None
+        if cands is None:
+            return None
+        if prefix:
+            cands = [c for c in cands if c.startswith(prefix)]
+        if transpositions:
+            return [c for c in cands
+                    if _osa_distance(c, term) <= max_edits]
+        from .functions.editdist import levenshtein_le
+        return [c for c in cands if levenshtein_le(c, term, max_edits)]
 
     def analyze(self, text: str, field: str | None = None) -> list:
         """Run query TEXT through this index's own analyzer — the
@@ -1247,11 +1285,13 @@ class Searcher:
         SuggestWordQueue default comparator. Returns
         [{"term", "score", "doc_freq"}].
 
-        The candidate walk is a pruned scan of the sorted terms dictionary
-        (prefix startswith + length window + JVM levenshtein pre-filter,
-        exact OSA verify driver-side) — the same shape as fuzzy-query
-        expansion; maxInspections-style candidate caps are unnecessary
-        because the scan is bounded by the dictionary slice."""
+        The candidate walk is the sub-linear deletion-variant seek
+        (operators/fuzzy.py — the FuzzyTermsEnum FST-intersection role):
+        candidates and their doc_freqs come from driver pyarrow lookups,
+        so a spell correction schedules NO Spark job at all; the pruned
+        distributed scan (prefix startswith + length window + JVM
+        levenshtein pre-filter) survives as the fallback for maxEdits
+        beyond the seek depth."""
         if field is not None and field == self._default_field:
             field = None
         key = term_key(field, term)
@@ -1259,28 +1299,40 @@ class Searcher:
         if mode == "not_in_index" and stats.doc_freqs.get(key, 0) > 0:
             return []
         prefix = term[:max(min_prefix, max_edits - 1)]
-        t = self._terms_src
-        if self._has_field_col:
-            t = t.where(F.col("field").isNull() if field is None
-                        else (F.col("field") == field))
-        c = F.col("term")
-        if prefix:
-            t = t.where(c.startswith(prefix))
-        t = t.where((F.length(c) >= len(term) - max_edits)
-                    & (F.length(c) <= len(term) + max_edits)
-                    & (c != term)
-                    & (F.levenshtein(c, F.lit(term)) <= 2 * max_edits))
-        rows = t.select("term", "doc_freq").collect()
+        cands = self._fuzzy_seek_terms(term, max_edits, field=field,
+                                       transpositions=True, prefix=prefix)
+        if cands is not None:
+            pairs = []
+            keys = [term_key(field, cnd) for cnd in cands if cnd != term]
+            if keys:
+                got = self.index.term_stats_lookup(keys)
+                pairs = [(key_term(kk), got[kk][0])
+                         for kk in keys if kk in got]
+        else:  # fallback: pruned distributed dictionary scan
+            t = self._terms_src
+            if self._has_field_col:
+                t = t.where(F.col("field").isNull() if field is None
+                            else (F.col("field") == field))
+            c = F.col("term")
+            if prefix:
+                t = t.where(c.startswith(prefix))
+            t = t.where((F.length(c) >= len(term) - max_edits)
+                        & (F.length(c) <= len(term) + max_edits)
+                        & (c != term)
+                        & (F.levenshtein(c, F.lit(term)) <= 2 * max_edits))
+            rows = t.select("term", "doc_freq").collect()
+            pairs = [(r.term, r.doc_freq) for r in rows
+                     if _osa_distance(r.term, term) <= max_edits]
         out = []
-        for r in rows:
-            d = _osa_distance(r.term, term)
+        for cand, df_ in pairs:
+            d = _osa_distance(cand, term)
             if d > max_edits:
                 continue
-            score = 1.0 - d / min(len(term), len(r.term))
+            score = 1.0 - d / min(len(term), len(cand))
             if score < accuracy:
                 continue
-            out.append({"term": r.term, "score": float(np.float32(score)),
-                        "doc_freq": int(r.doc_freq)})
+            out.append({"term": cand, "score": float(np.float32(score)),
+                        "doc_freq": int(df_)})
         out.sort(key=lambda s: (-s["score"], -s["doc_freq"], s["term"]))
         return out[:num_sug]
 
