@@ -130,26 +130,38 @@ class Searcher:
         self._impacts_cache: dict = {}  # term key -> impact pairs memo
         self._deletes_cache: object = False  # False = not loaded yet
         self._deletes_bc: object = False  # broadcast handle (False = unset)
+        self._big_deletes = False  # tombstones beyond the driver cap
         self.query_cache = LRUQueryCache()
 
-    def _deleted_by_segment(self, max_driver_rows: int = 5_000_000
+    # tombstone count above which queries stop collecting deletes to the
+    # driver and run the distributed fallback (tests shrink this to
+    # exercise the big-deletes path without 5M rows)
+    TOMBSTONE_DRIVER_CAP = 5_000_000
+
+    def _deleted_by_segment(self, max_driver_rows: int | None = None
                             ) -> dict | None:
         """Tombstoned docids per segment (liveDocs analogue), shipped to the
         kernels as per-segment sorted arrays. Deletes are expected sparse
-        between rewrites; the driver cap guards the collect — beyond it,
-        rebuild/compact the index without the deleted docs (update_docs +
-        build), or raise the cap deliberately."""
+        between rewrites; the driver cap guards the collect. BEYOND the cap
+        there is no cliff: _big_deletes flips on and every kernel path
+        switches to the distributed fallback — tombstones ride the norms
+        cogroup side as extra rows (the compaction cogroup shape), so they
+        are never collected or broadcast. Compacting the index (merge)
+        remains the right operational answer, but queries stay correct
+        meanwhile."""
         if self._deletes_cache is not False:
             return self._deletes_cache
+        if max_driver_rows is None:
+            max_driver_rows = self.TOMBSTONE_DRIVER_CAP
         df = self.index.deletes()
         if df is None:
             self._deletes_cache = None
             return None
         rows = df.limit(max_driver_rows + 1).collect()
         if len(rows) > max_driver_rows:
-            raise ValueError(
-                f"more than {max_driver_rows} tombstones; merge the index "
-                "to apply deletes physically or raise max_driver_rows")
+            self._big_deletes = True
+            self._deletes_cache = None
+            return None
         by_seg: dict = {}
         for r in rows:
             by_seg.setdefault(int(r.segment), []).append(int(r.docid))
@@ -547,7 +559,25 @@ class Searcher:
             cols += ["pos_offsets", "pos_data"]
         return post.select(*cols)
 
-    def _kernel_frame(self, query, terms: set) -> DataFrame:
+    def _segnorms_with_deletes(self, sn: DataFrame) -> DataFrame:
+        """Big-deletes fallback (tombstones beyond the driver cap): union
+        the DISTRIBUTED deletes table into the norms cogroup side as extra
+        rows (del_docid non-null), semi-joined to sn's segments — the
+        compaction cogroup shape. Each kernel task then receives its own
+        segment's tombstones without any driver collect or broadcast; the
+        kernels split the rows back apart (_split_sn_deletes)."""
+        d = self.index.deletes().join(
+            sn.select("segment").distinct(), "segment")
+        sn2 = sn.withColumn("del_docid", F.lit(None).cast("long"))
+        dd = d.select(
+            "segment", F.lit(None).cast("string").alias("field"),
+            F.lit(None).cast("long").alias("max_doc"),
+            F.lit(None).cast("binary").alias("norms"),
+            F.col("docid").cast("long").alias("del_docid"))
+        return sn2.unionByName(dd)
+
+    def _kernel_frame(self, query, terms: set,
+                      with_deletes: bool = False) -> DataFrame:
         post = self._posting_frame(query, terms)
         # norms come from the tiny per-segment blob table (1 row/segment),
         # NOT the docmap — a query never shuffles per-doc rows. The blob
@@ -558,6 +588,8 @@ class Searcher:
         # guard in _run)
         sn = (self.index.segnorms()
               .join(post.select("segment").distinct(), "segment"))
+        if with_deletes:
+            sn = self._segnorms_with_deletes(sn)
         return post.groupBy("segment").cogroup(sn.groupBy("segment"))
 
     def _run(self, query, k: int | None, mode: str,
@@ -580,6 +612,7 @@ class Searcher:
                 [], "segment int, docid long, score float")
 
         del_bc = self._deleted_broadcast()
+        big_deletes = self._big_deletes
         # task-local theta floor: this dict is pickled into each task's
         # closure copy, so segments processed by the SAME task seed each
         # other's competitive threshold (the MaxScoreAccumulator slice-
@@ -591,16 +624,17 @@ class Searcher:
         # (_seed_theta) — every task, including each one's FIRST segment,
         # then prunes against a near-final threshold
         task_theta: dict = {}
-        if use_blockmax and del_bc is None:
+        if use_blockmax and del_bc is None and not big_deletes:
             t0 = self._seed_theta(plan, stats, k)
             if t0 > 0.0:
                 task_theta["q"] = t0
 
         def kernel_body(seg: int, post_pdf: pd.DataFrame, norms, max_doc,
-                        fnorms) -> pd.DataFrame:
+                        fnorms, dele2=None) -> pd.DataFrame:
             reader = SparkSegmentReader(post_pdf, norms, max_doc,
                                         field_norms=fnorms)
-            dele = del_bc.value.get(seg) if del_bc is not None else None
+            dele = dele2 if dele2 is not None else (
+                del_bc.value.get(seg) if del_bc is not None else None)
             if use_blockmax:
                 d, s, _ = blockmax_topk(reader, stats, plan, k, deleted=dele,
                                         theta0=task_theta.get("q"))
@@ -630,19 +664,23 @@ class Searcher:
 
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
-            if len(sn_pdf) == 0:
+            sn_rows, dele2 = _split_sn_deletes(sn_pdf)
+            if len(sn_rows) == 0:
                 return pd.DataFrame({"segment": [], "docid": [], "score": []})
             return kernel_body(int(key[0]), post_pdf,
-                               *_parse_segnorms(sn_pdf))
+                               *_parse_segnorms(sn_rows), dele2=dele2)
 
         def kernel_sn(key, sn_pdf: pd.DataFrame) -> pd.DataFrame:
             return kernel(key, pd.DataFrame({"term": []}), sn_pdf)
 
         schema = "segment int, docid long, score float"
         if empty_postings:  # MatchAll-only query: norms-only kernel
-            return (self.index.segnorms().groupBy("segment")
+            sn_all = self.index.segnorms()
+            if big_deletes:
+                sn_all = self._segnorms_with_deletes(sn_all)
+            return (sn_all.groupBy("segment")
                     .applyInPandas(kernel_sn, schema=schema))
-        if self._hot or self._small_norms:
+        if (self._hot or self._small_norms) and not big_deletes:
             # one-stage fast path: norms ride a broadcast instead of a
             # cogroup side. Hot mode reads the persisted pre-partitioned
             # postings (groupBy reuses the partitioning — no exchange);
@@ -664,7 +702,8 @@ class Searcher:
             main = pf.groupBy("segment").applyInPandas(kernel_hot,
                                                        schema=schema)
         else:
-            main = self._kernel_frame(query, terms).applyInPandas(
+            main = self._kernel_frame(
+                query, terms, with_deletes=big_deletes).applyInPandas(
                 kernel, schema=schema)
         if _contains_matchall(query):
             # segments holding NONE of the query's terms still match
@@ -676,6 +715,8 @@ class Searcher:
                         .select("segment").distinct())
             rest = self.index.segnorms().join(seg_with, "segment",
                                               "left_anti")
+            if big_deletes:
+                rest = self._segnorms_with_deletes(rest)
             main = main.unionByName(
                 rest.groupBy("segment").applyInPandas(kernel_sn,
                                                       schema=schema))
@@ -1398,8 +1439,9 @@ class Searcher:
               .join(post.select("segment").distinct(), "segment"))
 
         del_bc = self._deleted_broadcast()
+        big_deletes = self._big_deletes
         task_theta: dict = {}  # per-qid cross-segment theta (see _run)
-        if del_bc is None:
+        if del_bc is None and not big_deletes:
             # driver-seeded global floors, one per eligible query (the
             # MaxScoreAccumulator completion — see _seed_theta). Prefetch
             # the UNION of the batch's eligible keys in ONE pyarrow read:
@@ -1419,11 +1461,12 @@ class Searcher:
                         task_theta[qid] = t0
 
         def kernel_body(seg: int, post_pdf: pd.DataFrame, norms, max_doc,
-                        fnorms) -> pd.DataFrame:
+                        fnorms, dele2=None) -> pd.DataFrame:
             out = []
             reader = SparkSegmentReader(post_pdf, norms, max_doc,
                                         field_norms=fnorms)
-            dele = del_bc.value.get(seg) if del_bc is not None else None
+            dele = dele2 if dele2 is not None else (
+                del_bc.value.get(seg) if del_bc is not None else None)
             for qid, q in rewritten.items():
                 plan = plans[qid]
                 if plan is not None:
@@ -1449,14 +1492,15 @@ class Searcher:
 
         def kernel(key, post_pdf: pd.DataFrame, sn_pdf: pd.DataFrame
                    ) -> pd.DataFrame:
-            if len(sn_pdf) == 0:
+            sn_rows, dele2 = _split_sn_deletes(sn_pdf)
+            if len(sn_rows) == 0:
                 return pd.DataFrame({"qid": [], "segment": [], "docid": [],
                                      "score": []})
             return kernel_body(int(key[0]), post_pdf,
-                               *_parse_segnorms(sn_pdf))
+                               *_parse_segnorms(sn_rows), dele2=dele2)
 
         qschema = "qid string, segment int, docid long, score float"
-        if self._hot or self._small_norms:
+        if (self._hot or self._small_norms) and not big_deletes:
             # broadcast norms: one stage, no cogroup (see _run); cold-
             # with-small-norms repartitions the pruned postings explicitly
             # so AQE can't coalesce the compute-bound kernel
@@ -1474,7 +1518,8 @@ class Searcher:
             res = (pf.groupBy("segment")
                    .applyInPandas(kernel_hot, schema=qschema))
         else:
-            res = (post.groupBy("segment").cogroup(sn.groupBy("segment"))
+            sn2 = self._segnorms_with_deletes(sn) if big_deletes else sn
+            res = (post.groupBy("segment").cogroup(sn2.groupBy("segment"))
                    .applyInPandas(kernel, schema=qschema))
         w = Window.partitionBy("qid").orderBy(F.desc("score"), "segment",
                                               "docid")
@@ -1677,6 +1722,18 @@ def _scoring_leaves(q, boost: float = 1.0) -> list:
                 out += sub
         return out
     return []
+
+
+def _split_sn_deletes(sn_pdf: pd.DataFrame):
+    """Split an augmented norms cogroup side (see _segnorms_with_deletes)
+    back into (segnorm rows, sorted deleted-docid array | None). Frames
+    without the del_docid column pass through untouched."""
+    if "del_docid" not in sn_pdf.columns:
+        return sn_pdf, None
+    mask = sn_pdf["del_docid"].isna()
+    dele = np.unique(
+        sn_pdf.loc[~mask, "del_docid"].to_numpy(dtype=np.int64))
+    return sn_pdf[mask], (dele if len(dele) else None)
 
 
 def _parse_segnorms(sn_pdf: pd.DataFrame):
