@@ -1486,76 +1486,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (extract_features(media)
                 .select(F.col("id").alias("doc_id"), "n_bytes", "sha256"))
 
-    # NOTE on ordering: the driver's correctness gate records only the
-    # FIRST 50 entries, so entries that have never had (or are missing
-    # recent) driver rows lead; mature entries that were gate-green in
-    # rounds 2-3 rotate to the tail.  Every entry is still checked locally
-    # by scripts/check_entry.py regardless of position.
+    # NOTE on ordering — standing rotation rule (adopted round 5): the
+    # driver's correctness gate records only the FIRST 50 entries, so
+    # (a) entries that are NEW or have never had a driver row lead,
+    # (b) entries whose engine path changed this round come next,
+    # (c) entries whose last driver row is two rounds old fill the rest
+    #     of the window,
+    # (d) entries gated LAST round sit at the tail and come back next
+    #     round — every entry gets a driver row at least every two
+    #     rounds.  scripts/check_entry.py still checks all entries
+    #     locally regardless of position.
     return {
-        # -- new this round: never driver-gated --
+        # -- (a) new this round / never driver-gated --
         "synonym_analyzer_top10": synonym_analyzer_top10,
         "unicode_numeric_top10": unicode_numeric_top10,
         "facet_ssdv": facet_ssdv,
-        # -- never driver-gated before round 4 --
-        "ann_ivf_top10": ann_ivf_top10,
-        "term_offsets": term_offsets,
-        # -- r2-only driver rows (rotated into the gated window) --
-        "dedup_exact": dedup_exact,
-        "dedup_jaccard": dedup_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_embedding": dedup_embedding,
-        "ann_top10": ann_top10,
-        "ann_lsh_top10": ann_lsh_top10,
-        "token_stats": token_stats_q,
-        "quality": quality_q,
-        "lang_id": lang_id_q,
-        "fingerprint": fingerprint_q,
-        "term_vectors": term_vectors_q,
-        "highlight": highlight,
-        "sort_by_field": sort_by_field,
-        "events_windowed": events_windowed,
-        "events_sessions": events_sessions,
-        "multimodal_features": multimodal_features,
-        # -- core query surface --
-        "term_docs": term_docs,
-        "bool_and_not": bool_and_not,
-        "bool_msm2": bool_msm2,
-        "phrase": phrase,
-        "prefix": prefix,
-        "wildcard": wildcard,
-        "regexp": regexp,
-        "term_range": term_range,
-        "term_set": term_set,
+        # -- (b) engine path changed this round (fuzzy seek, facet plan) --
         "fuzzy": fuzzy,
-        "numeric_range": numeric_range,
-        "parse_query_topk": parse_query_topk,
-        "parse_query_matches": parse_query_matches,
-        "simple_query_top10": simple_query_top10,
-        "simple_query_matches": simple_query_matches,
-        "unicode_term_top10": unicode_term_top10,
-        "unicode_phrase": unicode_phrase,
-        "knn_filtered_top10": knn_filtered_top10,
-        "intervals_ordered": intervals_ordered,
-        "stem_term_top10": stem_term_top10,
-        "facet_taxonomy": facet_taxonomy,
-        "intervals_scored_top10": intervals_scored_top10,
-        "span_near": span_near,
-        "span_near_unordered": span_near_unordered,
-        "function_score_top10": function_score_top10,
-        "percolate": percolate,
-        "percolate_indexed": percolate_indexed,
-        "block_join_top10": block_join_top10,
         "spell_correct": spell_correct,
-        "index_sorted_topk": index_sorted_topk,
-        "bm25_top10": bm25_top10,
+        "facet_taxonomy": facet_taxonomy,
+        "grouped_topk": grouped_topk,
+        # -- (c) last driver row in round 3 --
         "bm25_conj_top10": bm25_conj_top10,
         "field_term": field_term,
         "multi_field_bool": multi_field_bool,
         "mlt_top10": mlt_top10,
         "suggest": suggest,
-        "grouped_topk": grouped_topk,
-        # -- mature, gate-green in r3 (tail; still locally checked) --
         "span_near_scored_top10": span_near_scored_top10,
         "span_or_top10": span_or_top10,
         "span_first_top10": span_first_top10,
@@ -1576,6 +1532,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": collection_stats,
         "norms": norms,
         "term_stats": term_stats,
+        # -- (c cont.) round-4-gated entries filling the 50-window; the
+        #    remainder below the cut come back in round 6 --
+        "ann_ivf_top10": ann_ivf_top10,
+        "term_offsets": term_offsets,
+        "dedup_exact": dedup_exact,
+        "dedup_jaccard": dedup_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_top10": ann_top10,
+        "ann_lsh_top10": ann_lsh_top10,
+        "token_stats": token_stats_q,
+        "quality": quality_q,
+        "lang_id": lang_id_q,
+        "fingerprint": fingerprint_q,
+        "term_vectors": term_vectors_q,
+        "highlight": highlight,
+        "sort_by_field": sort_by_field,
+        "events_windowed": events_windowed,
+        # ---------------- 50-entry driver window ends here ----------------
+        # -- (d) gated green in round 4; due again round 6 --
+        "events_sessions": events_sessions,
+        "multimodal_features": multimodal_features,
+        "term_docs": term_docs,
+        "bool_and_not": bool_and_not,
+        "bool_msm2": bool_msm2,
+        "phrase": phrase,
+        "prefix": prefix,
+        "wildcard": wildcard,
+        "regexp": regexp,
+        "term_range": term_range,
+        "term_set": term_set,
+        "numeric_range": numeric_range,
+        "parse_query_topk": parse_query_topk,
+        "parse_query_matches": parse_query_matches,
+        "simple_query_top10": simple_query_top10,
+        "simple_query_matches": simple_query_matches,
+        "unicode_term_top10": unicode_term_top10,
+        "unicode_phrase": unicode_phrase,
+        "knn_filtered_top10": knn_filtered_top10,
+        "intervals_ordered": intervals_ordered,
+        "stem_term_top10": stem_term_top10,
+        "intervals_scored_top10": intervals_scored_top10,
+        "span_near": span_near,
+        "span_near_unordered": span_near_unordered,
+        "function_score_top10": function_score_top10,
+        "percolate": percolate,
+        "percolate_indexed": percolate_indexed,
+        "block_join_top10": block_join_top10,
+        "index_sorted_topk": index_sorted_topk,
+        "bm25_top10": bm25_top10,
     }
 
 
