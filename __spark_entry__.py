@@ -33,10 +33,13 @@ QDL = ("CAST(CASE WHEN dl < 24 THEN dl WHEN dl - 24 < 8 THEN dl "
 
 def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
               cond: str | None = None, src_sql: str | None = None,
-              toks: str | None = None) -> str:
+              toks: str | None = None, dl_toks: str | None = None) -> str:
     """BM25 top-k oracle. src_sql/toks override the source table and the
     tokenizer expression (used by the Unicode-analyzer entries, which
-    tokenize with regexp_extract_all over the shared Unicode pattern)."""
+    tokenize with regexp_extract_all over the shared Unicode pattern).
+    dl_toks, when given, computes dl / collection stats from a DIFFERENT
+    token list than tf/df — the shingle entry scores bigram terms while
+    norms count unigrams only (overlap-token discount)."""
     tf_cols = ", ".join(
         f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
         for i, t in enumerate(terms))
@@ -55,8 +58,9 @@ def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
         cond = f"nmatch = {len(terms)}" if conjunctive else "nmatch >= 1"
     src = f"({src_sql})" if src_sql else "documents"
     return f"""
-WITH toks AS (SELECT doc_id, {toks or TOKS} AS ts FROM {src}),
-dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+WITH toks AS (SELECT doc_id, {toks or TOKS} AS ts,
+              {dl_toks or toks or TOKS} AS dts FROM {src}),
+dl_t AS (SELECT doc_id, ts, len(dts) AS dl FROM toks),
 stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
                  sum(dl) AS sum_ttf FROM dl_t),
 q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
@@ -397,7 +401,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_sort: str | None = None,
                     require_regex: str | None = None,
                     require_stemmer: str | None = None,
-                    require_synonyms: list | None = None) -> bool:
+                    require_synonyms: list | None = None,
+                    require_fold: bool = False,
+                    require_shingles: list | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -416,6 +422,11 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
         return True
     if require_synonyms is not None and \
             m.get("analyzer", {}).get("synonyms") != require_synonyms:
+        return True
+    if require_fold and not m.get("analyzer", {}).get("ascii_fold"):
+        return True
+    if require_shingles is not None and \
+            m.get("analyzer", {}).get("shingles", []) != require_shingles:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -698,6 +709,94 @@ def _get_searcher_syn(spark: SparkSession, sf_dir: str):
     return s
 
 
+# accented-Latin corpus for the ASCIIFoldingFilter gate: queries use the
+# UNACCENTED forms and only match because the chain folds at index time
+_FOLD_A = ["le café de Zürich ouvre tôt",
+           "the cafe down the straße was closed",
+           "señor Gómez drank his café noir",
+           "plain words without accents here"]
+_FOLD_B = ["die Straße nach Zürich ist lang",
+           "naïve résumé façade",
+           "ordinary ascii text again"]
+
+
+def _fold_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_FOLD_A, 4), pick(_FOLD_B, 3)).alias("text"))
+
+
+def _fold_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_FOLD_A, 4)} || ' ' || "
+            f"{pick(_FOLD_B, 3)} AS text FROM documents")
+
+
+def _fold_toks() -> str:
+    """DuckDB replica of the fold chain: Unicode tokenize, then the SAME
+    fold tables as the engine via analysis.fold_sql (translate + replace
+    chain generated from one shared definition)."""
+    from lucene_7_x_9_x_spark.functions.analysis import fold_sql
+    return f"list_transform({_uni_toks()}, t -> {fold_sql('t')})"
+
+
+def _get_searcher_fold(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, AnalyzerConfig)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "fold")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "fold_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_regex=UNICODE_TOKEN_REGEX,
+                       require_fold=True):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_fold_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(
+                        token_regex=UNICODE_TOKEN_REGEX, ascii_fold=True))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+def _shingle_toks() -> str:
+    """DuckDB bigram list over the default tokens (1-based list indexing;
+    range(1, n) is empty for n <= 1, so short docs yield no bigrams)."""
+    return (f"list_transform(range(1, len({TOKS})), "
+            f"i -> {TOKS}[i] || ' ' || {TOKS}[i + 1])")
+
+
+def _get_searcher_shingle(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "shingle")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "shingle_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_shingles=[2]):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_docs(spark, sf_dir).select("doc_id", "text")
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(shingles=(2,)))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
 def _get_searcher_unicode(spark: SparkSession, sf_dir: str):
     from lucene_7_x_9_x_spark.functions.analysis import (
         UNICODE_TOKEN_REGEX, unicode_analyzer)
@@ -927,6 +1026,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _get_searcher_syn(spark, sf)
         r = s.search(Q.BooleanQuery([(O.SHOULD, T("fast")),
                                      (O.SHOULD, T("fox"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def ascii_fold_top10(spark, sf):
+        # ASCIIFoldingFilter chain stage: the index folds café/Zürich/
+        # straße to ASCII at build time, so the UNACCENTED query terms
+        # match; BM25 top-10 (oracle folds with the same shared tables)
+        s = _get_searcher_fold(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("cafe")),
+                                     (O.SHOULD, T("zurich")),
+                                     (O.SHOULD, T("strasse"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def shingle_term_top10(spark, sf):
+        # ShingleFilter: bigram tokens emitted alongside unigrams at the
+        # first member's position; dl/norms count unigrams only. BM25
+        # top-10 for two bigram terms over the shingled documents index
+        s = _get_searcher_shingle(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("the fast")),
+                                     (O.SHOULD, T("of the"))]), 10)
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
@@ -1448,7 +1568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .select(F.col("doc_id").cast("long"),
                        F.col("n_chars").cast("long"))
                .orderBy(F.desc("n_chars"), "doc_id").limit(10))
-        w = Window.orderBy(F.desc("n_chars"), "doc_id")
+        # rank only the 10 survivors; non-foldable constant partition
+        # keeps WindowExec from logging the no-partition warning
+        w = (Window.partitionBy(F.xxhash64(F.col("doc_id")) % F.lit(1))
+             .orderBy(F.desc("n_chars"), "doc_id"))
         return top.withColumn("rank",
                               F.row_number().over(w).cast("long"))
 
@@ -1498,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "ascii_fold_top10": ascii_fold_top10,
+        "shingle_term_top10": shingle_term_top10,
         "synonym_analyzer_top10": synonym_analyzer_top10,
         "unicode_numeric_top10": unicode_numeric_top10,
         "facet_ssdv": facet_ssdv,
@@ -1862,6 +1987,12 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "synonym_analyzer_top10": _bm25_sql(
             ["fast", "fox"], 10, False,
             src_sql=_syn_src_sql(), toks=_syn_toks()),
+        "ascii_fold_top10": _bm25_sql(
+            ["cafe", "zurich", "strasse"], 10, False,
+            src_sql=_fold_src_sql(), toks=_fold_toks()),
+        "shingle_term_top10": _bm25_sql(
+            ["the fast", "of the"], 10, False,
+            toks=_shingle_toks(), dl_toks=TOKS),
         "unicode_numeric_top10": _bm25_sql(
             ["2.4.1", "192.168.0.1", "3.14"], 10, False,
             src_sql=_num_src_sql(), toks=_uni_toks()),

@@ -72,6 +72,43 @@ UNICODE_TOKEN_REGEX = (f"{_NUM}"
                        f"|[{_UWORD}]+")
 
 
+# ---------------------------------------------------------------------------
+# ASCIIFoldingFilter role (solr-8.4.0/lucene/analysis/common/src/java/org/
+# apache/lucene/analysis/miscellaneous/ASCIIFoldingFilter.java): fold
+# accented/decorated Latin characters to their ASCII base.  The chain folds
+# AFTER lowercasing (tokens are already lowercase), so only lowercase forms
+# need mapping.  Scope: Latin-1 Supplement + Latin Extended-A — the ranges
+# the tokenizer's _UWORD class admits; the filter's exotic blocks
+# (fullwidth forms, dingbats) are outside the token charset here.  The SAME
+# tables drive the DuckDB oracle (translate() for 1:1 + replace() chain for
+# the multi-char expansions), so fold behavior is bit-reproducible.
+_FOLD_1TO1 = {
+    "àáâãäåāăą": "a", "çćĉċč": "c", "ďđð": "d", "èéêëēĕėęě": "e",
+    "ĝğġģ": "g", "ĥħ": "h", "ìíîïĩīĭįı": "i", "ĵ": "j", "ķ": "k",
+    "ĺļľŀł": "l", "ñńņňŉŋ": "n", "òóôõöøōŏő": "o", "ŕŗř": "r",
+    "śŝşš": "s", "ţťŧ": "t", "ùúûüũūŭůűų": "u", "ŵ": "w", "ýÿŷ": "y",
+    "źżž": "z",
+}
+_FOLD_MULTI = {"ß": "ss", "æ": "ae", "œ": "oe", "þ": "th", "ĳ": "ij"}
+FOLD_FROM = "".join(src for srcs in _FOLD_1TO1 for src in srcs)
+FOLD_TO = "".join(dst for srcs, dst in _FOLD_1TO1.items() for _ in srcs)
+_FOLD_TABLE = {ord(c): dst for srcs, dst in _FOLD_1TO1.items() for c in srcs}
+_FOLD_TABLE.update({ord(c): dst for c, dst in _FOLD_MULTI.items()})
+
+
+def fold_ascii(token: str) -> str:
+    """Fold one (already lowercased) token to ASCII per the tables above."""
+    return token if token.isascii() else token.translate(_FOLD_TABLE)
+
+
+def fold_sql(expr: str) -> str:
+    """DuckDB expression applying the SAME fold to a string expression —
+    used by oracle SQL so engine and oracle share one definition."""
+    for c, dst in _FOLD_MULTI.items():
+        expr = f"replace({expr}, '{c}', '{dst}')"
+    return f"translate({expr}, '{FOLD_FROM}', '{FOLD_TO}')"
+
+
 @dataclass(frozen=True)
 class AnalyzerConfig:
     token_regex: str = TOKEN_REGEX
@@ -92,6 +129,18 @@ class AnalyzerConfig:
     # position (position increment 0) at build time.
     synonyms: tuple = ()
     synonyms_at: str = "query"
+    # ASCIIFoldingFilter role: fold accented Latin to ASCII right after
+    # lowercasing (before stop/stem), per the _FOLD_* tables above.
+    ascii_fold: bool = False
+    # ShingleFilter role (solr-8.4.0/lucene/analysis/common/.../shingle/
+    # ShingleFilter.java): token n-grams of the listed sizes emitted IN
+    # ADDITION to unigrams (outputUnigrams=true), space-joined, at the
+    # FIRST member token's position (posIncr-0 analogue — dl/norms count
+    # only unigrams, matching discountOverlaps).  A shingle spans n
+    # CONSECUTIVE positions; stopword holes break shingles (no filler
+    # tokens — documented divergence from the filler-token behavior).
+    # Index-time expansion only (tokenize_to_flat*), like index synonyms.
+    shingles: tuple = ()
 
 
 def canon_synonyms(mapping) -> tuple:
@@ -153,6 +202,8 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
         if might.any():
             toks = toks.where(~might, toks[might].map(
                 lambda ts: _split_oversize(ts, cfg.max_token_length)))
+    if cfg.ascii_fold:
+        toks = toks.map(lambda ts: [fold_ascii(t) for t in ts])
     if cfg.stopwords:
         sw = cfg.stopwords
         # keep original positions: represent holes by filtering (term,pos)
@@ -215,6 +266,48 @@ def _inject_index_synonyms(row_idx, pos, flat, cfg,
             None if ends is None else ends[order])
 
 
+def _inject_shingles(row_idx, pos, flat, cfg, starts=None, ends=None):
+    """ShingleFilter expansion over the PRIMARY token stream (before any
+    posIncr-0 synonym injection, so positions are strictly increasing per
+    row): for each size n in cfg.shingles, every run of n tokens at
+    CONSECUTIVE positions within one row emits the space-joined shingle at
+    the first token's position.  Offsets (when stored) span first token
+    start .. last token end.  Returns the stream re-sorted (row, pos)."""
+    sizes = [n for n in cfg.shingles if n >= 2]
+    if not sizes or len(flat) == 0:
+        return (row_idx, pos, flat, starts, ends)
+    add_r, add_p, add_t, add_s, add_e = [], [], [], [], []
+    for n in sizes:
+        if len(flat) < n:
+            continue
+        # positions are strictly increasing within a row, so a span of n
+        # tokens is position-consecutive iff pos[i+n-1] - pos[i] == n-1
+        ok = (row_idx[:len(row_idx) - n + 1] == row_idx[n - 1:]) & \
+             (pos[n - 1:] - pos[:len(pos) - n + 1] == n - 1)
+        idxs = np.nonzero(ok)[0]
+        if len(idxs) == 0:
+            continue
+        add_r.append(row_idx[idxs])
+        add_p.append(pos[idxs])
+        add_t.append(np.array([" ".join(flat[j:j + n]) for j in idxs],
+                              dtype=object))
+        if starts is not None:
+            add_s.append(starts[idxs])
+            add_e.append(ends[idxs + n - 1])
+    if not add_r:
+        return (row_idx, pos, flat, starts, ends)
+    row_idx = np.concatenate([row_idx] + add_r)
+    pos = np.concatenate([pos] + add_p)
+    flat = np.concatenate([flat] + add_t)
+    if starts is not None:
+        starts = np.concatenate([starts] + add_s)
+        ends = np.concatenate([ends] + add_e)
+    order = np.lexsort((pos, row_idx))
+    return (row_idx[order], pos[order], flat[order],
+            None if starts is None else starts[order],
+            None if ends is None else ends[order])
+
+
 def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
     """Vectorized flatten: returns (row_idx:int64[], pos:int32[], term:object[])
     where pos is the token's position within its document (stopword holes
@@ -238,6 +331,8 @@ def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
         keep = np.array([t is not None for t in flat], dtype=bool)
         row_idx, pos, flat = row_idx[keep], pos[keep], flat[keep]
     dl = np.bincount(row_idx, minlength=len(toks)).astype(np.int64)
+    if cfg.shingles:
+        row_idx, pos, flat, _, _ = _inject_shingles(row_idx, pos, flat, cfg)
     if cfg.synonyms and cfg.synonyms_at == "index":
         row_idx, pos, flat, _, _ = _inject_index_synonyms(
             row_idx, pos, flat, cfg)
@@ -286,6 +381,8 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
                            min(a + min(j + ml, len(t)), m.end()))
                           for j in range(0, len(t), ml)]
             for t, a, b in pieces:
+                if cfg.ascii_fold:
+                    t = fold_ascii(t)
                 if sw and t in sw:
                     pos += 1  # stopword hole keeps the position increment
                     continue
@@ -308,6 +405,9 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
     flat = np.asarray(rows_t, dtype=object)
     starts = np.asarray(rows_s, dtype=np.int64)
     ends = np.asarray(rows_e, dtype=np.int64)
+    if cfg.shingles:
+        row_idx, pos, flat, starts, ends = _inject_shingles(
+            row_idx, pos, flat, cfg, starts, ends)
     if cfg.synonyms and cfg.synonyms_at == "index":
         row_idx, pos, flat, starts, ends = _inject_index_synonyms(
             row_idx, pos, flat, cfg, starts, ends)

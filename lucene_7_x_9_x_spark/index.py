@@ -73,7 +73,9 @@ class IndexSnapshot:
                 stemmer=a.get("stemmer"),
                 synonyms=tuple((lhs, tuple(rhs))
                                for lhs, rhs in a.get("synonyms", [])),
-                synonyms_at=a.get("synonyms_at", "query"))
+                synonyms_at=a.get("synonyms_at", "query"),
+                ascii_fold=a.get("ascii_fold", False),
+                shingles=tuple(a.get("shingles", [])))
         self.analyzer = _cfg(self.manifest["analyzer"])
         self.field_analyzers = {
             n: _cfg(a)
@@ -268,7 +270,9 @@ def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
             "stopwords": sorted(cfg.stopwords),
             "stemmer": cfg.stemmer,
             "synonyms": [[lhs, list(rhs)] for lhs, rhs in cfg.synonyms],
-            "synonyms_at": cfg.synonyms_at}
+            "synonyms_at": cfg.synonyms_at,
+            "ascii_fold": cfg.ascii_fold,
+            "shingles": list(cfg.shingles)}
 
 
 def build_index(

@@ -39,7 +39,11 @@ def cosine_topk_bruteforce(df: DataFrame, query_vec: list[float],
         scored = scored.where(F.col(id_col) != exclude_id)
     top = (scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k))
     from pyspark.sql import Window
-    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    # rank the k survivors only; partition by a non-foldable constant so
+    # WindowExec doesn't log the no-partition warning (see searcher
+    # ._rank_limited / facets._rank_top_labels)
+    w = (Window.partitionBy(F.xxhash64(F.col(id_col)) % F.lit(1))
+         .orderBy(F.desc("cosine"), F.col(id_col)))
     return top.withColumn("rank", F.row_number().over(w)) \
               .select("rank", id_col, "cosine")
 

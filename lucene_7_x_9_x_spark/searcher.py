@@ -32,6 +32,18 @@ from .plans.query import (RewriteContext, key_field, key_term, term_key,
                           rewrite as rewrite_query)
 
 
+def _rank_limited(df, order, part):
+    """row_number over an ALREADY-LIMITED (<= k rows) frame.  Partitioned
+    by a non-foldable constant (xxhash64(part) % 1 == 0 on every row;
+    Catalyst folds a bare lit(0) away) so WindowExec never logs the
+    no-partition warning — the companion of functions/facets
+    ._rank_top_labels: TakeOrderedAndProject reduces first, only the k
+    survivors see the window."""
+    w = (Window.partitionBy(F.xxhash64(F.col(part)) % F.lit(1))
+         .orderBy(*order))
+    return df.withColumn("rank", F.row_number().over(w))
+
+
 class LRUQueryCache:
     """Filter-cache analogue of the reference's LRUQueryCache
     (solr-8.4.0/.../search/LRUQueryCache.java capability): maps a rewritten
@@ -733,8 +745,8 @@ class Searcher:
         (searchAfter, IndexSearcher.java:388-422)."""
         res = (self._run(query, k, mode, after=after)
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
-        w = Window.orderBy(F.desc("score"), "segment", "docid")
-        res = res.withColumn("rank", F.row_number().over(w))
+        res = _rank_limited(
+            res, [F.desc("score"), "segment", "docid"], "docid")
         if with_ids:
             dm = self.index.docmap().select(
                 "segment", "docid", *self.index.id_cols)
@@ -1016,8 +1028,7 @@ class Searcher:
                         F.count("*").alias("child_hits")))
             order = [F.desc("score"), F.col("parent").asc()]
         out = out.orderBy(*order).limit(k)
-        w = Window.orderBy(*order)
-        return (out.withColumn("rank", F.row_number().over(w))
+        return (_rank_limited(out, order, "parent")
                 .select("rank", "parent", "score", "child_hits"))
 
     def to_child_join(self, parent_query, parent, k: int = 10
@@ -1048,8 +1059,9 @@ class Searcher:
             pscores.orderBy(F.desc("score"), "parent").limit(k)), "parent")
             .orderBy(F.desc("score"), "parent", "segment", "docid")
             .limit(k))
-        w = Window.orderBy(F.desc("score"), "parent", "segment", "docid")
-        return (out.withColumn("rank", F.row_number().over(w))
+        return (_rank_limited(
+                    out, [F.desc("score"), "parent", "segment", "docid"],
+                    "docid")
                 .select("rank", "segment", "docid", *self.index.id_cols,
                         "parent", "score"))
 
@@ -1079,8 +1091,8 @@ class Searcher:
                   * F.col(value_col).cast("double")).cast("float")
         out = (j.withColumn("score", sc)
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
-        w = Window.orderBy(F.desc("score"), "segment", "docid")
-        return (out.withColumn("rank", F.row_number().over(w))
+        return (_rank_limited(out, [F.desc("score"), "segment", "docid"],
+                              "docid")
                 .select("rank", "segment", "docid", "score",
                         *self.index.id_cols))
 
@@ -1112,8 +1124,7 @@ class Searcher:
             dm = dm.where(F.col("docid") < k)  # early termination
         order = [direction, F.col("segment").asc(), F.col("docid").asc()]
         out = dm.orderBy(*order).limit(k)
-        w = Window.orderBy(*order)
-        return (out.withColumn("rank", F.row_number().over(w))
+        return (_rank_limited(out, order, "docid")
                 .select("rank", *self.index.id_cols, col))
 
     def more_like_this(self, text: str, field: str | None = None,
@@ -1171,8 +1182,7 @@ class Searcher:
         t = (t.where(F.col("term").startswith(prefix))
              .select("term", F.col("doc_freq").alias("weight"))
              .orderBy(F.desc("weight"), "term").limit(k))
-        w = Window.orderBy(F.desc("weight"), "term")
-        return (t.withColumn("rank", F.row_number().over(w))
+        return (_rank_limited(t, [F.desc("weight"), "term"], "term")
                 .select("rank", "term", "weight"))
 
     def suggest_infix(self, fragment: str, k: int = 10,
@@ -1196,8 +1206,7 @@ class Searcher:
                      .alias("is_prefix")))
         order = [F.desc("weight"), F.desc("is_prefix"), F.col("term")]
         t = t.orderBy(*order).limit(k)
-        w = Window.orderBy(*order)
-        return (t.withColumn("rank", F.row_number().over(w))
+        return (_rank_limited(t, order, "term")
                 .select("rank", "term", "weight"))
 
     def word_breaks(self, term: str, num_sug: int = 5,
@@ -1395,9 +1404,9 @@ class Searcher:
         for qid in [i for i, q in rewritten.items() if _contains_matchall(q)]:
             r = (self._run(rewritten.pop(qid), k, "auto")
                  .orderBy(F.desc("score"), "segment", "docid").limit(k))
-            w0 = Window.orderBy(F.desc("score"), "segment", "docid")
             extra.append(
-                r.withColumn("rank", F.row_number().over(w0))
+                _rank_limited(r, [F.desc("score"), "segment", "docid"],
+                              "docid")
                  .select(F.lit(qid).alias("qid"), "rank", "segment",
                          "docid", "score"))
 
@@ -1651,8 +1660,8 @@ class Searcher:
             # second query matches nothing: combined == first-pass scores
             res0 = (first_pass.select("segment", "docid", "score")
                     .orderBy(F.desc("score"), "segment", "docid").limit(k))
-            w0 = Window.orderBy(F.desc("score"), "segment", "docid")
-            return res0.withColumn("rank", F.row_number().over(w0))
+            return _rank_limited(
+                res0, [F.desc("score"), "segment", "docid"], "docid")
 
         def kernel(key, post_pdf, sn_pdf):
             seg = int(key[0])
@@ -1699,8 +1708,8 @@ class Searcher:
                 kernel_sn, schema="segment int, docid long,"
                                   " score float"))
         res = res.orderBy(F.desc("score"), "segment", "docid").limit(k)
-        w = Window.orderBy(F.desc("score"), "segment", "docid")
-        return res.withColumn("rank", F.row_number().over(w))
+        return _rank_limited(res, [F.desc("score"), "segment", "docid"],
+                             "docid")
 
 
 def _scoring_leaves(q, boost: float = 1.0) -> list:

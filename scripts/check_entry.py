@@ -41,6 +41,9 @@ def main():
     print(f"entry rows={len(r)}\n{r.head(3)}")
 
     qs, osql = E.queries(), E.oracle_sql()
+    only = set(sys.argv[1:])
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     fails = []
     for name, fn in qs.items():
         t0 = time.time()
