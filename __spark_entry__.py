@@ -403,7 +403,8 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_stemmer: str | None = None,
                     require_synonyms: list | None = None,
                     require_fold: bool = False,
-                    require_shingles: list | None = None) -> bool:
+                    require_shingles: list | None = None,
+                    require_payload_delim: str | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -424,6 +425,10 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
             m.get("analyzer", {}).get("synonyms") != require_synonyms:
         return True
     if require_fold and not m.get("analyzer", {}).get("ascii_fold"):
+        return True
+    if require_payload_delim is not None and \
+            m.get("analyzer", {}).get("payload_delim") != \
+            require_payload_delim:
         return True
     if require_shingles is not None and \
             m.get("analyzer", {}).get("shingles", []) != require_shingles:
@@ -704,6 +709,107 @@ def _get_searcher_syn(spark: SparkSession, sf_dir: str):
                     text_col="text", segment_by="input",
                     analyzer=AnalyzerConfig(synonyms=syn,
                                             synonyms_at="index"))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+# delimited-payload corpus (DelimitedPayloadTokenFilter + the .pay
+# stream): whitespace tokens "term|int" carry integer payloads so the
+# engine's float32 position-order sum is exactly integral
+_PAYC_A = ["quality|3 spam|1 quality|2 length|7",
+           "quality|5 boost|2",
+           "spam|4 quality|1 quality|1 quality|1",
+           "length|9 boost|1"]
+_PAYC_B = ["quality|2 extra|3",
+           "plain tokens here",
+           "quality|4"]
+
+
+def _pay_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_PAYC_A, 4), pick(_PAYC_B, 3)).alias("text"))
+
+
+def _pay_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_PAYC_A, 4)} || ' ' || "
+            f"{pick(_PAYC_B, 3)} AS text FROM documents")
+
+
+def _get_searcher_pay(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "pay")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "pay_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_payload_delim="|"):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_pay_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(token_regex=r"[^ ]+",
+                                            payload_delim="|"))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+# emoji corpus for the UAX#29 EMOJI token-type gate: pictographic
+# sequences (flag pairs, skin tones, ZWJ joins, keycaps) are single tokens
+_EMOC_A = ["lunch was 🍕 again today",
+           "team shipped 🚀 the release",
+           "flags 🇺🇸 and 🇯🇵 were flying",
+           "reviews got 👍🏻 marks overall"]
+_EMOC_B = ["family 👨‍👩‍👧 picnic photos",
+           "vote 1️⃣ closed early",
+           "plain text without any emoji"]
+
+
+def _emoji_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_EMOC_A, 4), pick(_EMOC_B, 3)).alias("text"))
+
+
+def _emoji_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_EMOC_A, 4)} || ' ' || "
+            f"{pick(_EMOC_B, 3)} AS text FROM documents")
+
+
+def _get_searcher_emoji(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, unicode_analyzer)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "emoji")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "emoji_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_regex=UNICODE_TOKEN_REGEX):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_emoji_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=unicode_analyzer())
     s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
@@ -1026,6 +1132,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _get_searcher_syn(spark, sf)
         r = s.search(Q.BooleanQuery([(O.SHOULD, T("fast")),
                                      (O.SHOULD, T("fox"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def payload_sum_top10(spark, sf):
+        # PayloadScoreQuery(sum) over a DelimitedPayloadTokenFilter index
+        # (.pay stream): score = float32 sum of 'quality' payloads per
+        # doc — integral by corpus construction, so the cast is exact
+        s = _get_searcher_pay(spark, sf)
+        r = s.payload_score("quality", "sum", 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("score").cast("long").alias("score"))
+
+    def unicode_emoji_top10(spark, sf):
+        # UAX#29 EMOJI token type: flag pairs, skin-tone sequences and
+        # ZWJ joins are single index terms; BM25 top-10 over emoji terms
+        s = _get_searcher_emoji(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("🍕")),
+                                     (O.SHOULD, T("🇺🇸")),
+                                     (O.SHOULD, T("👍🏻"))]), 10)
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
@@ -1621,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "payload_sum_top10": payload_sum_top10,
+        "unicode_emoji_top10": unicode_emoji_top10,
         "ascii_fold_top10": ascii_fold_top10,
         "shingle_term_top10": shingle_term_top10,
         "synonym_analyzer_top10": synonym_analyzer_top10,
@@ -1990,6 +2118,26 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "ascii_fold_top10": _bm25_sql(
             ["cafe", "zurich", "strasse"], 10, False,
             src_sql=_fold_src_sql(), toks=_fold_toks()),
+        "unicode_emoji_top10": _bm25_sql(
+            ["🍕", "🇺🇸", "👍🏻"], 10, False,
+            src_sql=_emoji_src_sql(), toks=_uni_toks()),
+        "payload_sum_top10": f"""
+WITH toks AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), ' +'),
+                          t -> t <> '') AS ts
+              FROM ({_pay_src_sql()})),
+pay AS (SELECT doc_id,
+        list_filter(ts, t -> t = 'quality' OR t LIKE 'quality|%') AS occ
+        FROM toks),
+agg AS (SELECT doc_id, len(occ) AS cnt,
+        list_sum(list_transform(occ, x -> CASE WHEN strpos(x, '|') > 0
+            THEN COALESCE(TRY_CAST(string_split(x, '|')[2] AS BIGINT), 0)
+            ELSE 0 END)) AS pay
+        FROM pay)
+SELECT CAST(row_number() OVER (ORDER BY pay DESC, doc_id) AS BIGINT)
+         AS rank, doc_id, CAST(pay AS BIGINT) AS score
+FROM agg WHERE cnt > 0
+ORDER BY pay DESC, doc_id LIMIT 10""",
         "shingle_term_top10": _bm25_sql(
             ["the fast", "of the"], 10, False,
             toks=_shingle_toks(), dl_toks=TOKS),

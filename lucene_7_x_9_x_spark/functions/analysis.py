@@ -65,7 +65,30 @@ _UWORD = ("a-z0-9_"
 # before. Approximation kept: a LETTER-led run stops at punctuation
 # (v1,5 -> v1, 5) where the full DFA would continue.
 _NUM = "[0-9]+(?:[.,][0-9]+)+"
-UNICODE_TOKEN_REGEX = (f"{_NUM}"
+# UAX#29 EMOJI token type (StandardTokenizer.java:44-69 EMOJI; the DFA in
+# StandardTokenizerImpl keeps extended-pictographic SEQUENCES as one
+# token): a flag is a PAIR of regional indicators; a pictographic base
+# may continue with variation selector U+FE0F, skin tones U+1F3FB-FF, or
+# ZWJ-joined further pictographs; '1'+U+FE0F?+U+20E3 is a keycap.  All
+# alternatives use literal code points (no \p, no \u escapes survive into
+# the pattern string) so the SAME string runs identically under Python
+# re, Java regex and RE2; the emoji alternative leads so keycaps win over
+# the digit word-class at the same offset (leftmost-FIRST everywhere).
+# Blocks covered: Misc Symbols/Dingbats (U+2600-27BF), Misc Pictographs /
+# Emoticons / Transport (U+1F300-1F6FF), Supplemental+Extended-A
+# (U+1F900-1F9FF, U+1FA70-1FAFF); regional indicators U+1F1E6-1F1FF.
+_EMO = ("☀-➿"
+        "\U0001F300-\U0001F6FF"
+        "\U0001F900-\U0001F9FF"
+        "\U0001FA70-\U0001FAFF")
+_RI = "\U0001F1E6-\U0001F1FF"
+_SKIN = "\U0001F3FB-\U0001F3FF"
+_VS16, _ZWJ, _KEYCAP = "️", "‍", "⃣"
+_EMOJI_SEQ = (f"[{_RI}][{_RI}]"
+              f"|[{_EMO}](?:[{_VS16}{_SKIN}]|{_ZWJ}[{_EMO}])*"
+              f"|[0-9#*]{_VS16}?{_KEYCAP}")
+UNICODE_TOKEN_REGEX = (f"{_EMOJI_SEQ}"
+                       f"|{_NUM}"
                        f"|[{_KATAKANA}]+"
                        f"|[{_HANGUL}]+"
                        f"|[{_HAN}{_HIRAGANA}]"
@@ -141,6 +164,18 @@ class AnalyzerConfig:
     # tokens — documented divergence from the filler-token behavior).
     # Index-time expansion only (tokenize_to_flat*), like index synonyms.
     shingles: tuple = ()
+    # DelimitedPayloadTokenFilter role (solr-8.4.0/lucene/analysis/common/
+    # src/java/org/apache/lucene/analysis/payloads/
+    # DelimitedPayloadTokenFilter.java with the FloatEncoder): a raw token
+    # "term<delim>3.5" splits at the FIRST delimiter into the index term
+    # and a float32 payload stored per position (the .pay stream role,
+    # L/codecs/lucene84/Lucene84PostingsFormat.java:99-104).  Tokens
+    # without the delimiter (or with a non-numeric tail) carry payload
+    # 0.0.  Pair with a tokenizer whose token chars include the delimiter
+    # (e.g. token_regex r"[^ ]+" — the filter's usual
+    # WhitespaceTokenizer pairing); payload mode excludes stemmer/
+    # synonyms/shingles (validated at build).
+    payload_delim: str | None = None
 
 
 def canon_synonyms(mapping) -> tuple:
@@ -264,6 +299,20 @@ def _inject_index_synonyms(row_idx, pos, flat, cfg,
     return (row_idx[order], pos[order], flat[order],
             None if starts is None else starts[order],
             None if ends is None else ends[order])
+
+
+def split_payloads(flat: np.ndarray, delim: str):
+    """DelimitedPayloadTokenFilter: split each token at the FIRST delim
+    into (term, float32 payload); no delim or non-numeric tail -> 0.0.
+    Returns (terms: object[], payloads: float32[]) aligned with `flat`."""
+    if len(flat) == 0:
+        return flat, np.zeros(0, dtype=np.float32)
+    s = pd.Series(flat, dtype=object)
+    parts = s.str.split(delim, n=1)
+    terms = parts.str[0].to_numpy(dtype=object)
+    pay = (pd.to_numeric(parts.str[1], errors="coerce")
+           .fillna(0.0).astype(np.float32).to_numpy())
+    return terms, pay
 
 
 def _inject_shingles(row_idx, pos, flat, cfg, starts=None, ends=None):

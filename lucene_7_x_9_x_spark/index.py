@@ -75,7 +75,8 @@ class IndexSnapshot:
                                for lhs, rhs in a.get("synonyms", [])),
                 synonyms_at=a.get("synonyms_at", "query"),
                 ascii_fold=a.get("ascii_fold", False),
-                shingles=tuple(a.get("shingles", [])))
+                shingles=tuple(a.get("shingles", [])),
+                payload_delim=a.get("payload_delim"))
         self.analyzer = _cfg(self.manifest["analyzer"])
         self.field_analyzers = {
             n: _cfg(a)
@@ -272,7 +273,8 @@ def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
             "synonyms": [[lhs, list(rhs)] for lhs, rhs in cfg.synonyms],
             "synonyms_at": cfg.synonyms_at,
             "ascii_fold": cfg.ascii_fold,
-            "shingles": list(cfg.shingles)}
+            "shingles": list(cfg.shingles),
+            "payload_delim": cfg.payload_delim}
 
 
 def build_index(
@@ -529,6 +531,9 @@ def build_index(
         "batches": batches,
         "with_positions": with_positions,
         "with_offsets": with_offsets,
+        "with_payloads": (cfg.payload_delim is not None) or any(
+            fc.payload_delim is not None
+            for fc in (field_analyzers or {}).values()),
         "analyzer": _analyzer_manifest(cfg),
         # PerFieldAnalyzerWrapper model: named fields may analyze
         # differently; absent fields use the default analyzer above
@@ -679,6 +684,22 @@ def check_index(spark: SparkSession, index: IndexSnapshot) -> dict:
                    F.zip_with(
                        F.slice("off_offsets", 1, F.size("off_offsets") - 1),
                        F.slice("off_offsets", 2, F.size("off_offsets") - 1),
+                       lambda a, b: b < a),
+                   lambda x: x))).count() == 0
+
+    # payload stream (.pay role): per-posting slice index must hold one
+    # bound per posting plus one, monotone, 4-byte aligned (raw float32
+    # values), and the blob length must equal the last bound
+    if index.manifest.get("with_payloads") and "pay_offsets" in post.columns:
+        out["payloads_match"] = post.where(
+            F.col("pay_offsets").isNotNull()
+            & ((F.size("pay_offsets") != F.col("doc_freq") + 1)
+               | (F.element_at("pay_offsets", -1) != F.length("pay_data"))
+               | F.exists("pay_offsets", lambda v: v % 4 != 0)
+               | F.exists(
+                   F.zip_with(
+                       F.slice("pay_offsets", 1, F.size("pay_offsets") - 1),
+                       F.slice("pay_offsets", 2, F.size("pay_offsets") - 1),
                        lambda a, b: b < a),
                    lambda x: x))).count() == 0
 

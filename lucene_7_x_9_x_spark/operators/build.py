@@ -44,6 +44,8 @@ POSTINGS_COLS = [
     ("pos_data", "binary"),
     ("off_offsets", "array<long>"),  # char-offset blob slicing (optional)
     ("off_data", "binary"),          # interleaved (start delta, len) vints
+    ("pay_offsets", "array<long>"),  # payload blob slicing (optional)
+    ("pay_data", "binary"),          # raw little-endian float32 per token
 ]
 
 
@@ -57,6 +59,22 @@ def _vint_lengths(vals: np.ndarray) -> np.ndarray:
     for k in range(1, 10):
         nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
     return nb
+
+
+def _maybe_split_payloads(flat, cfg: AnalyzerConfig, with_offsets: bool):
+    """DelimitedPayloadTokenFilter stage: split 'term<delim>x' tokens into
+    (term, float32 payload) when the chain opts in; the payload stream is
+    the .pay file role (Lucene84PostingsFormat.java:99-104)."""
+    if cfg.payload_delim is None:
+        return flat, None
+    if cfg.stemmer or cfg.synonyms or cfg.shingles:
+        raise ValueError(
+            "payload_delim cannot combine with stemmer/synonyms/shingles")
+    if with_offsets:
+        raise ValueError("payload_delim with with_offsets is unsupported "
+                         "(offsets would span the raw delimited token)")
+    from ..functions.analysis import split_payloads
+    return split_payloads(flat, cfg.payload_delim)
 
 
 def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
@@ -101,6 +119,8 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
         char_offs = (c_start, c_end)
     else:
         row_idx, pos, terms_flat, dl = tokenize_to_flat(pdf[text_col], cfg)
+    terms_flat, payloads = _maybe_split_payloads(terms_flat, cfg,
+                                                 with_offsets)
     norms = int_to_byte4(dl)
 
     docmap = pd.DataFrame({
@@ -119,7 +139,8 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
 
     if extra_fields:
         parts = [_invert_tokens(row_idx, pos, terms_flat, norms, segment,
-                                with_positions, char_offs=char_offs)]
+                                with_positions, char_offs=char_offs,
+                                payloads=payloads)]
         parts[0]["field"] = None
         extra_norm_cols = []
         for fname, fcol in extra_fields:
@@ -133,10 +154,11 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
                 f_offs = (fcs, fce)
             else:
                 ri, po, tf, fdl = tokenize_to_flat(pdf[fcol], fcfg)
+            tf, fpay = _maybe_split_payloads(tf, fcfg, with_offsets)
             fnorms = int_to_byte4(fdl)
             extra_norm_cols.append(fnorms.astype(np.int32))
             fp = _invert_tokens(ri, po, tf, fnorms, segment, with_positions,
-                                char_offs=f_offs)
+                                char_offs=f_offs, payloads=fpay)
             fp["field"] = fname
             parts.append(fp)
         docmap["extra_norms"] = pd.Series(
@@ -148,13 +170,14 @@ def invert_segment(pdf: pd.DataFrame, *, segment: int, id_cols: list[str],
 
     docmap["extra_norms"] = None
     postings = _invert_tokens(row_idx, pos, terms_flat, norms, segment,
-                              with_positions, char_offs=char_offs)
+                              with_positions, char_offs=char_offs,
+                              payloads=payloads)
     postings["field"] = None
     return postings[[c for c, _ in POSTINGS_COLS]], docmap
 
 
 def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
-                   with_positions: bool, char_offs=None):
+                   with_positions: bool, char_offs=None, payloads=None):
     """Sort-based inversion of one field's flattened token stream into
     postings rows (no field column — the caller stamps it). char_offs =
     (start, end) int64 arrays aligned with the token stream: stored as a
@@ -216,6 +239,17 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
         post_start_o = np.nonzero(new_post)[0]
         post_off_offsets = np.concatenate(
             [tok_off_o[post_start_o], [tok_off_o[-1]]])
+
+    # --- per-position payloads: raw float32, 4 bytes per token in the
+    # same (term, doc, pos) stream order as positions ---
+    pay_data_all = b""
+    post_pay_offsets = None
+    if payloads is not None:
+        pay_s = payloads[order].astype("<f4")
+        pay_data_all = pay_s.tobytes()
+        post_start_p = np.nonzero(new_post)[0]
+        post_pay_offsets = 4 * np.concatenate(
+            [post_start_p, [len(pay_s)]]).astype(np.int64)
 
     # --- per-term boundaries among postings ---
     new_term = np.empty(len(post_term), dtype=bool)
@@ -345,6 +379,19 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
     else:
         col_ooff = [None] * n_terms
         col_odat = [None] * n_terms
+    if payloads is not None:
+        mvp = memoryview(pay_data_all)
+        pp = post_pay_offsets
+        starts_l = term_start.tolist()
+        ends_l = term_end.tolist()
+        col_payoff: list = [pp[s:e + 1] - pp[s]
+                            for s, e in zip(starts_l, ends_l)]
+        col_paydat: list = [bytes(mvp[a:b])
+                            for a, b in zip(pp[term_start].tolist(),
+                                            pp[term_end].tolist())]
+    else:
+        col_payoff = [None] * n_terms
+        col_paydat = [None] * n_terms
 
     def S(col: list) -> pd.Series:
         # Series (always 1-D) keeps list elements as objects; a DataFrame
@@ -367,6 +414,8 @@ def _invert_tokens(row_idx, pos, terms_flat, norms, segment: int,
         "pos_data": S(col_pdat),
         "off_offsets": S(col_ooff),
         "off_data": S(col_odat),
+        "pay_offsets": S(col_payoff),
+        "pay_data": S(col_paydat),
     })
 
 
@@ -386,7 +435,7 @@ def combine_segment_rows(postings: pd.DataFrame, docmap: pd.DataFrame,
                        "doc_freq": None, "total_term_freq": None})
     for c in ["block_max_docs", "block_ns", "block_docs", "block_freqs",
               "imp_freqs", "imp_norms", "pos_offsets", "pos_data",
-              "off_offsets", "off_data"]:
+              "off_offsets", "off_data", "pay_offsets", "pay_data"]:
         dm[c] = None
     dm["docid"] = docmap["docid"]
     for n, _ in id_fields:
@@ -414,6 +463,7 @@ def combine_segment_rows(postings: pd.DataFrame, docmap: pd.DataFrame,
     for c in ["doc_freq", "total_term_freq", "block_max_docs",
               "block_ns", "block_docs", "block_freqs", "imp_freqs",
               "imp_norms", "pos_offsets", "off_offsets", "off_data",
+              "pay_offsets", "pay_data",
               "dl", "norm", "extra_norms", "content_sha256_out"]:
         sn[c] = None
     for n, _ in id_fields:

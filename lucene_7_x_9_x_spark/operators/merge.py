@@ -87,7 +87,8 @@ def _concat_rows(rows: list[dict], term, new_segment: int,
         "imp_norms": [x for r in rows for x in r["imp_norms"]],
     }
     for ocol, dcol in (("pos_offsets", "pos_data"),
-                       ("off_offsets", "off_data")):
+                       ("off_offsets", "off_data"),
+                       ("pay_offsets", "pay_data")):
         if rows[0].get(dcol) is not None:
             offs, data, shift = [], [], 0
             for r in rows:
@@ -437,7 +438,8 @@ def resort_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
             out["imp_freqs"].append(impf)
             out["imp_norms"].append(impn)
             for ocol, dcol in (("pos_offsets", "pos_data"),
-                               ("off_offsets", "off_data")):
+                               ("off_offsets", "off_data"),
+                               ("pay_offsets", "pay_data")):
                 if getattr(r, dcol, None) is not None:
                     offs = np.asarray(getattr(r, ocol), np.int64)
                     data = bytes(getattr(r, dcol))

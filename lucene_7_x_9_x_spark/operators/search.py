@@ -196,6 +196,31 @@ class SparkSegmentReader:
         self._full_cache[key] = out
         return out
 
+    def flat_payloads(self, term):
+        """(docids, counts, values): stored per-position float32 payloads
+        of every occurrence of the term — the .pay stream role
+        (solr-8.4.0/.../codecs/lucene84/Lucene84PostingsFormat.java:99-104)
+        for DelimitedPayloadTokenFilter indexes. Values are raw
+        little-endian float32, 4 bytes per occurrence, in the same stream
+        order as positions."""
+        key = ("__flatpay__", term)
+        got = self._full_cache.get(key)
+        if got is not None:
+            return got
+        r = self._rows.get(term)
+        if r is None or getattr(r, "pay_data", None) is None:
+            return None
+        p = self.postings(term)
+        if p is None:
+            return None
+        docids, freqs = p
+        offs = np.asarray(r.pay_offsets, dtype=np.int64)
+        vals = np.frombuffer(
+            bytes(r.pay_data)[offs[0]:offs[-1]], dtype="<f4")
+        out = (docids, freqs.astype(np.int64), vals)
+        self._full_cache[key] = out
+        return out
+
     def positions(self, term):
         fp = self.flat_positions(term)
         if fp is None:

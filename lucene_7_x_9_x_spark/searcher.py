@@ -930,6 +930,74 @@ class Searcher:
                 .where(F.col("rank") <= k)
                 .select("qid", "rank", vec_id_col, "cosine"))
 
+    def payload_score(self, term: str, function: str = "sum", k: int = 10,
+                      field: str | None = None) -> DataFrame:
+        """PayloadScoreQuery analogue (solr-8.4.0/lucene/queries/src/java/
+        org/apache/lucene/queries/payloads/PayloadScoreQuery.java over a
+        single SpanTermQuery with includeSpanScore=false; payload
+        functions SumPayloadFunction / MaxPayloadFunction /
+        MinPayloadFunction / AveragePayloadFunction): the doc's score is
+        the chosen function over the float32 payloads at the term's
+        positions (DelimitedPayloadTokenFilter indexes; sum accumulates
+        in float32 position order like the reference's float docScore).
+        Returns DataFrame(rank, segment, docid, score [, id cols]) in
+        (score desc, segment, docid) order — the engine's standard tie
+        rule stands in for Lucene's doc-order tie)."""
+        if not self.index.manifest.get("with_payloads"):
+            raise ValueError("index was built without payloads "
+                             "(AnalyzerConfig(payload_delim=...))")
+        if function not in ("sum", "max", "min", "avg"):
+            raise ValueError(f"unknown payload function {function!r}")
+        if field is not None and field == self._default_field:
+            field = None
+        kk = term_key(field, term)
+        post = self._post_src.where(self._key_filter({kk}))
+        cols = ["term", "segment", "doc_freq", "total_term_freq",
+                "block_max_docs", "block_ns", "block_docs", "block_freqs",
+                "imp_freqs", "imp_norms", "pay_offsets", "pay_data"]
+        if self._has_field_col:
+            cols.insert(1, "field")
+        post = post.select(*cols)
+        fn = function
+
+        def kernel(pkey, post_pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(pkey[0])
+            reader = SparkSegmentReader(post_pdf, np.zeros(0, np.uint8), 0)
+            fp = reader.flat_payloads(kk)
+            if fp is None:
+                return pd.DataFrame({"segment": pd.Series([], "int32"),
+                                     "docid": pd.Series([], "int64"),
+                                     "score": pd.Series([], "float32")})
+            docids, counts, vals = fp
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            v32 = vals.astype(np.float32)
+            if fn == "sum":
+                agg = np.add.reduceat(v32, starts)
+            elif fn == "max":
+                agg = np.maximum.reduceat(v32, starts)
+            elif fn == "min":
+                agg = np.minimum.reduceat(v32, starts)
+            else:  # avg = float32 sum / count (AveragePayloadFunction)
+                agg = (np.add.reduceat(v32, starts)
+                       / counts.astype(np.float32)).astype(np.float32)
+            return pd.DataFrame({
+                "segment": np.full(len(docids), seg, dtype=np.int32),
+                "docid": docids,
+                "score": agg.astype(np.float32)})
+
+        res = (post.groupBy("segment")
+               .applyInPandas(kernel,
+                              schema="segment int, docid long, score float")
+               .orderBy(F.desc("score"), "segment", "docid").limit(k))
+        res = _rank_limited(
+            res, [F.desc("score"), "segment", "docid"], "docid")
+        dm = self.index.docmap().select(
+            "segment", "docid", *self.index.id_cols)
+        res = dm.join(F.broadcast(res), on=["segment", "docid"],
+                      how="inner")
+        return (res.select("rank", "segment", "docid", "score",
+                           *self.index.id_cols).orderBy("rank"))
+
     def term_offsets(self, term: str, field: str | None = None
                      ) -> DataFrame:
         """Stored character offsets of every occurrence of `term` — the

@@ -43,6 +43,13 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
     hot = np.array(HOT, dtype=object)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the tail vocabulary is materialized ONCE per task (50k small
+        # strings) so cell word selection is pure fancy indexing — the
+        # earlier dense n x max_len matrix with per-cell int->str
+        # conversion was ~100x slower and made 10M-doc generation the
+        # bottleneck of the scale benchmarks (output is bit-identical)
+        tail_vocab = np.array([f"fn_{i}" for i in range(N_TAIL)],
+                              dtype=object)
         for pdf in batches:
             ids = pdf["id"].to_numpy(np.int64)
             n = len(ids)
@@ -50,21 +57,26 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42,
             # lognormal-ish doc length 5..2000 tokens
             ln = np.clip((np.exp(3.2 + 1.1 * _norminv(u)) + 5).astype(int),
                          5, 2000)
-            max_len = int(ln.max()) if n else 0
-            # token matrix: each cell picks hot (zipf-ish) or tail vocab
-            col = np.arange(max_len, dtype=np.int64)
-            cell = _mix(ids[:, None] * np.int64(1_000_003) + col[None, :],
-                        seed + 1)
+            # sparse cell stream: only (row, col < ln[row]) cells exist,
+            # in row-major order — the same cells, same order, same mixed
+            # hashes as the dense matrix formulation
+            ln64 = ln.astype(np.int64)
+            ri = np.repeat(np.arange(n, dtype=np.int64), ln64)
+            bounds = np.concatenate(([0], np.cumsum(ln64)))
+            ci = np.arange(len(ri), dtype=np.int64) - bounds[ri]
+            cell = _mix(ids[ri] * np.int64(1_000_003) + ci, seed + 1)
             is_hot = (cell % np.uint64(100)) < np.uint64(60)
             # zipf-ish over hot words: square the uniform to skew low ranks
             hsel = ((cell >> np.uint64(7)) % np.uint64(len(HOT) ** 2))
             hidx = (np.sqrt(hsel.astype(np.float64))).astype(np.int64)
             tidx = ((cell >> np.uint64(13)) % np.uint64(N_TAIL)).astype(
                 np.int64)
-            words = np.where(is_hot, hot[hidx],
-                             np.char.add("fn_", tidx.astype(str)))
-            mask = col[None, :] < ln[:, None]
-            contents = [" ".join(words[i, mask[i]]) for i in range(n)]
+            words = np.empty(len(cell), dtype=object)
+            words[is_hot] = hot[hidx[is_hot]]
+            notht = ~is_hot
+            words[notht] = tail_vocab[tidx[notht]]
+            contents = [" ".join(x)
+                        for x in np.split(words, bounds[1:-1])]
             langs = [LANGS[int(x)] for x in _mix(ids, seed + 2)
                      % np.uint64(len(LANGS))]
             yield pd.DataFrame({

@@ -32,6 +32,11 @@ def main():
              .appName("scale10m")
              .config("spark.sql.shuffle.partitions", "64")
              .config("spark.sql.adaptive.enabled", "true")
+             # ~16MB scan splits over the ~2.1GB/10M-doc corpus ->
+             # ~130 input-mode segments of ~75k docs: balanced build
+             # waves and bounded per-task inversion memory
+             .config("spark.sql.files.maxPartitionBytes", "16m")
+             .config("spark.sql.files.openCostInBytes", "1m")
              .config("spark.driver.memory", "80g")
              .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
@@ -45,12 +50,16 @@ def main():
     from lucene_7_x_9_x_spark.sources.corpus import synth_corpus
 
     tmp = tempfile.mkdtemp(prefix="scale10m_")
-    corpus = os.path.join(tmp, "corpus")
+    # the corpus is deterministic — reuse a previously generated copy
+    corpus = f"/tmp/scale10m_corpus_{n_docs}"
+    if n_docs == 10_000_000 and os.path.isdir("/tmp/scale10m_corpus_10m"):
+        corpus = "/tmp/scale10m_corpus_10m"
     out: dict = {"n_docs": n_docs, "cpus": 32}
 
     t0 = time.time()
-    synth_corpus(spark, n_docs, partitions=256).write.mode(
-        "overwrite").parquet(corpus)
+    if not os.path.isdir(corpus):
+        synth_corpus(spark, n_docs, partitions=256).write.mode(
+            "overwrite").parquet(corpus)
     out["gen_secs"] = round(time.time() - t0, 1)
 
     df = spark.read.parquet(corpus)

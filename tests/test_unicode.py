@@ -126,3 +126,55 @@ def test_uax29_num_rule():
         got = con.execute("SELECT regexp_extract_all(lower(?), ?)",
                           [txt, UNICODE_TOKEN_REGEX]).fetchone()[0]
         assert got == want, txt
+
+
+EMOJI_TEXTS = [
+    "I love 🍕 and 🍔 today",
+    "flags 🇺🇸🇯🇵 fly high",
+    "thumbs 👍🏻 and 👍🏿 up",
+    "family 👨‍👩‍👧 emoji",
+    "keycap 1️⃣ and 3.14 and #⃣",
+    "hearts ❤️ ❤ plain",
+    "mixed 搜索 😀 café 2.4.1",
+]
+EMOJI_WANT = [
+    ["i", "love", "🍕", "and", "🍔", "today"],
+    ["flags", "🇺🇸", "🇯🇵", "fly", "high"],
+    ["thumbs", "👍🏻", "and", "👍🏿", "up"],
+    ["family", "👨‍👩‍👧", "emoji"],
+    ["keycap", "1️⃣", "and", "3.14", "and", "#⃣"],
+    ["hearts", "❤️", "❤", "plain"],
+    ["mixed", "搜", "索", "😀", "café", "2.4.1"],
+]
+
+
+def test_uax29_emoji_rule():
+    # EMOJI token type (StandardTokenizer.java:44-69): pictographic
+    # sequences are single tokens — flag = regional-indicator PAIR, skin
+    # tone and VS16 continue the base, ZWJ joins bases, digit keycaps win
+    # over the word class at the same offset (leftmost-first)
+    toks = tokenize_series(pd.Series(EMOJI_TEXTS), unicode_analyzer())
+    for got, want in zip(toks, EMOJI_WANT):
+        assert list(got) == want
+
+
+def test_uax29_emoji_duckdb_identity():
+    import duckdb
+    con = duckdb.connect()
+    for txt, want in zip(EMOJI_TEXTS, EMOJI_WANT):
+        got = con.execute("SELECT regexp_extract_all(lower(?), ?)",
+                          [txt, UNICODE_TOKEN_REGEX]).fetchone()[0]
+        assert got == want, txt
+
+
+def test_uax29_emoji_java_identity(spark):
+    # the THIRD runtime: Spark SQL's regexp_extract_all is
+    # java.util.regex — the same pattern string must tokenize identically
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(t,) for t in EMOJI_TEXTS], "text string")
+    rows = (df.select(F.regexp_extract_all(
+                F.lower("text"), F.lit(UNICODE_TOKEN_REGEX), 0)
+                .alias("ts"))
+            .collect())
+    for r, want in zip(rows, EMOJI_WANT):
+        assert r["ts"] == want
