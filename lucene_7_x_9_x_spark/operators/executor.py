@@ -820,71 +820,59 @@ def _span_near_unordered_freqs(reader, q: SpanNearQuery,
         idx = np.searchsorted(d, cand)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         sel.append((starts[idx], counts[idx], flat))
-    if k == 2:
-        keys, tags = [], []
-        for tag, (starts, counts, flat) in enumerate(sel):
-            take = _gather_ranges(starts, counts)
-            rank = np.repeat(np.arange(len(cand), dtype=np.int64), counts)
-            keys.append((rank << _POS_SHIFT) | flat[take])
-            tags.append(np.full(len(take), tag, dtype=np.int8))
-        ks = np.concatenate(keys)
-        ts = np.concatenate(tags)
-        order = np.argsort(ks, kind="stable")
-        ks, ts = ks[order], ts[order]
-        n = len(ks)
-        if n < 2:
-            return empty
-        MASK = (np.int64(1) << _POS_SHIFT) - 1
-        r, pos = ks >> _POS_SHIFT, ks & MASK
-        idxs = np.arange(n, dtype=np.int64)
-        # nxt[t][m] = smallest index >= m holding tag t (n = none)
-        nxt = []
-        for t in (0, 1):
-            a = np.where(ts == t, idxs, n)
-            nxt.append(np.minimum.accumulate(a[::-1])[::-1])
-        pad = lambda a: np.concatenate((a[1:], [np.int64(n)]))
-        next_same = np.where(ts == 0, pad(nxt[0]), pad(nxt[1]))
-        next_opp = np.where(ts == 0, pad(nxt[1]), pad(nxt[0]))
-        # a state exists for element m iff no earlier element of ITS rank
-        # was the last of its own list (the walk ends there)
-        tag_final = (next_same >= n) | (r[np.minimum(next_same, n - 1)] != r)
-        grp_start = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
-        gid = np.cumsum(np.r_[True, r[1:] != r[:-1]]) - 1
-        cum = np.concatenate(([0], np.cumsum(tag_final)))
-        finals_before = cum[idxs] - cum[grp_start[gid]]
-        enumerated = finals_before == 0
-        valid = (next_opp < n) & (r[np.minimum(next_opp, n - 1)] == r)
-        W = pos[np.minimum(next_opp, n - 1)] + 1 - pos  # maxEnd - minStart
-        hit = enumerated & valid & ((W - 2) <= q.slop)
-        uniq, freqs = _span_freq_f32(r[hit], W[hit])
-        return cand[uniq], freqs
-    out_d, out_f = [], []
-    import heapq
-    for j in range(len(cand)):
-        lists = [flat[s[j]:s[j] + c[j]] for (s, c, flat) in sel]
-        ptr = [0] * k
-        heap = [(int(lists[i][0]), i) for i in range(k)]
-        heapq.heapify(heap)
-        mx = max(int(lists[i][0]) for i in range(k))
-        f = np.float32(0.0)
-        while True:
-            lo, i = heap[0]
-            if (mx - lo + 1) - k <= q.slop:
-                f = np.float32(np.float64(f)
-                               + 1.0 / (1.0 + (mx + 1 - lo)))
-                if not needs_freq:
-                    break  # match-only context: first window suffices
-            ptr[i] += 1
-            if ptr[i] >= len(lists[i]):
-                break
-            v = int(lists[i][ptr[i]])
-            mx = max(mx, v)
-            heapq.heapreplace(heap, (v, i))
-        if f > 0:
-            out_d.append(int(cand[j]))
-            out_f.append(f)
-    return (np.asarray(out_d, dtype=np.int64),
-            np.asarray(out_f, dtype=np.float32))
+    # Fully vectorized for ANY k (the per-candidate-doc Python heap walk
+    # this replaces measured 52 s vs ~15 s for its vectorized peers on the
+    # 3 most frequent terms of a 10M-doc corpus — BENCH/scale_10m.json).
+    # The reference's min-advance walk visits one state per pop, and pops
+    # consume the merged position stream IN ORDER, so state m corresponds
+    # 1:1 with merged element m, enumerated until the first element that
+    # is the LAST of its own list (the advance past it exhausts).  At
+    # state m each list's current element is its first element at merged
+    # index >= m — per-tag reverse minimum-accumulates give those currents
+    # without any heap; mx = max over tags of their current's position.
+    keys, tags = [], []
+    for tag, (starts, counts, flat) in enumerate(sel):
+        take = _gather_ranges(starts, counts)
+        rank = np.repeat(np.arange(len(cand), dtype=np.int64), counts)
+        keys.append((rank << _POS_SHIFT) | flat[take])
+        tags.append(np.full(len(take), tag, dtype=np.int8))
+    ks = np.concatenate(keys)
+    ts = np.concatenate(tags)
+    order = np.argsort(ks, kind="stable")
+    ks, ts = ks[order], ts[order]
+    n = len(ks)
+    if n < k:
+        return empty
+    MASK = (np.int64(1) << _POS_SHIFT) - 1
+    r, pos = ks >> _POS_SHIFT, ks & MASK
+    idxs = np.arange(n, dtype=np.int64)
+    # nxt[t][m] = smallest index >= m holding tag t (n = none); the
+    # sentinel column n lets next_same index with m + 1 directly
+    nxt = np.empty((k, n + 1), dtype=np.int64)
+    for t in range(k):
+        a = np.where(ts == t, idxs, n)
+        nxt[t, :n] = np.minimum.accumulate(a[::-1])[::-1]
+        nxt[t, n] = n
+    # popping element m advances ITS list to its next element; beyond the
+    # rank group = that list is exhausted, the walk's terminal state
+    next_same = nxt[ts, idxs + 1]
+    tag_final = (next_same >= n) | (r[np.minimum(next_same, n - 1)] != r)
+    # a state exists for element m iff no EARLIER element of its rank was
+    # the last of its own list (the first terminal state is still checked
+    # before the walk breaks — strictly-before count must be zero)
+    grp_start = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+    gid = np.cumsum(np.r_[True, r[1:] != r[:-1]]) - 1
+    cum = np.concatenate(([0], np.cumsum(tag_final)))
+    finals_before = cum[idxs] - cum[grp_start[gid]]
+    enumerated = finals_before == 0
+    cur = nxt[:, :n]            # (k, n): current element per tag at m
+    cur_c = np.minimum(cur, n - 1)
+    valid = np.all((cur < n) & (r[cur_c] == r[None, :]), axis=0)
+    mx = pos[cur_c].max(axis=0)  # own tag's current is m itself (= lo)
+    W = mx + 1 - pos             # maxEnd - minStart over unit spans
+    hit = enumerated & valid & ((W - k) <= q.slop)
+    uniq, freqs = _span_freq_f32(r[hit], W[hit])
+    return cand[uniq], freqs
 
 
 def _evaluate_boolean(reader, stats, q: BooleanQuery, boost, needs_scores):

@@ -37,7 +37,11 @@ def main():
              # waves and bounded per-task inversion memory
              .config("spark.sql.files.maxPartitionBytes", "16m")
              .config("spark.sql.files.openCostInBytes", "1m")
-             .config("spark.driver.memory", "80g")
+             # NOT bigger = better: an 80g single-JVM heap let garbage
+             # accumulate until multi-ten-second full GCs dominated the
+             # query tail (130 s outliers on a 4 s query — measured,
+             # BENCH/BASELINE.md 10M section); 20g keeps pauses bounded
+             .config("spark.driver.memory", "20g")
              .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
