@@ -161,7 +161,8 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
             out["imp_freqs"].append(impf)
             out["imp_norms"].append(impn)
             for ocol, dcol in (("pos_offsets", "pos_data"),
-                               ("off_offsets", "off_data")):
+                               ("off_offsets", "off_data"),
+                               ("pay_offsets", "pay_data")):
                 if getattr(r, dcol, None) is not None:
                     offs = np.asarray(getattr(r, ocol), np.int64)
                     data = bytes(getattr(r, dcol))

@@ -130,6 +130,35 @@ def test_payload_survives_merge(spark, pidx, tmp_path):
     assert got == pytest.approx(want)
 
 
+def test_payload_survives_compaction(spark, pidx, tmp_path):
+    # regression: compact_index's slice-carry loop must include the
+    # (pay_offsets, pay_data) pair like merge/resort do — a payload index
+    # with tombstones previously produced ragged kernel output (NaN in an
+    # array column) and the compaction job failed
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, check_index
+    from lucene_7_x_9_x_spark.operators.deletes import (compact_index,
+                                                        delete_by_ids)
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    work = str(tmp_path / "w")
+    shutil.copytree(pidx.root, work)
+    delete_by_ids(spark, work,
+                  spark.createDataFrame(pd.DataFrame({"doc_id": [1, 3]})))
+    compacted = compact_index(spark, IndexSnapshot(spark, work),
+                              str(tmp_path / "c"))
+    assert check_index(spark, compacted)["clean"]
+    s = Searcher(compacted)
+    got = {r["doc_id"]: r["score"]
+           for r in s.payload_score("apple", "sum", k=10).collect()}
+    want = {i: v for i, v in _pandas_oracle("apple", "sum").items()
+            if i not in (1, 3)}
+    # compaction renumbers docids but doc_id stored cols survive via docmap
+    assert got == pytest.approx(want)
+
+
 def test_payload_requires_payload_index(spark, tmp_path):
     from lucene_7_x_9_x_spark.index import build_index
     from lucene_7_x_9_x_spark.searcher import Searcher
