@@ -1582,6 +1582,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id_a").cast("long"),
                         F.col("id_b").cast("long")))
 
+    def dedup_clusters(spark, sf):
+        # transitive near-dup clusters over the minhash-LSH pairs
+        # (large-star/small-star connected components) + the kept
+        # representative per cluster — the dedup pipeline's last mile
+        from lucene_7_x_9_x_spark.pipeline.dedup import (minhash_lsh_pairs,
+                                                         neardup_clusters)
+        docs = _docs(spark, sf)
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        return (neardup_clusters(docs, pairs, "doc_id")
+                .select(F.col("doc_id").cast("long"),
+                        F.col("component").cast("long"),
+                        F.col("keep").cast("long")))
+
     def ann_top10(spark, sf):
         from lucene_7_x_9_x_spark.pipeline.similarity import (
             cosine_topk_bruteforce)
@@ -1747,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "dedup_clusters": dedup_clusters,
         "payload_sum_top10": payload_sum_top10,
         "unicode_emoji_top10": unicode_emoji_top10,
         "ascii_fold_top10": ascii_fold_top10,
@@ -2581,6 +2595,24 @@ WHERE rank <= 2""",
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                   >= 0.5""",
         "dedup_minhash_lsh": _minhash_lsh_sql(shingle),
+        # transitive closure of the LSH pairs via a recursive CTE (the
+        # oracle can afford closure at gate scale; the engine uses
+        # large-star/small-star contraction, which never materializes it)
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_sql(shingle)}),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM sym
+                UNION
+                SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            lbl AS (SELECT u AS doc_id, least(min(v), u) AS component
+                    FROM reach GROUP BY u)
+            SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component,
+                   CAST(CASE WHEN coalesce(l.component, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""",
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _emb_neardup_sql(),
         "ann_lsh_top10": _ann_lsh_sql(),

@@ -261,3 +261,106 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return v.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+# Connected components over near-dup pairs ---------------------------------
+#
+# A dedup pipeline's last mile: pair lists (from minhash_lsh_pairs /
+# ngram_jaccard_pairs / embedding_neardup_pairs) -> duplicate CLUSTERS ->
+# one representative kept per cluster. Transitivity matters at corpus
+# scale: A~B and B~C must collapse to ONE kept doc even when A~C was never
+# emitted as a pair (the LSH S-curve misses some edges inside a cluster).
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) labels for every node appearing in `pairs`
+    (columns id_a, id_b); component = the MIN node id of its connected
+    component.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log^2 n) rounds on any graph (in practice 2-4 for dedup graphs,
+    whose components are near-cliques). Each round is two groupBy+join
+    passes over the CURRENT edge set — never materializes a transitive
+    closure, so it scales to billions of edges:
+
+      large-star(u): for every neighbor v > u, connect v to
+                     m = min(N(u) + {u})
+      small-star(u): orient edges toward the larger endpoint; connect
+                     every smaller neighbor (and u itself) to m = min(N(u))
+
+    Both steps strictly shrink the sum of component-internal distances to
+    the minimum; a fixpoint is a star forest rooted at component minima.
+    Iteration state is localCheckpoint()ed: without it the lineage doubles
+    per round and Catalyst re-analyzes an exponentially growing plan.
+    The convergence probe compares a commutative (count, xor of row
+    hashes) signature of consecutive edge sets — one tiny aggregate, no
+    driver-side edge materialization."""
+    edges = (pairs.select(F.col("id_a").cast("long").alias("u"),
+                          F.col("id_b").cast("long").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+
+    def _sig(e: DataFrame):
+        # xor-fold, not sum: commutative like sum but cannot overflow
+        # int64 (Spark ANSI mode throws on sum overflow at scale)
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        return (r["n"], r["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (sym.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge toward its larger endpoint
+        o = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (o.join(m, "u")
+               .where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        self_e = m.select(F.col("u"), F.col("m").alias("v"))
+        return (nbr.union(self_e)
+                .where(F.col("u") != F.col("v")).distinct())
+
+    prev = None
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        sig = _sig(edges)
+        if sig == prev:
+            break
+        prev = sig
+    # fixpoint edges are (node -> component min) stars; the minima
+    # themselves label each component
+    labels = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("v").alias("v")))
+    return (labels.distinct()
+            .select(F.col("u").alias("id"), F.col("v").alias("component")))
+
+
+def neardup_clusters(df: DataFrame, pairs: DataFrame, id_col: str
+                     ) -> DataFrame:
+    """Every doc labeled with (component, keep): component = min doc id of
+    its near-dup cluster (docs in no pair are their own singleton
+    component), keep = true for exactly the one representative (the min)
+    per cluster — filter on keep to materialize the deduplicated corpus.
+
+    The label frame is |nodes-in-pairs| rows — tiny next to the corpus —
+    so the final annotate is a broadcast-able left join keyed on the doc
+    id; the 100 TB side is never shuffled."""
+    cc = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (df.select(id_col)
+            .join(F.broadcast(cc), id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("component", F.col(id_col)).alias("component"))
+            .withColumn("keep", (F.col(id_col) == F.col("component")))
+            )
