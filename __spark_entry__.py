@@ -1307,6 +1307,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long"),
                         F.col("doc_id").cast("long"))
 
+    def join_query_top10(spark, sf):
+        # JoinUtil.createJoinQuery: from-side = docs matching 'filter'
+        # (BM25-scored), join field = the stored dl docvalue, ScoreMode
+        # Max; to-side = every doc sharing a join value, scored by its
+        # value's aggregate
+        s = _get_searcher(spark, sf)
+        r = s.join_query(Q.TermQuery("filter"), "dl", score_mode="max",
+                         k=10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"),
+                        F.col("join_value").cast("long"))
+
     def span_or_top10(spark, sf):
         # SpanOrQuery: union of term spans; freq = total occurrences,
         # weight = summed idfs (vs SynonymQuery's max-df pseudo-term)
@@ -1761,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) new this round / never driver-gated --
         "dedup_clusters": dedup_clusters,
+        "join_query_top10": join_query_top10,
         "payload_sum_top10": payload_sum_top10,
         "unicode_emoji_top10": unicode_emoji_top10,
         "ascii_fold_top10": ascii_fold_top10,
@@ -2291,6 +2304,27 @@ scored AS (SELECT doc_id,
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank, doc_id
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        # JoinUtil: per-join-value max of the from-query's BM25 scores,
+        # then every doc carrying that value scores the aggregate
+        "join_query_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, dl, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, dl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_a FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a FROM tf),
+scored AS (SELECT doc_id, dl,
+    ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5)) * tf_a
+      / (tf_a + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tf_a > 0),
+vals AS (SELECT dl, max(score) AS vscore FROM scored GROUP BY dl)
+SELECT CAST(row_number() OVER (ORDER BY v.vscore DESC, t.doc_id)
+         AS BIGINT) AS rank, t.doc_id, CAST(t.dl AS BIGINT) AS join_value
+FROM tf t JOIN vals v ON t.dl = v.dl
+ORDER BY v.vscore DESC, t.doc_id LIMIT 10""",
         # SpanOrQuery: freq = tf_a + tf_b, weight = idf_a + idf_b
         "span_or_top10": f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),

@@ -1133,6 +1133,56 @@ class Searcher:
                 .select("rank", "segment", "docid", *self.index.id_cols,
                         "parent", "score"))
 
+    def join_query(self, from_query, from_col: str,
+                   to_col: str | None = None, score_mode: str = "max",
+                   k: int = 10) -> DataFrame:
+        """Query-time join — JoinUtil.createJoinQuery (solr-8.4.0/lucene/
+        join/src/java/org/apache/lucene/search/join/JoinUtil.java:73-186):
+        run `from_query`, collect the distinct values of the from-side
+        join field with one aggregated score per value
+        (TermsWithScoreCollector; ScoreMode None/Total/Max/Min/Avg), then
+        match every doc whose to-side join field holds one of those
+        values, scored by its value's aggregate
+        (TermsIncludingScoreQuery). Join fields are stored docmap columns
+        (the docvalues join model of the reference's numeric join path).
+
+        Scale shape: the aggregated (value, score) frame is bounded by
+        the from-query's match cardinality, never the corpus — it is
+        broadcast, so the to-side (the 100 TB side) is scan-joined in
+        place without a shuffle. Score roll-up accumulates in double and
+        casts to float32 once, like to_parent_join. Returns
+        (rank, segment, docid, join_value, score, id cols) ordered
+        (score desc, segment asc, docid asc)."""
+        aggs = {"total": F.sum, "max": F.max, "min": F.min, "avg": F.avg}
+        if score_mode not in aggs and score_mode != "none":
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        to_col = to_col or from_col
+        dm_cols = self.index.docmap().columns
+        for c in (from_col, to_col):
+            if c not in dm_cols:
+                raise ValueError(f"join field {c!r} is not a stored "
+                                 f"docmap column")
+        m = self._run(from_query, None, "complete")
+        dm = self.index.docmap()
+        fv = (m.join(dm.select("segment", "docid",
+                               F.col(from_col).alias("join_value")),
+                     ["segment", "docid"]))
+        if score_mode == "none":
+            vals = (fv.select("join_value").distinct()
+                    .withColumn("score", F.lit(1.0).cast("float")))
+        else:
+            vals = (fv.groupBy("join_value")
+                    .agg(aggs[score_mode](F.col("score").cast("double"))
+                         .cast("float").alias("score")))
+        out = (dm.select("segment", "docid", *self.index.id_cols,
+                         F.col(to_col).alias("join_value"))
+               .join(F.broadcast(vals), "join_value")
+               .orderBy(F.desc("score"), "segment", "docid").limit(k))
+        return (_rank_limited(out, [F.desc("score"), "segment", "docid"],
+                              "docid")
+                .select("rank", "segment", "docid", "join_value", "score",
+                        *self.index.id_cols))
+
     def function_score(self, query, value_col: str = "dl",
                        mode: str = "replace", k: int = 10) -> DataFrame:
         """FunctionScoreQuery (solr-8.4.0/lucene/queries/src/java/org/

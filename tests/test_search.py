@@ -295,6 +295,43 @@ def test_to_parent_block_join_modes(spark, spark_index):
     assert (none.score == 0).all()
 
 
+def test_join_query_modes(spark, spark_index):
+    # JoinUtil.createJoinQuery: per-join-value aggregate of from-scores,
+    # every to-doc carrying the value scores that aggregate
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    import numpy as np
+    import pytest as _pt
+    pdf, idx = spark_index
+    s = Searcher(idx)
+    frm = s.search(TermQuery("h0"), 10_000).toPandas()
+    dm = idx.docmap().select("segment", "docid", "dl").toPandas()
+    dl_of = {(r.segment, r.docid): r.dl for r in dm.itertuples()}
+    for mode, combine in [("total", sum), ("max", max), ("min", min),
+                          ("avg", lambda xs: sum(xs) / len(xs))]:
+        by_val = {}
+        for r in frm.itertuples():
+            by_val.setdefault(dl_of[(r.segment, r.docid)], []).append(
+                np.float64(np.float32(r.score)))
+        vscore = {v: np.float32(combine(xs)) for v, xs in by_val.items()}
+        got = s.join_query(TermQuery("h0"), "dl", score_mode=mode,
+                           k=8).toPandas()
+        # oracle: every doc whose dl has a score, ordered
+        # (score desc, segment, docid)
+        want = sorted(((vscore[dl], seg, did) for (seg, did), dl
+                       in dl_of.items() if dl in vscore),
+                      key=lambda x: (-x[0], x[1], x[2]))[:8]
+        assert [(r.segment, r.docid) for r in got.itertuples()] \
+            == [(seg, did) for _, seg, did in want], mode
+        for r, (sc, _, _) in zip(got.itertuples(), want):
+            assert np.float32(r.score) == sc, mode
+    # none mode: constant 1.0 over the joined docs
+    none = s.join_query(TermQuery("h0"), "dl", score_mode="none",
+                        k=8).toPandas()
+    assert (none.score == 1.0).all()
+    with _pt.raises(ValueError):
+        s.join_query(TermQuery("h0"), "nope")
+
+
 def test_drill_sideways_excludes_own_dim(spark, spark_index):
     from lucene_7_x_9_x_spark.searcher import Searcher
     from lucene_7_x_9_x_spark.functions.facets import drill_sideways
