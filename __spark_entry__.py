@@ -1594,6 +1594,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id_a").cast("long"),
                         F.col("id_b").cast("long")))
 
+    def _geo_df(spark, sf):
+        # deterministic md5-derived coordinates over the documents table
+        # (both engines compute the identical integers, then identical
+        # double arithmetic): lat in [-80, 80), lon in [-170, 170)
+        d = _docs(spark, sf).select("doc_id")
+        h = F.md5(F.col("doc_id").cast("string"))
+        lat = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+               % 16000) / 100.0 - 80.0
+        lon = (F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+               % 34000) / 100.0 - 170.0
+        return d.withColumn("lat", lat).withColumn("lon", lon)
+
+    def geo_box_ids(spark, sf):
+        # LatLonPoint.newBoxQuery with the reference's quantized edge
+        # rounding (ceil on minima, floor on maxima) — integer compares,
+        # bit-exact in any engine
+        from lucene_7_x_9_x_spark.functions.geo import geo_box
+        return (geo_box(_geo_df(spark, sf), "lat", "lon",
+                        -20.0, 35.0, -50.0, 60.0)
+                .select(F.col("doc_id").cast("long")))
+
+    def geo_distance_ids(spark, sf):
+        # LatLonPoint.newDistanceQuery: bounding-box prune + exact
+        # haversine refine over the quantized point
+        from lucene_7_x_9_x_spark.functions.geo import geo_distance
+        return (geo_distance(_geo_df(spark, sf), "lat", "lon",
+                             10.0, 20.0, 3_000_000.0)
+                .select(F.col("doc_id").cast("long")))
+
+    def geo_nearest_top10(spark, sf):
+        # distance sort (LatLonDocValuesField.newDistanceSort role):
+        # nearest 10 docs to (10, 20), ties on doc_id
+        from lucene_7_x_9_x_spark.functions.geo import geo_nearest
+        r = geo_nearest(_geo_df(spark, sf), "lat", "lon",
+                        10.0, 20.0, 10, ["doc_id"])
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
     def dedup_clusters(spark, sf):
         # transitive near-dup clusters over the minhash-LSH pairs
         # (large-star/small-star connected components) + the kept
@@ -1774,6 +1812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) new this round / never driver-gated --
         "dedup_clusters": dedup_clusters,
         "join_query_top10": join_query_top10,
+        "geo_box": geo_box_ids,
+        "geo_distance": geo_distance_ids,
+        "geo_nearest_top10": geo_nearest_top10,
         "payload_sum_top10": payload_sum_top10,
         "unicode_emoji_top10": unicode_emoji_top10,
         "ascii_fold_top10": ascii_fold_top10,
@@ -1985,6 +2026,52 @@ WITH b AS (SELECT vec_id, embedding, ({bucket}) AS bucket,
 SELECT a.vec_id AS id_a, c.vec_id AS id_b
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ({dot_pair}) / (a.nrm * c.nrm) >= {threshold}"""
+
+
+def _geo_sql() -> dict[str, str]:
+    """DuckDB replicas of the geo gates: identical md5-derived integer
+    coordinates, the same quantization constants (inlined via repr, so
+    the doubles round-trip exactly), integer-compare box edges, and the
+    same haversine-sort-key arithmetic with the center's trig constants
+    precomputed in Python for BOTH engines."""
+    import math as m
+
+    from lucene_7_x_9_x_spark.functions.geo import (EARTH_MEAN_RADIUS_M,
+                                                    LAT_SCALE, LON_SCALE)
+    latlon = """
+geo AS (SELECT doc_id,
+    ((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16000)
+      / 100.0 - 80.0) AS lat,
+    ((('0x' || substring(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 34000)
+      / 100.0 - 170.0) AS lon
+ FROM documents)"""
+    box = (f"""
+WITH {latlon}
+SELECT doc_id FROM geo
+WHERE floor(lat * {LAT_SCALE!r}) >= {m.ceil(-20.0 * LAT_SCALE)}
+  AND floor(lat * {LAT_SCALE!r}) <= {m.floor(35.0 * LAT_SCALE)}
+  AND floor(lon * {LON_SCALE!r}) >= {m.ceil(-50.0 * LON_SCALE)}
+  AND floor(lon * {LON_SCALE!r}) <= {m.floor(60.0 * LON_SCALE)}""")
+    clat, clon = 10.0, 20.0
+    x2 = m.radians(clat)
+    key = (f"((1 - cos(radians(floor(lat * {LAT_SCALE!r})"
+           f" * {1.0 / LAT_SCALE!r}) - {x2!r}))"
+           f" + cos(radians(floor(lat * {LAT_SCALE!r})"
+           f" * {1.0 / LAT_SCALE!r})) * {m.cos(x2)!r}"
+           f" * (1 - cos(radians(floor(lon * {LON_SCALE!r})"
+           f" * {1.0 / LON_SCALE!r} - {clon!r}))))")
+    dist = (f"({2 * EARTH_MEAN_RADIUS_M!r}"
+            f" * asin(least(1.0, sqrt({key} * 0.5))))")
+    distance = f"""
+WITH {latlon}
+SELECT doc_id FROM geo WHERE {dist} <= 3000000.0"""
+    nearest = f"""
+WITH {latlon}
+SELECT CAST(row_number() OVER (ORDER BY {key}, doc_id) AS BIGINT) AS rank,
+       doc_id
+FROM geo ORDER BY {key}, doc_id LIMIT 10"""
+    return {"geo_box": box, "geo_distance": distance,
+            "geo_nearest_top10": nearest}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2628,6 +2715,7 @@ WHERE rank <= 2""",
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                   >= 0.5""",
+        **_geo_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(shingle),
         # transitive closure of the LSH pairs via a recursive CTE (the
         # oracle can afford closure at gate scale; the engine uses
