@@ -1028,6 +1028,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("doc_id").cast("long"),
                         F.col("dl").cast("long")))
 
+    def _docvals(spark, sf):
+        # deterministic per-doc docvalues side-table (the stored-DocValues
+        # role, like knn's vectors table): `val` present for 2 of 3 docs
+        # (field-exists / set-membership target), plus an integer interval
+        # [range_min, range_max] per doc (the IntRange field)
+        d = _docs(spark, sf).select("doc_id", "n_chars")
+        return d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 != 0,
+                   F.col("n_chars") % 97).alias("val"),
+            (F.col("n_chars") % 199).alias("range_min"),
+            (F.col("n_chars") % 199 + F.col("doc_id") % 37)
+            .alias("range_max"))
+
+    def field_exists(spark, sf):
+        # FieldExistsQuery / DocValuesFieldExistsQuery: docs that HAVE a
+        # value for the field (IsNotNull pushed to the docvalues scan)
+        s = _get_searcher(spark, sf)
+        return (s.field_exists_docs("val", docvalues=_docvals(spark, sf))
+                .select(F.col("doc_id").cast("long")))
+
+    def point_in_set(spark, sf):
+        # PointInSetQuery / SortedNumericDocValuesSetQuery: exact set
+        # membership, pushed as an In(...) scan filter
+        s = _get_searcher(spark, sf)
+        return (s.point_in_set_docs([10, 20, 30, 40, 50], "val",
+                                    docvalues=_docvals(spark, sf))
+                .select(F.col("doc_id").cast("long"),
+                        F.col("val").cast("long")))
+
+    def range_field_intersects(spark, sf):
+        # IntRange INTERSECTS: doc interval overlaps the query range
+        s = _get_searcher(spark, sf)
+        return (s.range_field_docs(50, 90, "intersects",
+                                   docvalues=_docvals(spark, sf))
+                .select(F.col("doc_id").cast("long"),
+                        F.col("range_min").cast("long"),
+                        F.col("range_max").cast("long")))
+
+    def range_field_crosses(spark, sf):
+        # IntRange CROSSES: intersects minus WITHIN minus CONTAINS
+        # (RangeFieldQuery.QueryType.CROSSES)
+        s = _get_searcher(spark, sf)
+        return (s.range_field_docs(50, 90, "crosses",
+                                   docvalues=_docvals(spark, sf))
+                .select(F.col("doc_id").cast("long"),
+                        F.col("range_min").cast("long"),
+                        F.col("range_max").cast("long")))
+
     def parse_query_topk(spark, sf):
         from lucene_7_x_9_x_spark.plans.parser import parse
         # classic-parser semantics: AND retro-upgrades 'group' to MUST,
@@ -1815,6 +1864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box": geo_box_ids,
         "geo_distance": geo_distance_ids,
         "geo_nearest_top10": geo_nearest_top10,
+        "field_exists": field_exists,
+        "point_in_set": point_in_set,
+        "range_field_intersects": range_field_intersects,
+        "range_field_crosses": range_field_crosses,
         "payload_sum_top10": payload_sum_top10,
         "unicode_emoji_top10": unicode_emoji_top10,
         "ascii_fold_top10": ascii_fold_top10,
@@ -2028,6 +2081,16 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE ({dot_pair}) / (a.nrm * c.nrm) >= {threshold}"""
 
 
+# DuckDB replica of queries()._docvals — the docvalues side-table the
+# field-exists / point-in-set / range-field gates test against
+_DOCVALS_SQL = """
+dv AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 <> 0 THEN CAST(n_chars % 97 AS BIGINT) END AS val,
+    CAST(n_chars % 199 AS BIGINT) AS range_min,
+    CAST(n_chars % 199 + doc_id % 37 AS BIGINT) AS range_max
+ FROM documents)"""
+
+
 def _geo_sql() -> dict[str, str]:
     """DuckDB replicas of the geo gates: identical md5-derived integer
     coordinates, the same quantization constants (inlined via repr, so
@@ -2118,6 +2181,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(dl AS BIGINT) AS dl
             FROM (SELECT doc_id, len({TOKS}) AS dl FROM documents)
             WHERE dl BETWEEN 40 AND 60""",
+        "field_exists": f"""
+            WITH {_DOCVALS_SQL}
+            SELECT doc_id FROM dv WHERE val IS NOT NULL""",
+        "point_in_set": f"""
+            WITH {_DOCVALS_SQL}
+            SELECT doc_id, val FROM dv
+            WHERE val IN (10, 20, 30, 40, 50)""",
+        "range_field_intersects": f"""
+            WITH {_DOCVALS_SQL}
+            SELECT doc_id, range_min, range_max FROM dv
+            WHERE range_min <= 90 AND range_max >= 50""",
+        "range_field_crosses": f"""
+            WITH {_DOCVALS_SQL}
+            SELECT doc_id, range_min, range_max FROM dv
+            WHERE range_min <= 90 AND range_max >= 50
+              AND NOT (range_min >= 50 AND range_max <= 90)
+              AND NOT (range_min <= 50 AND range_max >= 90)""",
         "parse_query_topk": _bm25_sql(["group", "query", "window"], 10,
                                       False, cond="tf_0 > 0 AND tf_1 > 0"),
         "parse_query_matches": _contains_sql(

@@ -796,6 +796,98 @@ class Searcher:
             dm = dm.where(c <= upper if include_upper else c < upper)
         return dm.select("segment", "docid", *self.index.id_cols, col)
 
+    def _live_values(self, docvalues: DataFrame | None,
+                     cols: list[str]) -> DataFrame:
+        """Shared access path of the docvalues-style queries below: the
+        per-doc value rows to test a predicate against. None -> the
+        docmap itself (stored columns; predicates push to its parquet
+        scan). A DataFrame -> an external columnar docvalues table keyed
+        by the index's FIRST id column (the same side-table convention
+        as knn()'s `vectors`); tombstones are dropped by joining the
+        live docmap AFTER the caller filters the value side, so the
+        pushed-down predicate — not the join — does the heavy pruning."""
+        dm = self.index.docmap()
+        dels = self.index.deletes()
+        if dels is not None:
+            dm = dm.join(dels, ["segment", "docid"], "left_anti")
+        if docvalues is None:
+            return dm.select("segment", "docid", *self.index.id_cols,
+                             *[c for c in cols
+                               if c not in self.index.id_cols])
+        id0 = self.index.id_cols[0]
+        return docvalues.join(
+            dm.select("segment", "docid", id0), id0)
+
+    def field_exists_docs(self, col: str,
+                          docvalues: DataFrame = None) -> DataFrame:
+        """FieldExistsQuery / DocValuesFieldExistsQuery (demos
+        FieldExistQueryTest.java, DocValuesExistQuery.java; the
+        KnnVectorFieldExistsQuery form in LuceneDemo9.8.0
+        TestSparseKNN.java — pass the vectors side-table as `docvalues`
+        to select docs that have a vector): docs that HAVE a value for
+        the field. IsNotNull is
+        sargable — it reaches the parquet scan as a pushed filter, and
+        row groups whose null-count equals their row-count are skipped
+        (the reference answers this from the FieldInfos/DocValues
+        iterator without visiting documents; null stats play that
+        role here). Returns (segment, docid, <id cols>)."""
+        side = (docvalues.where(F.col(col).isNotNull())
+                if docvalues is not None else None)
+        out = self._live_values(side, [col])
+        if docvalues is None:
+            out = out.where(F.col(col).isNotNull())
+        return out.select("segment", "docid", *self.index.id_cols)
+
+    def point_in_set_docs(self, values, col: str,
+                          docvalues: DataFrame = None) -> DataFrame:
+        """PointInSetQuery / SortedNumericDocValuesSetQuery (demos
+        TestPointInSetQuery.java, TestSortedNumericDocValuesSetQuery
+        .java): exact-set membership over a per-doc numeric/keyword
+        column. Pushes down as an In(...) scan filter, so parquet
+        min/max (and dictionary) stats prune row groups — the
+        PointInSetQuery BKD intersect re-expressed. Returns
+        (segment, docid, <id cols>, <col>)."""
+        vals = sorted(set(values))
+        side = (docvalues.where(F.col(col).isin(vals))
+                if docvalues is not None else None)
+        out = self._live_values(side, [col])
+        if docvalues is None:
+            out = out.where(F.col(col).isin(vals))
+        return out.select("segment", "docid", *self.index.id_cols, col)
+
+    def range_field_docs(self, lower, upper, relation: str = "intersects",
+                         min_col: str = "range_min",
+                         max_col: str = "range_max",
+                         docvalues: DataFrame = None) -> DataFrame:
+        """Range-field queries (IntRange / RangeFieldQuery.QueryType —
+        demos IntRangeTest.java, IntRangeDocValuesFieldTest.java): each
+        doc stores an interval [min_col, max_col]; select docs whose
+        interval INTERSECTS / is WITHIN / CONTAINS / CROSSES the query
+        range [lower, upper]. Pure range predicates on two columns: the
+        intersects/within/contains forms are sargable (parquet row-group
+        min/max prune both bounds); crosses = intersects minus the two
+        containment forms, the reference's definition
+        (RangeFieldQuery.java QueryType.CROSSES). Endpoints inclusive,
+        as in the reference. Returns (segment, docid, <id cols>,
+        min_col, max_col)."""
+        lo, hi = F.col(min_col), F.col(max_col)
+        intersects = (lo <= upper) & (hi >= lower)
+        within = (lo >= lower) & (hi <= upper)
+        contains = (lo <= lower) & (hi >= upper)
+        preds = {"intersects": intersects, "within": within,
+                 "contains": contains,
+                 "crosses": intersects & ~within & ~contains}
+        if relation not in preds:
+            raise ValueError(f"unknown range relation {relation!r}; "
+                             f"one of {sorted(preds)}")
+        pred = preds[relation]
+        side = docvalues.where(pred) if docvalues is not None else None
+        out = self._live_values(side, [min_col, max_col])
+        if docvalues is None:
+            out = out.where(pred)
+        return out.select("segment", "docid", *self.index.id_cols,
+                          min_col, max_col)
+
     def knn(self, query_vec, k: int = 10, filter=None,
             vectors: DataFrame = None, vec_id_col: str = "vec_id",
             vec_col: str = "embedding", bucketed: DataFrame = None,
