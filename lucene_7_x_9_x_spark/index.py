@@ -50,9 +50,14 @@ def _atomic_write_json(path: str, obj: dict):
 class IndexSnapshot:
     """Point-in-time readable view (DirectoryReader analogue)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 include_soft_deleted: bool = False):
         self.spark = spark
         self.root = root
+        # include_soft_deleted=True is the reader opened WITHOUT the
+        # SoftDeletesDirectoryReaderWrapper (demo lucene.softDeletes.*):
+        # soft-deleted docs stay visible
+        self.include_soft_deleted = include_soft_deleted
         with open(os.path.join(root, MANIFEST)) as f:
             self.manifest = json.load(f)
         self.id_fields = [tuple(x) for x in self.manifest["id_fields"]]
@@ -237,14 +242,45 @@ class IndexSnapshot:
                     np.asarray(v[1], dtype=np.int64))
                 for k, v in acc.items()}
 
-    def deletes(self) -> DataFrame | None:
-        """Tombstoned (segment, docid) rows committed by operators.deletes
-        (the liveDocs analogue), or None if this snapshot has none."""
+    def hard_deletes(self) -> DataFrame | None:
+        """Hard-tombstoned (segment, docid) rows committed by
+        operators.deletes (the liveDocs analogue), or None."""
         dirs = self.manifest.get("deletes", [])
         if not dirs:
             return None
         return self.spark.read.parquet(
             *[os.path.join(self.root, d) for d in dirs])
+
+    def soft_deletes(self) -> DataFrame | None:
+        """Soft-tombstone rows (segment, docid, value, seq) — the
+        soft-deletes DocValues field analogue (IndexWriterConfig
+        .setSoftDeletesField; demos lucene.softDeletes.SoftDeletesTest*):
+        `value` is the NumericDocValuesField value the soft-delete was
+        stamped with, `seq` a monotone operation sequence (retention
+        policies select on either). None if the snapshot has none."""
+        dirs = self.manifest.get("soft_deletes", [])
+        if not dirs:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dirs])
+
+    def deletes(self) -> DataFrame | None:
+        """EFFECTIVE tombstones for search: hard deletes plus — unless
+        this snapshot was opened with include_soft_deleted — the soft
+        ones. Duplicate (segment, docid) rows are harmless to every
+        consumer (anti-joins / isin membership), so no distinct here."""
+        parts = []
+        hd = self.hard_deletes()
+        if hd is not None:
+            parts.append(hd.select("segment", "docid"))
+        if not self.include_soft_deleted:
+            sd = self.soft_deletes()
+            if sd is not None:
+                parts.append(sd.select("segment", "docid"))
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else \
+            parts[0].unionByName(parts[1])
 
     @property
     def stats(self) -> dict:

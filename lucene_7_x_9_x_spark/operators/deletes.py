@@ -55,8 +55,92 @@ def delete_by_ids(spark: SparkSession, index_dir: str,
     return n
 
 
+def soft_delete_by_ids(spark: SparkSession, index_dir: str,
+                       ids: DataFrame, value: int | None = None) -> int:
+    """Soft-delete — the soft-deletes DocValues field analogue
+    (IndexWriterConfig.setSoftDeletesField + softUpdateDocument's
+    NumericDocValuesField stamp; demos lucene.softDeletes
+    .SoftDeletesTest0-10). Docs stop matching searches exactly like hard
+    tombstones, but stay physically present and can be restored
+    (undelete_by_ids) or retained through compaction by a retention
+    policy (compact_index soft_retention) — the
+    SoftDeletesRetentionMergePolicy contract. `value` is the stamp the
+    reference writes into the docvalues field; a monotone `seq` is
+    recorded per operation for sequence-based retention."""
+    idx = IndexSnapshot(spark, index_dir)
+    seq = int(idx.manifest.get("soft_seq", 0)) + 1
+    tomb = (idx.docmap()
+            .join(ids.select(*idx.id_cols).distinct(), idx.id_cols,
+                  "leftsemi")
+            .select("segment", "docid",
+                    F.lit(value).cast("long").alias("value"),
+                    F.lit(seq).cast("long").alias("seq")))
+    name = os.path.join("soft_deletes", f"soft_{uuid.uuid4().hex[:12]}")
+    path = os.path.join(index_dir, name)
+    tomb.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    m = dict(idx.manifest)
+    m["soft_deletes"] = m.get("soft_deletes", []) + [name]
+    m["soft_seq"] = seq
+    m["run_id"] = uuid.uuid4().hex[:12]
+    m.setdefault("checkpoints", []).append(
+        {"stage": "soft_delete", "batch": name, "status": "done",
+         "rows": n, "seq": seq})
+    _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
+    return n
+
+
+def undelete_by_ids(spark: SparkSession, index_dir: str,
+                    ids: DataFrame) -> int:
+    """Remove soft tombstones for the given ids — the recovery move soft
+    deletes exist for (a hard tombstone cannot be taken back; demo
+    SoftDeletesTest family keeps soft-deleted docs addressable via the
+    unwrapped reader). Consolidates the remaining soft tombstones into
+    one file and commits it through the manifest (two-phase: file first,
+    manifest rename last), so an already-open snapshot is untouched.
+    Returns the number of soft tombstones removed."""
+    idx = IndexSnapshot(spark, index_dir, include_soft_deleted=True)
+    sd = idx.soft_deletes()
+    if sd is None:
+        return 0
+    victims = (idx.docmap()
+               .join(ids.select(*idx.id_cols).distinct(), idx.id_cols,
+                     "leftsemi")
+               .select("segment", "docid"))
+    remaining = sd.join(victims, ["segment", "docid"], "left_anti")
+    name = os.path.join("soft_deletes",
+                        f"soft_{uuid.uuid4().hex[:12]}")
+    path = os.path.join(index_dir, name)
+    remaining.write.mode("overwrite").parquet(path)
+    n_before = sd.count()
+    n_after = spark.read.parquet(path).count()
+    m = dict(idx.manifest)
+    m["soft_deletes"] = [name]
+    m["run_id"] = uuid.uuid4().hex[:12]
+    m.setdefault("checkpoints", []).append(
+        {"stage": "undelete", "batch": name, "status": "done",
+         "removed": n_before - n_after})
+    _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
+    return n_before - n_after
+
+
+def soft_update_docs(spark: SparkSession, index_dir: str,
+                     new_docs: DataFrame, value: int | None = None,
+                     refresh_stats: bool = True) -> IndexSnapshot:
+    """softUpdateDocument analogue: soft-delete existing docs with the
+    same ids, append the replacements as new segments."""
+    from ..streaming.incremental import append_batch, finalize
+    idx = IndexSnapshot(spark, index_dir)
+    soft_delete_by_ids(spark, index_dir, new_docs.select(*idx.id_cols),
+                       value=value)
+    append_batch(spark, new_docs, index_dir)
+    if refresh_stats:
+        return finalize(spark, index_dir)
+    return IndexSnapshot(spark, index_dir)
+
+
 def compact_index(spark: SparkSession, index: IndexSnapshot,
-                  out_dir: str) -> IndexSnapshot:
+                  out_dir: str, soft_retention=None) -> IndexSnapshot:
     """Apply tombstones PHYSICALLY — the role SegmentMerger plays for
     Lucene's liveDocs (deleted docs dropped, docids renumbered densely,
     postings/norms/stats rewritten; solr-8.4.0/.../index/SegmentMerger.java
@@ -76,6 +160,27 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     dels = index.deletes()
     if dels is None:
         raise ValueError("index has no tombstones to compact")
+    # SoftDeletesRetentionMergePolicy: soft-deleted docs selected by the
+    # retention policy survive the rewrite PHYSICALLY (and stay soft-
+    # deleted in the compacted index, renumbered); the rest are dropped
+    # for good, exactly like hard tombstones. `soft_retention` is a
+    # callable over the soft-tombstone DataFrame (segment, docid, value,
+    # seq) returning the rows to RETAIN — the retention query's role.
+    retained = None
+    if soft_retention is not None and index.soft_deletes() is not None:
+        sd = index.soft_deletes()
+        retained = soft_retention(sd).select("segment", "docid",
+                                             "value", "seq")
+        hard = index.hard_deletes()
+        if hard is not None:
+            # a doc both hard- and soft-deleted is gone: hard wins
+            retained = retained.join(hard.select("segment", "docid"),
+                                     ["segment", "docid"], "left_anti")
+        soft_phys = sd.select("segment", "docid").join(
+            retained.select("segment", "docid"),
+            ["segment", "docid"], "left_anti")
+        dels = soft_phys if hard is None else \
+            hard.select("segment", "docid").unionByName(soft_phys)
     # tombstones are NEVER collected to the driver: compaction is the one
     # op whose whole point is a huge delete set, so each segment's sorted
     # delete array rides the segnorms side of the cogroup (one small array
@@ -90,10 +195,10 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     other_cols = [c for c in dm.columns if c not in ("segment", "docid")]
     from pyspark.sql import Window
     w = Window.partitionBy("segment").orderBy("docid")
-    new_dm = (dm.withColumn("new_docid",
-                            F.row_number().over(w).cast("long") - 1)
-              .select("segment", F.col("new_docid").alias("docid"),
-                      *other_cols))
+    renum = dm.withColumn("new_docid",
+                          F.row_number().over(w).cast("long") - 1)
+    new_dm = renum.select("segment", F.col("new_docid").alias("docid"),
+                          *other_cols)
 
     # ---- postings: decode -> filter -> renumber -> re-encode -----------
     schema = postings_schema_ddl()
@@ -201,11 +306,27 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     (new_dm.repartition("segment").sortWithinPartitions("segment", "docid")
      .write.mode("overwrite").parquet(os.path.join(batch_dir,
                                                    "kind=docmap")))
+    # retained soft tombstones follow their docs into the new coordinate
+    # space: renumbered by the SAME rank mapping the docmap used
+    new_soft: list[str] = []
+    if retained is not None:
+        kept = (retained.withColumnRenamed("docid", "_odoc")
+                .join(renum.select("segment",
+                                   F.col("docid").alias("_odoc"),
+                                   "new_docid"),
+                      ["segment", "_odoc"])
+                .select("segment", F.col("new_docid").alias("docid"),
+                        "value", "seq"))
+        name = os.path.join("soft_deletes", "soft_kept")
+        kept.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        new_soft = [name]
+
     manifest = dict(index.manifest)
     manifest.update({
         "run_id": uuid.uuid4().hex[:12],
         "batches": ["batch_0"],
         "deletes": [],
+        "soft_deletes": new_soft,
         "checkpoints": index.manifest.get("checkpoints", []) + [{
             "stage": "compact", "status": "done",
             "tombstones": int(n_tombstones),

@@ -285,20 +285,35 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
                            index.manifest.get("extra_fields", [])])
 
     # tombstones rebase exactly like docmap rows (merge concatenates, it
-    # does not compact): remap them into the merged coordinate space
-    dels = index.deletes()
+    # does not compact): remap them into the merged coordinate space.
+    # Hard and soft sets remap separately — a merge must not harden a
+    # soft delete (SoftDeletesTest retention/undelete still applies
+    # after merges).
+    def _remap(df, extra_cols=()):
+        return (df.withColumn("new_segment", smap[F.col("segment")])
+                .withColumn("new_docid",
+                            F.col("docid") + bmap[F.col("segment")])
+                .select(F.col("new_segment").alias("segment"),
+                        F.col("new_docid").alias("docid"), *extra_cols))
+
+    dels = index.hard_deletes()
     new_deletes: list[str] = []
     if dels is not None:
-        nd = (dels.withColumn("new_segment", smap[F.col("segment")])
-              .withColumn("new_docid", F.col("docid") + bmap[F.col("segment")])
-              .select(F.col("new_segment").alias("segment"),
-                      F.col("new_docid").alias("docid")))
         name = os.path.join("deletes", "del_merged")
-        nd.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        _remap(dels).write.mode("overwrite").parquet(
+            os.path.join(out_dir, name))
         new_deletes = [name]
+    soft = index.soft_deletes()
+    new_soft: list[str] = []
+    if soft is not None:
+        name = os.path.join("soft_deletes", "soft_merged")
+        _remap(soft, ("value", "seq")).write.mode("overwrite").parquet(
+            os.path.join(out_dir, name))
+        new_soft = [name]
 
     manifest = dict(index.manifest)
     manifest["deletes"] = new_deletes
+    manifest["soft_deletes"] = new_soft
     # merge CONCATENATES old segments, so a merged segment is no longer
     # globally ordered by an index-time sort column — drop the flag so
     # sorted_topk cannot early-terminate incorrectly (compaction preserves
