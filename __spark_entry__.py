@@ -1540,6 +1540,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rank").cast("long"),
                         F.col("doc_id").cast("long")))
 
+    def diversified_topk(spark, sf):
+        # DiversifiedTopDocsCollector: global top-5 with at most 2 hits
+        # per lang (demo lucene/collector/DiversityCollector.java)
+        from lucene_7_x_9_x_spark.functions.facets import diversified_topk
+        s = _get_searcher(spark, sf)
+        m = s.matches(Q.BooleanQuery(
+            [(O.SHOULD, T("filter")), (O.SHOULD, T("join"))]))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang")
+        meta = dm.join(docs, "doc_id")
+        out = diversified_topk(m, meta.select("segment", "docid",
+                                              "doc_id", "lang"),
+                               ["segment", "docid"], "lang", 5,
+                               max_per_key=2)
+        return (out.join(meta.select("segment", "docid", "doc_id"),
+                         ["segment", "docid"])
+                .select(F.col("rank").cast("long"),
+                        F.col("key").alias("lang"),
+                        F.col("doc_id").cast("long")))
+
+    def distinct_values_per_group(spark, sf):
+        # DistinctValuesCollector: per lang-group, the distinct source
+        # values among docs matching 'filter'
+        from lucene_7_x_9_x_spark.functions.facets import distinct_values
+        s = _get_searcher(spark, sf)
+        m = s.matches(T("filter"))
+        dm = s.index.docmap().select(
+            "segment", "docid", F.col("doc_id").cast("long").alias("doc_id"))
+        docs = _docs(spark, sf).select(F.col("doc_id").cast("long"),
+                                       "lang", "source")
+        meta = dm.join(docs, "doc_id")
+        out = distinct_values(m, meta.select("segment", "docid", "lang",
+                                             "source"), "lang", "source")
+        return out.select(F.col("grp").alias("lang"),
+                          F.array_join("values", ",").alias("sources"),
+                          F.col("n_distinct").cast("long"))
+
     def facet_lang(spark, sf):
         ids = _match_ids(spark, sf, T("filter"))
         docs = _docs(spark, sf).select(F.col("doc_id").cast("long"), "lang")
@@ -1866,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_top10": geo_nearest_top10,
         "field_exists": field_exists,
         "point_in_set": point_in_set,
+        "diversified_topk": diversified_topk,
+        "distinct_values_per_group": distinct_values_per_group,
         "range_field_intersects": range_field_intersects,
         "range_field_crosses": range_field_crosses,
         "payload_sum_top10": payload_sum_top10,
@@ -2703,6 +2743,43 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
                   WHERE t LIKE 's%'
                   GROUP BY t)
             ORDER BY weight DESC, term LIMIT 10""",
+        "diversified_topk": f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, lang, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, lang, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, lang, qdl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_0,
+         len(list_filter(ts, t -> t = 'join')) AS tf_1 FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_0 > 0) AS df_0,
+               count(*) FILTER (WHERE tf_1 > 0) AS df_1 FROM tf),
+scored AS (SELECT doc_id, lang,
+    (CASE WHEN tf_0 > 0 THEN
+       ln(1 + (s.doc_count - d.df_0 + 0.5) / (d.df_0 + 0.5)) * tf_0
+         / (tf_0 + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+            / CAST(s.sum_ttf AS DOUBLE))) ELSE 0 END)
+  + (CASE WHEN tf_1 > 0 THEN
+       ln(1 + (s.doc_count - d.df_1 + 0.5) / (d.df_1 + 0.5)) * tf_1
+         / (tf_1 + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+            / CAST(s.sum_ttf AS DOUBLE))) ELSE 0 END) AS score,
+    tf_0 + tf_1 AS any_tf
+    FROM tf, stats s, dfs d),
+kept AS (SELECT lang, doc_id, score,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY score DESC, doc_id) AS kr
+      FROM scored WHERE any_tf > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, lang, doc_id
+FROM kept WHERE kr <= 2
+ORDER BY score DESC, doc_id LIMIT 5""",
+        "distinct_values_per_group": f"""
+WITH toks AS (SELECT doc_id, lang, source, {TOKS} AS ts FROM documents)
+SELECT lang,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
+FROM toks WHERE list_contains(ts, 'filter')
+GROUP BY lang ORDER BY lang""",
         "grouped_topk": f"""
 WITH toks AS (SELECT doc_id, lang, {TOKS} AS ts FROM documents),
 dl_t AS (SELECT doc_id, lang, ts, len(ts) AS dl FROM toks),

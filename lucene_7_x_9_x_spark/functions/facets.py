@@ -100,6 +100,49 @@ def top_hits_per_group(scored: DataFrame, meta: DataFrame,
                     "docid", "score"))
 
 
+def diversified_topk(scored: DataFrame, meta: DataFrame,
+                     join_cols: list, key_col: str, k: int,
+                     max_per_key: int = 1) -> DataFrame:
+    """Diversified top-k — the DiversifiedTopDocsCollector capability
+    (demo lucene/collector/DiversityCollector.java: top songs with at
+    most max_per_key entries per artist). Deterministic per-key-cap
+    semantics: within each key, docs rank (score desc, segment asc,
+    docid asc — the HitQueue tie order); only the best max_per_key per
+    key compete for the global top-k.
+
+    Plan shape: one keyed window over the (small) scored match set,
+    then TakeOrderedAndProject for the global k, then a k-row rank
+    window — never a global sort. Returns (rank, key, segment, docid,
+    score)."""
+    from pyspark.sql import Window
+    j = scored.join(meta, join_cols)
+    wk = (Window.partitionBy(key_col)
+          .orderBy(F.desc("score"), "segment", "docid"))
+    kept = (j.withColumn("_kr", F.row_number().over(wk))
+            .where(F.col("_kr") <= max_per_key))
+    top = kept.orderBy(F.desc("score"), "segment", "docid").limit(k)
+    w = (Window.partitionBy(F.col("_kr") % F.lit(1))
+         .orderBy(F.desc("score"), "segment", "docid"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", F.col(key_col).alias("key"), "segment",
+                    "docid", "score"))
+
+
+def distinct_values(matches: DataFrame, attrs: DataFrame,
+                    group_col: str, count_col: str) -> DataFrame:
+    """DistinctValuesCollector (demo lucene/grouping/
+    DistinctValueCollectorTest.java: per author-group, the distinct
+    publisher values among matching docs). One hash aggregate; the
+    distinct-set accumulation is exactly the collector's per-group
+    HashSet. Returns (grp, values[], n_distinct) ordered by grp."""
+    j = matches.join(attrs, ["segment", "docid"])
+    return (j.groupBy(F.col(group_col).alias("grp"))
+            .agg(F.sort_array(F.collect_set(count_col)).alias("values"),
+                 F.countDistinct(count_col).cast("long")
+                 .alias("n_distinct"))
+            .orderBy("grp"))
+
+
 def taxonomy_children(matches: DataFrame, attrs: DataFrame,
                       path_cols: list, prefix: tuple = (),
                       top_n: int = 10) -> DataFrame:
