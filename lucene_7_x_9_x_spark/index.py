@@ -100,9 +100,28 @@ class IndexSnapshot:
 
     def docmap(self) -> DataFrame:
         if not hasattr(self, "_docmap_df"):
-            self._docmap_df = self.spark.read.parquet(*[
+            dm = self.spark.read.parquet(*[
                 os.path.join(self.root, d, "kind=docmap")
                 for d in self.manifest["batches"]])
+            # docvalues update overlays (operators.docvalues): applied
+            # lazily in generation order, last writer wins — the .dvd
+            # gen-file merge-on-read of the reference. The overlay side
+            # is small (one update op) and broadcast, so the base docmap
+            # is never shuffled; compaction/merge fold overlays in and
+            # clear the list.
+            for ent in self.manifest.get("dv_updates", []):
+                upd = self.spark.read.parquet(
+                    os.path.join(self.root, ent["path"]))
+                fld = ent["field"]
+                base = F.col(fld) if fld in dm.columns else \
+                    F.lit(None).cast(upd.schema["value"].dataType)
+                dm = (dm.join(
+                        F.broadcast(upd.withColumnRenamed("value",
+                                                          "_dv_upd")),
+                        ["segment", "docid"], "left")
+                      .withColumn(fld, F.coalesce(F.col("_dv_upd"), base))
+                      .drop("_dv_upd"))
+            self._docmap_df = dm
         return self._docmap_df
 
     def terms(self) -> DataFrame:

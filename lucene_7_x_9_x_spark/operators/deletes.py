@@ -327,6 +327,7 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
         "batches": ["batch_0"],
         "deletes": [],
         "soft_deletes": new_soft,
+        "dv_updates": [],
         "checkpoints": index.manifest.get("checkpoints", []) + [{
             "stage": "compact", "status": "done",
             "tombstones": int(n_tombstones),

@@ -314,6 +314,8 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     manifest = dict(index.manifest)
     manifest["deletes"] = new_deletes
     manifest["soft_deletes"] = new_soft
+    # merged docmap was built from the OVERLAID view: updates materialized
+    manifest["dv_updates"] = []
     # merge CONCATENATES old segments, so a merged segment is no longer
     # globally ordered by an index-time sort column — drop the flag so
     # sorted_topk cannot early-terminate incorrectly (compaction preserves
