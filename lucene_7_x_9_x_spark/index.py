@@ -51,14 +51,18 @@ class IndexSnapshot:
     """Point-in-time readable view (DirectoryReader analogue)."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 include_soft_deleted: bool = False):
+                 include_soft_deleted: bool = False,
+                 manifest_name: str = MANIFEST):
         self.spark = spark
         self.root = root
         # include_soft_deleted=True is the reader opened WITHOUT the
         # SoftDeletesDirectoryReaderWrapper (demo lucene.softDeletes.*):
         # soft-deleted docs stay visible
         self.include_soft_deleted = include_soft_deleted
-        with open(os.path.join(root, MANIFEST)) as f:
+        # manifest_name other than the default opens the index AT A PAST
+        # COMMIT POINT (DirectoryReader.open(IndexCommit) — see
+        # operators/commits.py); relative to root
+        with open(os.path.join(root, manifest_name)) as f:
             self.manifest = json.load(f)
         self.id_fields = [tuple(x) for x in self.manifest["id_fields"]]
         self.id_cols = [n for n, _ in self.id_fields]
