@@ -1681,6 +1681,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("id_a").cast("long"),
                         F.col("id_b").cast("long")))
 
+    def decontaminate(spark, sf):
+        # GPT-3/PaLM-style eval decontamination: training docs sharing a
+        # 4-gram with the "benchmark" slice (doc_id % 97 == 0). The
+        # bench n-gram set broadcasts; the training side never shuffles.
+        # (n=4 at gate scale so the overlap set is non-trivial; real
+        # deployments use 8-13 on web text)
+        from lucene_7_x_9_x_spark.pipeline.decontam import \
+            contaminated_docs
+        d = _docs(spark, sf)
+        bench = d.where(F.col("doc_id") % 97 == 0)
+        train = d.where(F.col("doc_id") % 97 != 0)
+        return (contaminated_docs(train, bench, "doc_id", "text",
+                                  "doc_id", "text", n=4)
+                .select(F.col("doc_id").cast("long"),
+                        F.col("n_overlap_ngrams").cast("long"),
+                        F.col("n_bench_docs").cast("long")))
+
+    def dup_spans(spark, sf):
+        # C4-style duplicate-span flagging: per doc, how many 8-token
+        # windows are verbatim-shared with at least one other doc
+        from lucene_7_x_9_x_spark.pipeline.decontam import duplicate_spans
+        return (duplicate_spans(_docs(spark, sf), "doc_id", "text",
+                                n=8, min_docs=2)
+                .select(F.col("doc_id").cast("long"),
+                        F.col("n_windows").cast("long"),
+                        F.col("n_dup_windows").cast("long")))
+
     def _geo_df(spark, sf):
         # deterministic md5-derived coordinates over the documents table
         # (both engines compute the identical integers, then identical
@@ -1897,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "decontaminate": decontaminate,
+        "dup_spans": dup_spans,
         "dedup_clusters": dedup_clusters,
         "join_query_top10": join_query_top10,
         "geo_box": geo_box_ids,
@@ -2872,6 +2901,48 @@ WHERE rank <= 2""",
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                   >= 0.5""",
+        # 4-gram eval-overlap decontamination; bench slice doc_id%97==0.
+        # Window spans via list_slice (1-based inclusive); range(1, e)
+        # is empty when e <= 1, and the len guard keeps short docs out
+        # on both engines.
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            sp AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(
+                            range(1, len(ts) - 2),
+                            i -> array_to_string(
+                                   list_slice(ts, i, i + 3), ' '))))
+                            AS span
+                   FROM toks WHERE len(ts) >= 4),
+            b AS (SELECT DISTINCT doc_id AS bench_id, span FROM sp
+                  WHERE doc_id % 97 = 0),
+            t AS (SELECT DISTINCT doc_id, span FROM sp
+                  WHERE doc_id % 97 <> 0)
+            SELECT t.doc_id,
+                   CAST(count(DISTINCT t.span) AS BIGINT)
+                     AS n_overlap_ngrams,
+                   CAST(count(DISTINCT b.bench_id) AS BIGINT)
+                     AS n_bench_docs
+            FROM t JOIN b ON t.span = b.span
+            GROUP BY t.doc_id""",
+        # C4-style duplicate spans: positional 8-token windows whose
+        # text occurs in >= 2 distinct docs
+        "dup_spans": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            w AS (SELECT doc_id,
+                         unnest(list_transform(
+                           range(1, len(ts) - 6),
+                           i -> array_to_string(
+                                  list_slice(ts, i, i + 7), ' ')))
+                           AS span
+                  FROM toks WHERE len(ts) >= 8),
+            d AS (SELECT span FROM w GROUP BY span
+                  HAVING count(DISTINCT doc_id) >= 2)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(d.span) AS BIGINT) AS n_dup_windows
+            FROM w LEFT JOIN d ON w.span = d.span
+            GROUP BY w.doc_id""",
         **_geo_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(shingle),
         # transitive closure of the LSH pairs via a recursive CTE (the

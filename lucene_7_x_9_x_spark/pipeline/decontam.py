@@ -1,0 +1,104 @@
+"""Benchmark decontamination and duplicate-span flagging for
+training-data pipelines.
+
+Standard LLM-corpus hygiene (the n-gram overlap rules popularized by the
+GPT-3 / PaLM training reports, and C4's duplicate-span removal): before
+training, (a) drop or flag training documents that share long n-grams
+with an evaluation/benchmark set, and (b) flag spans that are duplicated
+verbatim across many documents (boilerplate).
+
+Spark-first design, sized for 100 TB:
+
+- Tokenization / shingling reuses the dedup module's JVM-side expressions
+  (no Python UDFs anywhere in these paths).
+- `contaminated_docs`: the benchmark side is SMALL by definition (eval
+  sets are thousands of docs); its distinct n-gram set is broadcast, so
+  the 100 TB training side is scan-filtered in place by a
+  BroadcastHashJoin — the corpus is never shuffled. Set
+  `broadcast_bench=False` for a pathological huge bench set to fall back
+  to a shuffle hash join on the n-gram key (uniformly distributed).
+- `duplicate_spans`: one hash shuffle keyed on the n-gram string to
+  count per-span document frequency (partial aggregation applies), then
+  a join back on the same key. Spans duplicated across many docs are
+  exactly the hot keys, so the join is left to AQE's skew-join split;
+  the count side is pre-aggregated to one row per span so the skew is
+  bounded by the fan-out of the probe side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_col
+
+
+def _positional_shingles(df: DataFrame, id_col: str, text_col: str,
+                         n: int) -> DataFrame:
+    """(id, pos, span): every n-token window, positional (NOT distinct —
+    a doc repeating a span internally counts each window once)."""
+    toks = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
+            .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    # sequence(0, -1) DESCENDS when the doc is shorter than n — gate it
+    idxs = F.when(F.size("ts") >= n,
+                  F.sequence(F.lit(0), F.size("ts") - n)
+                  ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            idxs, lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n))
+        )).alias("pos", "span"))
+
+
+def contaminated_docs(train: DataFrame, bench: DataFrame,
+                      id_col: str, text_col: str,
+                      bench_id_col: str, bench_text_col: str,
+                      n: int = 5,
+                      broadcast_bench: bool = True) -> DataFrame:
+    """Flag training docs sharing any n-gram with the benchmark set.
+
+    Returns one row per CONTAMINATED training doc:
+      (id_col, n_overlap_ngrams, n_bench_docs)
+    where n_overlap_ngrams counts DISTINCT shared n-grams and
+    n_bench_docs counts distinct benchmark documents hit.
+
+    Reference role: the eval-overlap decontamination filter of the GPT-3
+    appendix C / PaLM sec. 6 methodology (n-gram collision against the
+    eval set), expressed as a broadcast semi-structure so the training
+    corpus is never shuffled.
+    """
+    t = _positional_shingles(train, id_col, text_col, n) \
+        .select(id_col, "span").distinct()
+    b = (_positional_shingles(bench, bench_id_col, bench_text_col, n)
+         .select(F.col(bench_id_col).alias("_bench_id"), "span")
+         .distinct())
+    if broadcast_bench:
+        b = F.broadcast(b)
+    hits = t.join(b, "span")
+    return (hits.groupBy(id_col)
+            .agg(F.countDistinct("span").alias("n_overlap_ngrams"),
+                 F.countDistinct("_bench_id").alias("n_bench_docs")))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-doc counts of n-gram windows whose span text occurs in at
+    least `min_docs` DISTINCT documents (C4-style boilerplate spans).
+
+    Returns one row per doc that has at least one window:
+      (id_col, n_windows, n_dup_windows)
+
+    Counting windows positionally (not distinct spans) makes
+    n_dup_windows / n_windows the fraction of the doc covered by
+    cross-doc boilerplate, which is the quantity the C4 rule thresholds
+    on.
+    """
+    pos = _positional_shingles(df, id_col, text_col, n)
+    span_df = (pos.groupBy("span")
+               .agg(F.countDistinct(id_col).alias("_span_docs")))
+    dup_spans = span_df.where(F.col("_span_docs") >= min_docs) \
+                       .select("span")
+    flagged = pos.join(dup_spans.withColumn("_dup", F.lit(1)),
+                       "span", "left")
+    return (flagged.groupBy(id_col)
+            .agg(F.count("*").alias("n_windows"),
+                 F.count("_dup").alias("n_dup_windows")))
