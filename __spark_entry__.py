@@ -1134,6 +1134,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("vec_id").cast("long").alias("vec_id"))
 
+    def _sparse_emb(spark, sf):
+        # sparse vector field (TestSparseKNN demos): 1 in 5 docs LACKS a
+        # vector — masked to NULL, double-cast like the other ANN entries
+        return _emb(spark, sf).withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 5 != 0,
+                   F.transform("embedding", lambda x: x.cast("double"))))
+
+    def sparse_knn_top10(spark, sf):
+        # KNN over a sparse vector field: null rows are not candidates
+        # (IsNotNull pushed to the scan); ties (cosine desc, id asc)
+        s = _get_searcher(spark, sf)
+        qv = [float(x) for x in
+              _emb(spark, sf).where(F.col("vec_id") == 1)
+              .first()["embedding"]]
+        r = s.knn(qv, 10, vectors=_sparse_emb(spark, sf),
+                  vec_id_col="vec_id")
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("vec_id").cast("long").alias("vec_id"))
+
+    def vector_exists_count(spark, sf):
+        # count(KnnVectorFieldExistsQuery): docs that carry a vector
+        s = _get_searcher(spark, sf)
+        return (s.vector_exists_count(_sparse_emb(spark, sf), "vec_id")
+                .select(F.col("n_vectors").cast("long")))
+
     def intervals_scored_top10(spark, sf):
         # scored IntervalQuery: sloppyFreq = f32 sum of 1/(1+gaps) over
         # the doc's MINIMAL intervals (a pair (a, next_b) is minimal only
@@ -1926,6 +1952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) new this round / never driver-gated --
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
+        "sparse_knn_top10": sparse_knn_top10,
+        "vector_exists_count": vector_exists_count,
         "dedup_clusters": dedup_clusters,
         "join_query_top10": join_query_top10,
         "geo_box": geo_box_ids,
@@ -2291,6 +2319,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM toks
             WHERE len(list_filter(range(1, len(ts)), i ->
                     ts[i] = '搜' AND ts[i+1] = '索')) > 0""",
+        "sparse_knn_top10": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 1)
+            SELECT CAST(row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                       e.vec_id) AS BIGINT) AS rank,
+                   e.vec_id
+            FROM embeddings e, q WHERE e.vec_id % 5 <> 0
+            ORDER BY list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                     e.vec_id
+            LIMIT 10""",
+        "vector_exists_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors
+            FROM embeddings WHERE vec_id % 5 <> 0""",
         "knn_filtered_top10": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0),

@@ -925,6 +925,12 @@ class Searcher:
         if vectors is None and bucketed is None and ivf is None:
             raise ValueError("knn needs `vectors` (or an ANN index via "
                              "`bucketed`/`ivf`)")
+        if vectors is not None:
+            # sparse vector coverage (TestSparseKNN demos: most docs may
+            # LACK the vector field) — null rows are not KNN candidates.
+            # IsNotNull pushes to the parquet scan, so at scale the
+            # vectorless majority is pruned before any scoring.
+            vectors = vectors.where(F.col(vec_col).isNotNull())
         if filter is not None:
             id0 = self.index.id_cols[0]
             ids = (self.cached_matches(filter)
@@ -962,6 +968,24 @@ class Searcher:
                                    seed, bucketed=bucketed)
         return cosine_topk_bruteforce(vectors, query_vec, vec_id_col,
                                       vec_col, k)
+
+    def vector_exists_count(self, vectors: DataFrame,
+                            vec_id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+        """count(KnnVectorFieldExistsQuery) — how many docs carry a
+        vector (TestSparseKNN demos,
+        LuceneDemo9.8.0/src/main/java/TestSparseKNN1.java: the reader
+        reports the vector count, not maxDoc, when the field is sparse).
+        Tombstoned docs don't count. Returns one row (n_vectors)."""
+        dels = self.index.deletes()
+        if dels is not None:
+            id0 = self.index.id_cols[0]
+            live = (self.index.docmap()
+                    .join(dels, ["segment", "docid"], "left_anti")
+                    .select(F.col(id0).alias(vec_id_col)))
+            vectors = vectors.join(live, vec_id_col, "left_semi")
+        return (vectors.where(F.col(vec_col).isNotNull())
+                .agg(F.count("*").alias("n_vectors")))
 
     def knn_many(self, queries: dict, k: int = 10, filter=None,
                  vectors: DataFrame = None, vec_id_col: str = "vec_id",

@@ -107,3 +107,28 @@ def test_knn_many_matches_per_query(spark, searcher_and_vecs):
     assert got.sort_values(key).vec_id.tolist() == \
         want.sort_values(key).vec_id.tolist()
     b.unpersist()
+
+
+def test_sparse_vector_field_skips_null_rows(spark, searcher_and_vecs):
+    # TestSparseKNN semantics: docs lacking the vector field are not KNN
+    # candidates and don't count in KnnVectorFieldExistsQuery
+    from pyspark.sql import functions as F
+    s, emb = searcher_and_vecs
+    sparse = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 3 != 0, F.col("embedding")))
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 1).first()["embedding"]]
+    got = s.knn(qv, 10, vectors=sparse).toPandas()
+    assert len(got) == 10
+    assert all(int(v) % 3 != 0 for v in got.vec_id)
+    # exists-count equals the number of non-null rows
+    n_total = emb.count()
+    n = s.vector_exists_count(sparse).first()["n_vectors"]
+    assert n == sparse.where(F.col("embedding").isNotNull()).count()
+    assert n < n_total
+    # IsNotNull reaches the planned scan/filter (vectorless majority is
+    # pruned before scoring at scale)
+    plan = s.knn(qv, 10, vectors=sparse)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "isnotnull" in plan.lower()
