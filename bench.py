@@ -175,6 +175,13 @@ def main():
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.5).count())
     timed("simhash", lambda: dedup.simhash64(docs, "doc_id", "text").count())
+    from lucene_7_x_9_x_spark.pipeline import decontam
+    timed("decontaminate", lambda: decontam.contaminated_docs(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", "doc_id", "text", n=4).count())
+    timed("dup_spans", lambda: decontam.duplicate_spans(
+        docs, "doc_id", "text", n=8).count())
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     embd = emb.withColumn("embedding", F.transform(

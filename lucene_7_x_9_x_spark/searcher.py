@@ -386,6 +386,12 @@ class Searcher:
         with (field, term) columns: (field IS NULL AND term IN bare) OR
         (field = f AND term IN ...) per named field — pushes down to the
         parquet scan as an OR of conjunctions."""
+        def q(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        def inlist(ts) -> str:
+            return "term IN (" + ",".join(q(t) for t in sorted(ts)) + ")"
+
         bare = sorted(k for k in keys if isinstance(k, str))
         by_field: dict = {}
         for k in keys:
@@ -393,19 +399,18 @@ class Searcher:
                 by_field.setdefault(k[0], []).append(k[1])
         conds = []
         if bare:
-            c = F.col("term").isin(bare)
+            c = inlist(bare)
             if self._has_field_col:
-                c = c & F.col("field").isNull()
+                c = f"({c} AND field IS NULL)"
             conds.append(c)
         for f, ts in sorted(by_field.items()):
-            conds.append((F.col("field") == f)
-                         & F.col("term").isin(sorted(ts)))
+            conds.append(f"(field = {q(f)} AND {inlist(ts)})")
         if not conds:
             return F.lit(False)
-        out = conds[0]
-        for c in conds[1:]:
-            out = out | c
-        return out
+        # ONE py4j round trip for the whole predicate — per-literal
+        # Column building (isin) cost ~1 ms × term over the gateway
+        # socket, a measurable slice of hot-serving latency
+        return F.expr(" OR ".join(conds))
 
     # ---------------- stats gathering (once per query)
     def _global_stats(self, terms: set) -> ex.SegmentStats:
