@@ -1546,6 +1546,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("rank").cast("long"), "term",
                         F.col("weight").cast("long")))
 
+    def freetext_suggest_next(spark, sf):
+        # FreeTextSuggester (stupid-backoff n-gram LM): trailing space
+        # upgrades the grams — "the fast " asks trigram completions of
+        # context (the, fast), backing off 0.4x to bigrams of (fast,)
+        from lucene_7_x_9_x_spark.functions.freetext import (
+            build_freetext_model, freetext_suggest)
+        model = build_freetext_model(_docs(spark, sf), "text", grams=3)
+        return freetext_suggest(model, "the fast ", num=10, grams=3)
+
     def grouped_topk(spark, sf):
         # grouping module TopGroups: 2 best BM25 hits per lang for a
         # disjunctive query
@@ -1954,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
         "vector_exists_count": vector_exists_count,
+        "freetext_suggest_next": freetext_suggest_next,
         "dedup_clusters": dedup_clusters,
         "join_query_top10": join_query_top10,
         "geo_box": geo_box_ids,
@@ -2319,6 +2329,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM toks
             WHERE len(list_filter(range(1, len(ts)), i ->
                     ts[i] = '搜' AND ts[i+1] = '索')) > 0""",
+        # FreeTextSuggester oracle: full stupid-backoff replica — n-gram
+        # counts, per-level top with num*grams slack, higher-order dedup,
+        # exact-double order key cnt*scale/ctx (scale = 2^e * 5^(2-e),
+        # ALPHA=0.4=2/5 kept exact; no libm pow)
+        "freetext_suggest_next": f"""
+            WITH toks AS (SELECT {TOKS} AS ts FROM documents),
+            gs AS (
+              SELECT 1 AS n, unnest(ts) AS gram FROM toks
+              UNION ALL
+              SELECT 2, unnest(list_transform(range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i+1])) FROM toks
+              UNION ALL
+              SELECT 3, unnest(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+              FROM toks),
+            c AS (SELECT n, gram, count(*) AS cnt FROM gs
+                  GROUP BY n, gram),
+            cand AS (SELECT n, gram, cnt,
+                            row_number() OVER (PARTITION BY n
+                              ORDER BY cnt DESC, gram) AS rk
+                     FROM c WHERE (n = 3 AND gram LIKE 'the fast %')
+                            OR (n = 2 AND gram LIKE 'fast %')),
+            lv AS (SELECT n, gram, cnt,
+                          list_extract(string_split(gram, ' '), n) AS word,
+                          CASE WHEN n = 3 THEN 25 ELSE 10 END AS scale,
+                          CASE WHEN n = 3 THEN
+                            (SELECT c2.cnt FROM c c2
+                             WHERE c2.n = 2 AND c2.gram = 'the fast')
+                          ELSE
+                            (SELECT c3.cnt FROM c c3
+                             WHERE c3.n = 1 AND c3.gram = 'fast')
+                          END AS ctx
+                   FROM cand WHERE rk <= 30),
+            ded AS (SELECT word, n,
+                           CAST(cnt * scale AS DOUBLE)
+                             / CAST(ctx AS DOUBLE) AS sc,
+                           row_number() OVER (PARTITION BY word
+                             ORDER BY n DESC) AS wr
+                    FROM lv)
+            SELECT CAST(row_number() OVER (ORDER BY sc DESC, word)
+                     AS BIGINT) AS rank,
+                   word AS suggestion
+            FROM ded WHERE wr = 1
+            ORDER BY sc DESC, word LIMIT 10""",
         "sparse_knn_top10": """
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 1)
