@@ -1733,6 +1733,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_overlap_ngrams").cast("long"),
                         F.col("n_bench_docs").cast("long")))
 
+    def sample_fraction(spark, sf):
+        # deterministic (repartition-stable) Bernoulli sample: md5-hash
+        # selection, pure scan filter — Spark's rand(seed) would change
+        # the sample under repartitioning
+        from lucene_7_x_9_x_spark.pipeline.sampling import \
+            deterministic_sample
+        return (deterministic_sample(_docs(spark, sf), "doc_id", 0.2,
+                                     seed=7)
+                .select(F.col("doc_id").cast("long")))
+
+    def sample_mixture(spark, sf):
+        # down-sample to a target domain mixture (training-recipe data
+        # mixing): binding stratum (zh) kept whole, en/de thinned to
+        # 50/20/30; es/fr dropped
+        from lucene_7_x_9_x_spark.pipeline.sampling import mixture_sample
+        return (mixture_sample(_docs(spark, sf), "doc_id", "lang",
+                               {"en": 0.5, "de": 0.2, "zh": 0.3},
+                               seed=11)
+                .select(F.col("doc_id").cast("long"), "lang"))
+
     def dup_spans(spark, sf):
         # C4-style duplicate-span flagging: per doc, how many 8-token
         # windows are verbatim-shared with at least one other doc
@@ -1964,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_knn_top10": sparse_knn_top10,
         "vector_exists_count": vector_exists_count,
         "freetext_suggest_next": freetext_suggest_next,
+        "sample_fraction": sample_fraction,
+        "sample_mixture": sample_mixture,
         "dedup_clusters": dedup_clusters,
         "join_query_top10": join_query_top10,
         "geo_box": geo_box_ids,
@@ -2999,6 +3021,37 @@ WHERE rank <= 2""",
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0
                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                   >= 0.5""",
+        # deterministic md5-hash Bernoulli selection (the dedup
+        # md5_hash31 model); threshold floor(rate * (2^31-1)) — int()
+        # truncation in Python == floor in SQL for positive rates
+        "sample_fraction": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substring(md5('7:' || doc_id::VARCHAR),
+                                     1, 8))::BIGINT % 2147483647
+                  < CAST(floor(CAST(0.2 AS DOUBLE) * 2147483647)
+                         AS BIGINT)""",
+        # mixture rates replicated op-for-op in doubles: nstar =
+        # min(cnt/p), rate = min(1, p*nstar/cnt) — identical IEEE ops in
+        # an identical order, so the kept id set hashes equal
+        "sample_mixture": """
+            WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+                       GROUP BY lang),
+            p AS (SELECT * FROM (VALUES
+                    ('de', CAST(0.2 AS DOUBLE)),
+                    ('en', CAST(0.5 AS DOUBLE)),
+                    ('zh', CAST(0.3 AS DOUBLE))) t(lang, tp)),
+            ns AS (SELECT min(CAST(c.cnt AS DOUBLE) / p.tp) AS nstar
+                   FROM c JOIN p USING (lang)),
+            r AS (SELECT p.lang,
+                         least(CAST(1.0 AS DOUBLE),
+                               (p.tp * ns.nstar)
+                                 / CAST(c.cnt AS DOUBLE)) AS rate
+                  FROM p JOIN c USING (lang), ns)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ('0x' || substring(md5('11:' || d.doc_id::VARCHAR),
+                                     1, 8))::BIGINT % 2147483647
+                  < CAST(floor(rate * 2147483647) AS BIGINT)""",
         # 4-gram eval-overlap decontamination; bench slice doc_id%97==0.
         # Window spans via list_slice (1-based inclusive); range(1, e)
         # is empty when e <= 1, and the len guard keeps short docs out
