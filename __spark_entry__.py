@@ -1539,6 +1539,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = s.more_like_this(text)
         return _topk_ids(spark, sf, q, 10)
 
+    def classify_nb(spark, sf):
+        # SimpleNaiveBayesClassifier, batch form: held-out docs
+        # (doc_id%3==0) classified against the labeled rest (class =
+        # lang); add-1 smoothing, den = avgUniqueTerms*count_c + N
+        from lucene_7_x_9_x_spark.functions.classify import \
+            naive_bayes_classify
+        d = _docs(spark, sf)
+        return naive_bayes_classify(
+            d.where(F.col("doc_id") % 3 != 0),
+            d.where(F.col("doc_id") % 3 == 0),
+            "doc_id", "text", "lang") \
+            .select(F.col("doc_id").cast("long"), "label")
+
+    def classify_knn_top(spark, sf):
+        # KNearestNeighborClassifier: MLT top-10 neighbors of doc 7's
+        # text vote boost-weighted (score/maxScore sums)
+        from lucene_7_x_9_x_spark.functions.classify import knn_classify
+        s = _get_searcher(spark, sf)
+        text = (_docs(spark, sf).where(F.col("doc_id") == 7)
+                .select("text").collect()[0][0])
+        return (knn_classify(s, text, _docs(spark, sf), "doc_id", "lang",
+                             k=10)
+                .select(F.col("rank").cast("long"), "label",
+                        F.col("n_votes").cast("long")))
+
     def suggest(spark, sf):
         # prefix suggester over the term dictionary (docFreq-weighted)
         s = _get_searcher(spark, sf)
@@ -1984,6 +2009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_knn_top10": sparse_knn_top10,
         "vector_exists_count": vector_exists_count,
         "freetext_suggest_next": freetext_suggest_next,
+        "classify_nb": classify_nb,
+        "classify_knn_top": classify_knn_top,
         "sample_fraction": sample_fraction,
         "sample_mixture": sample_mixture,
         "dedup_clusters": dedup_clusters,
@@ -2883,6 +2910,75 @@ scored AS (SELECT dt.doc_id, sum(
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
          AS rank, doc_id
 FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        # SimpleNaiveBayesClassifier replica: doc-frequency hits,
+        # add-1 smoothing, den = (sumDocFreq/N)*cnt_c + N, prior
+        # ln(cnt_c)-ln(N); argmax per doc (ties: label asc)
+        "classify_nb": f"""
+WITH toks AS (SELECT doc_id, lang, {TOKS} AS ts FROM documents),
+tr AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+te AS (SELECT doc_id, ts FROM toks WHERE doc_id % 3 = 0),
+cs AS (SELECT lang AS cls, count(*) AS cnt FROM tr GROUP BY lang),
+nn AS (SELECT sum(cnt) AS n FROM cs),
+pairs AS (SELECT doc_id, lang AS cls, unnest(list_distinct(ts)) AS w
+          FROM tr),
+sdf AS (SELECT count(*) AS sdf FROM pairs),
+cden AS (SELECT cs.cls, cs.cnt,
+                (CAST(sdf.sdf AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                  * cs.cnt + nn.n AS den,
+                ln(CAST(cs.cnt AS DOUBLE)) - ln(CAST(nn.n AS DOUBLE))
+                  AS prior
+         FROM cs, sdf, nn),
+dfc AS (SELECT w, cls, count(*) AS hits FROM pairs GROUP BY w, cls),
+q AS (SELECT doc_id, unnest(ts) AS w FROM te),
+sc AS (SELECT q.doc_id, c.cls,
+              sum(ln((coalesce(d.hits, 0) + 1.0) / c.den))
+                + any_value(c.prior) AS score
+       FROM q CROSS JOIN cden c
+       LEFT JOIN dfc d ON d.w = q.w AND d.cls = c.cls
+       GROUP BY q.doc_id, c.cls)
+SELECT doc_id, cls AS label
+FROM (SELECT doc_id, cls,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, cls) AS rk FROM sc)
+WHERE rk = 1""",
+        # KNN classifier: the mlt_top10 pipeline, then boost-weighted
+        # class votes sum(score/maxScore)/k over the 10 neighbors
+        "classify_knn_top": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, {QDL} AS qdl FROM dl_t),
+ex AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+src_tf AS (SELECT t, count(*) AS qtf
+           FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id = 7)
+           GROUP BY t HAVING count(*) >= 2),
+dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM ex
+        WHERE t IN (SELECT t FROM src_tf) GROUP BY t),
+mlt AS (SELECT s.t, d.df FROM src_tf s JOIN dfs d ON s.t = d.t, stats st
+        WHERE d.df >= 5
+        ORDER BY s.qtf * (ln(st.doc_count / (d.df + 1.0)) + 1.0) DESC, s.t
+        LIMIT 25),
+doc_tf AS (SELECT e.doc_id, e.t, count(*) AS tf FROM ex e
+           JOIN mlt m ON e.t = m.t GROUP BY 1, 2),
+scored AS (SELECT dt.doc_id, sum(
+    ln(1 + (st.doc_count - m.df + 0.5) / (m.df + 0.5)) * dt.tf
+      / (dt.tf + {K1} * ({1 - B} + {B} * q.qdl * st.doc_count
+         / CAST(st.sum_ttf AS DOUBLE)))) AS score
+  FROM doc_tf dt JOIN mlt m ON dt.t = m.t JOIN q ON q.doc_id = dt.doc_id,
+       stats st
+  GROUP BY dt.doc_id),
+top AS (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10),
+mx AS (SELECT max(score) AS m FROM top),
+v AS (SELECT d.lang, sum(t.score / mx.m) / 10.0 AS vs,
+             count(*) AS n_votes
+      FROM top t JOIN documents d ON t.doc_id = d.doc_id, mx
+      GROUP BY d.lang)
+SELECT CAST(row_number() OVER (ORDER BY vs DESC, lang) AS BIGINT)
+         AS rank,
+       lang AS label, CAST(n_votes AS BIGINT) AS n_votes
+FROM v ORDER BY vs DESC, lang""",
         "suggest": f"""
             SELECT CAST(row_number() OVER (ORDER BY weight DESC, term)
                      AS BIGINT) AS rank, term, weight

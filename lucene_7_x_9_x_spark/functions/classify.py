@@ -1,0 +1,127 @@
+"""Classification module — index-driven classifiers
+(solr-8.4.0/lucene/classification/src/java/org/apache/lucene/
+classification/): SimpleNaiveBayesClassifier and
+KNearestNeighborClassifier, re-expressed Spark-first.
+
+The reference classifies one text at a time against an IndexReader;
+the scalable form here classifies a whole UNLABELED column against a
+LABELED corpus in one job (the per-text form is `knn_classify`, built
+on the engine's MoreLikeThis, for the serving path).
+
+SimpleNaiveBayesClassifier.java semantics kept exactly:
+- prior(c)           = ln(docCount(class=c)) - ln(N)            (java:266)
+- per query token w  : hits = # docs of class c CONTAINING w (doc
+  frequency, not tf — java:250 counts hits of word AND class);
+  P(w|c) = (hits+1) / den_c                                     (java:211)
+- den_c = avgUniqueTermsPerDoc * docCount(c) + N                (java:231:
+  avg # unique terms per doc = sumDocFreq/docCount over the text field,
+  times docs with c, plus the `docsWithClass` smoothing term)
+- log-likelihood sums over EVERY token instance of the query text
+  (repeats count, java:203-219); score = loglik + prior; the argmax
+  class wins (ties here: label asc — the reference takes the first max
+  in iteration order, which is unspecified; lexicographic is the
+  deterministic stand-in).
+
+KNearestNeighborClassifier.java semantics kept:
+- query = MoreLikeThis over the text (the engine's more_like_this)
+- vote: per class over the top-k neighbors, score contribution is
+  sum(score_i/maxScore)/k, scaled by k/sumdoc when fewer than k
+  neighbors carried a class (java:190-235: count * normBoost / k with
+  the sumdoc<k correction == boostSum/k resp. boostSum/sumdoc).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..pipeline.dedup import tokens_col
+
+
+def naive_bayes_classify(labeled: DataFrame, unlabeled: DataFrame,
+                         id_col: str, text_col: str,
+                         label_col: str) -> DataFrame:
+    """Batch SimpleNaiveBayes: assign each unlabeled doc the argmax
+    class. Returns DataFrame(<id_col>, label).
+
+    Scale shape: class stats are a tiny driver-side collect (|classes|
+    rows); the word-class doc-frequency table is (vocab x classes) —
+    shuffle-joined on the token; scoring is one explode + join + sum
+    per (doc, class), all JVM expressions."""
+    spark = labeled.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # class priors and denominators (driver: |classes| + 2 scalars)
+    cstats = {r[label_col]: int(r["cnt"]) for r in
+              labeled.groupBy(label_col).agg(F.count("*").alias("cnt"))
+              .collect()}
+    n_docs = sum(cstats.values())
+    ltoks = (labeled.select(id_col, label_col,
+                            tokens_col(text_col).alias("ts"))
+             .repartition(par))
+    # sumDocFreq = # distinct (doc, term) pairs over the text field
+    pairs = (ltoks.select(id_col, label_col,
+                          F.explode(F.array_distinct("ts")).alias("w")))
+    sum_doc_freq = pairs.count()
+    avg_unique = sum_doc_freq / float(n_docs)
+    classes = sorted(cstats)
+    dens = {c: avg_unique * cstats[c] + n_docs for c in classes}
+    priors = {c: math.log(cstats[c]) - math.log(n_docs) for c in classes}
+    # word-class doc frequencies (vocab x classes)
+    dfc = (pairs.groupBy("w", label_col)
+           .agg(F.count("*").alias("hits"))
+           .withColumnRenamed(label_col, "_cls"))
+    # per-class constant table (broadcast: |classes| rows)
+    cdf = spark.createDataFrame(
+        [(c, float(dens[c]), float(priors[c])) for c in classes],
+        "_cls string, _den double, _prior double")
+    qtoks = (unlabeled.select(id_col, tokens_col(text_col).alias("ts"))
+             .repartition(par)
+             .select(id_col, F.explode("ts").alias("w")))
+    scored = (qtoks.crossJoin(F.broadcast(cdf))
+              .join(dfc, ["w", "_cls"], "left")
+              .withColumn("_lp", F.log(
+                  (F.coalesce(F.col("hits"), F.lit(0)) + F.lit(1.0))
+                  / F.col("_den")))
+              .groupBy(id_col, "_cls")
+              .agg((F.sum("_lp") + F.first("_prior")).alias("_score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"),
+                                           F.asc("_cls"))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(id_col, F.col("_cls").alias("label")))
+
+
+def knn_classify(searcher, text: str, classes: DataFrame,
+                 id_col: str, class_col: str, k: int = 10,
+                 min_term_freq: int = 2,
+                 min_doc_freq: int = 5) -> DataFrame:
+    """KNearestNeighborClassifier for one text: MLT top-k neighbors
+    vote, boost-weighted by score/maxScore. `classes` maps the index's
+    id column to the stored class field. Returns
+    DataFrame(rank, label, n_votes) ordered (score desc, label asc)."""
+    q = searcher.more_like_this(text, min_term_freq=min_term_freq,
+                                min_doc_freq=min_doc_freq)
+    top = searcher.search(q, k)
+    idx_id = searcher.index.id_cols[0]
+    hits = (top.join(F.broadcast(
+        classes.select(F.col(id_col).alias(idx_id),
+                       F.col(class_col).alias("_cls"))), idx_id)
+        .select("_cls", "score"))
+    # boostSum/k, scaled to boostSum/sumdoc when sumdoc < k (see header)
+    agg = (hits.agg(F.max("score").alias("mx"),
+                    F.count("*").alias("sumdoc")).collect()[0])
+    if agg["mx"] is None:  # MLT matched nothing: no classification
+        return searcher.index.spark.createDataFrame(
+            [], "rank long, label string, n_votes long")
+    mx, sumdoc = float(agg["mx"]), int(agg["sumdoc"])
+    denom = float(k if sumdoc >= k else sumdoc)
+    votes = (hits.groupBy("_cls")
+             .agg((F.sum(F.col("score") / F.lit(mx))
+                   / F.lit(denom)).alias("_score"),
+                  F.count("*").alias("n_votes")))
+    w = Window.partitionBy(F.xxhash64("_cls") % F.lit(1)) \
+        .orderBy(F.desc("_score"), F.asc("_cls"))
+    return (votes.orderBy(F.desc("_score"), F.asc("_cls")).limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", F.col("_cls").alias("label"), "n_votes"))

@@ -1,0 +1,96 @@
+"""Classification module (SimpleNaiveBayesClassifier /
+KNearestNeighborClassifier semantics) vs a hand-computed reference."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_7_x_9_x_spark.functions.classify import naive_bayes_classify
+
+LABELED = [
+    (0, "spam", "buy cheap pills now buy"),
+    (1, "spam", "cheap pills cheap deals"),
+    (2, "spam", "win money now"),
+    (3, "ham", "meeting notes for the project"),
+    (4, "ham", "project deadline next week meeting"),
+    (5, "ham", "lunch plans for the week"),
+]
+TEST = [
+    (100, "cheap pills win"),
+    (101, "project meeting notes"),
+    (102, "the week deals"),
+]
+
+
+def _py_nb(labeled, tests):
+    from collections import Counter, defaultdict
+    cstats = Counter(c for _, c, _ in labeled)
+    n = sum(cstats.values())
+    pairs = set()
+    dfc = defaultdict(int)
+    for did, c, text in labeled:
+        for w in set(text.split()):
+            pairs.add((did, w))
+            dfc[(w, c)] += 1
+    avg_unique = len(pairs) / n
+    dens = {c: avg_unique * cstats[c] + n for c in cstats}
+    out = {}
+    for did, text in tests:
+        best = None
+        for c in sorted(cstats):
+            s = math.log(cstats[c]) - math.log(n)
+            for w in text.split():  # every instance, repeats included
+                s += math.log((dfc.get((w, c), 0) + 1) / dens[c])
+            if best is None or s > best[0] + 1e-12:
+                best = (s, c)
+        out[did] = best[1]
+    return out
+
+
+def test_naive_bayes_matches_reference_math(spark):
+    lab = spark.createDataFrame(LABELED,
+                                "doc_id long, cls string, text string")
+    te = spark.createDataFrame(TEST, "doc_id long, text string")
+    got = {r.doc_id: r.label for r in
+           naive_bayes_classify(lab, te, "doc_id", "text",
+                                "cls").collect()}
+    assert got == _py_nb(LABELED, TEST)
+    # sanity on the crafted corpus: the obvious assignments hold
+    assert got[100] == "spam"
+    assert got[101] == "ham"
+
+
+def test_naive_bayes_repeated_tokens_count_each_instance(spark):
+    # "buy buy buy" must weigh buy three times (java:203-219 loops over
+    # every token instance) — drives the doc decisively to spam
+    lab = spark.createDataFrame(LABELED,
+                                "doc_id long, cls string, text string")
+    te = spark.createDataFrame([(200, "buy buy buy meeting")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.label for r in
+           naive_bayes_classify(lab, te, "doc_id", "text",
+                                "cls").collect()}
+    assert got[200] == _py_nb(LABELED, [(200, "buy buy buy meeting")])[200]
+
+
+def test_knn_classify_votes(spark, tmp_path):
+    from lucene_7_x_9_x_spark.functions.classify import knn_classify
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    docs = spark.createDataFrame(
+        [(i, c, t) for i, c, t in LABELED] * 2 +
+        [(10 + i, c, t) for i, c, t in LABELED],
+        "doc_id long, cls string, text string").dropDuplicates(["doc_id"])
+    build_index(spark, docs, str(tmp_path / "idx"), id_cols=["doc_id"],
+                text_col="text")
+    s = Searcher(IndexSnapshot(spark, str(tmp_path / "idx")))
+    got = knn_classify(s, "cheap pills cheap money now buy buy",
+                       docs, "doc_id", "cls", k=5,
+                       min_doc_freq=1).toPandas()
+    # empty result (not a crash) when MLT finds nothing
+    empty = knn_classify(s, "zzz qqq zzz", docs, "doc_id", "cls", k=5)
+    assert empty.count() == 0
+    assert got.label.iloc[0] == "spam"
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert int(got.n_votes.sum()) <= 5
