@@ -1826,6 +1826,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long"),
                         F.col("doc_id").cast("long"))
 
+    def geo_polygon_ids(spark, sf):
+        # LatLonPoint.newPolygonQuery: bbox prune (scan-pushed) + exact
+        # crossing-parity refine; the SAME generated expression string
+        # runs in Spark and DuckDB (bit-reproducible decisions)
+        from lucene_7_x_9_x_spark.functions.geo import geo_polygon
+        return (geo_polygon(_geo_df(spark, sf), "lat", "lon",
+                            _POLYGON)
+                .select(F.col("doc_id").cast("long")))
+
     def dedup_clusters(spark, sf):
         # transitive near-dup clusters over the minhash-LSH pairs
         # (large-star/small-star connected components) + the kept
@@ -2018,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box": geo_box_ids,
         "geo_distance": geo_distance_ids,
         "geo_nearest_top10": geo_nearest_top10,
+        "geo_polygon": geo_polygon_ids,
         "field_exists": field_exists,
         "point_in_set": point_in_set,
         "diversified_topk": diversified_topk,
@@ -2247,6 +2257,10 @@ dv AS (SELECT doc_id,
  FROM documents)"""
 
 
+_POLYGON = [(0.0, -100.0), (60.0, -40.0), (30.0, 60.0),
+            (-30.0, 80.0), (-60.0, -20.0)]
+
+
 def _geo_sql() -> dict[str, str]:
     """DuckDB replicas of the geo gates: identical md5-derived integer
     coordinates, the same quantization constants (inlined via repr, so
@@ -2289,8 +2303,17 @@ WITH {latlon}
 SELECT CAST(row_number() OVER (ORDER BY {key}, doc_id) AS BIGINT) AS rank,
        doc_id
 FROM geo ORDER BY {key}, doc_id LIMIT 10"""
+    from lucene_7_x_9_x_spark.functions.geo import polygon_crossing_sql
+    lats = [v[0] for v in _POLYGON]
+    lons = [v[1] for v in _POLYGON]
+    polygon = f"""
+WITH {latlon}
+SELECT doc_id FROM geo
+WHERE lat >= {min(lats)!r} AND lat <= {max(lats)!r}
+  AND lon >= {min(lons)!r} AND lon <= {max(lons)!r}
+  AND {polygon_crossing_sql("lat", "lon", _POLYGON)}"""
     return {"geo_box": box, "geo_distance": distance,
-            "geo_nearest_top10": nearest}
+            "geo_nearest_top10": nearest, "geo_polygon": polygon}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -174,3 +174,55 @@ def geo_nearest(df: DataFrame, lat_col: str, lon_col: str,
          .orderBy(*order))
     return (out.withColumn("rank", F.row_number().over(w))
             .select("rank", *id_cols, "distance_m"))
+
+
+def polygon_crossing_sql(lat_expr: str, lon_expr: str,
+                         vertices: list) -> str:
+    """Even-odd crossing-parity point-in-polygon as ONE SQL boolean
+    expression string (the Polygon2D.contains role —
+    solr-8.4.0/lucene/core/src/java/org/apache/lucene/geo/Polygon2D.java
+    evaluates an edge tree with orientation tests; for simple polygons
+    the result is the standard crossing-number rule re-expressed here).
+
+    The SAME string runs under Spark SQL (F.expr) and DuckDB: every
+    vertex is inlined via repr so both engines parse identical doubles
+    and evaluate identical IEEE operations — the decision is therefore
+    bit-reproducible even where it is not exact (near-edge points).
+    Boundary semantics: the reference counts on-edge points as inside;
+    even-odd leaves them convention-dependent — a documented deviation
+    only observable for points exactly on an edge.
+
+    Horizontal edges are skipped at GENERATION time (they never change
+    parity), which also removes the division-by-zero case entirely.
+    """
+    n = len(vertices)
+    terms = []
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge: parity-neutral
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}))"
+            f" AND ({lon_expr} < ({x2!r} - {x1!r})"
+            f" * ({lat_expr} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r})"
+            f" THEN 1 ELSE 0 END)")
+    if not terms:
+        return "FALSE"
+    return "(((" + " + ".join(terms) + ") % 2) = 1)"
+
+
+def geo_polygon(df: DataFrame, lat_col: str, lon_col: str,
+                vertices: list) -> DataFrame:
+    """LatLonPoint.newPolygonQuery: docs inside the polygon.
+
+    Prune-then-refine, the reference's BKD shape: a bounding-box range
+    predicate (pushed to the parquet scan — the grid-relate prune) then
+    the exact crossing-parity test as a JVM expression."""
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    prune = ((F.col(lat_col) >= min(lats)) & (F.col(lat_col) <= max(lats))
+             & (F.col(lon_col) >= min(lons))
+             & (F.col(lon_col) <= max(lons)))
+    refine = F.expr(polygon_crossing_sql(lat_col, lon_col, vertices))
+    return df.where(prune).where(refine)

@@ -134,3 +134,45 @@ def test_box_pushes_range_filters_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(lat" in plan and \
         "LessThanOrEqual(lat" in plan
+
+
+def test_polygon_contains_matches_matplotlib_free_reference(spark):
+    # crossing-parity vs a plain-python ray caster on a grid of points
+    from lucene_7_x_9_x_spark.functions.geo import geo_polygon
+    verts = [(0.0, -10.0), (10.0, 0.0), (0.0, 10.0), (-10.0, 0.0)]
+
+    def py_inside(lat, lon):
+        inside = False
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if ((y1 > lat) != (y2 > lat)) and \
+                    lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                inside = not inside
+        return inside
+
+    pts = [(i, lat / 2.0, lon / 2.0)
+           for i, (lat, lon) in enumerate(
+               (a, b) for a in range(-24, 25) for b in range(-24, 25))]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    got = {r.doc_id for r in
+           geo_polygon(df, "lat", "lon", verts).collect()}
+    want = {i for i, lat, lon in pts if py_inside(lat, lon)}
+    assert got == want
+    assert 0 < len(want) < len(pts)
+
+
+def test_polygon_bbox_prune_reaches_scan(spark, tmp_path):
+    from lucene_7_x_9_x_spark.functions.geo import geo_polygon
+    df = spark.createDataFrame(
+        [(i, float(i % 90), float(i % 180)) for i in range(100)],
+        "doc_id long, lat double, lon double")
+    df.write.parquet(str(tmp_path / "pts"))
+    r = geo_polygon(spark.read.parquet(str(tmp_path / "pts")),
+                    "lat", "lon", [(0.0, -10.0), (10.0, 0.0),
+                                   (0.0, 10.0), (-10.0, 0.0)])
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(lat" in plan
