@@ -1580,6 +1580,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         model = build_freetext_model(_docs(spark, sf), "text", grams=3)
         return freetext_suggest(model, "the fast ", num=10, grams=3)
 
+    def fuzzy_suggest(spark, sf):
+        # FuzzySuggester: typo-tolerant completion of "sacn" (adjacent
+        # transposition of "scan"); first char exact, maxEdits=1
+        s = _get_searcher(spark, sf)
+        return (s.suggest_fuzzy("sacn", 10)
+                .select(F.col("rank").cast("long"), "term",
+                        F.col("weight").cast("long")))
+
     def grouped_topk(spark, sf):
         # grouping module TopGroups: 2 best BM25 hits per lang for a
         # disjunctive query
@@ -2019,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_exists_count": vector_exists_count,
         "freetext_suggest_next": freetext_suggest_next,
         "classify_nb": classify_nb,
+        "fuzzy_suggest": fuzzy_suggest,
         "classify_knn_top": classify_knn_top,
         "sample_fraction": sample_fraction,
         "sample_mixture": sample_mixture,
@@ -3002,6 +3011,21 @@ SELECT CAST(row_number() OVER (ORDER BY vs DESC, lang) AS BIGINT)
          AS rank,
        lang AS label, CAST(n_votes AS BIGINT) AS n_votes
 FROM v ORDER BY vs DESC, lang""",
+        # FuzzySuggester replica: same j-range levenshtein-on-prefix
+        # conditions + planning-time transposition variants
+        "fuzzy_suggest": f"""
+            SELECT CAST(row_number() OVER (ORDER BY weight DESC, term)
+                     AS BIGINT) AS rank, term, weight
+            FROM (SELECT t AS term,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS weight
+                  FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
+                  WHERE t LIKE 's%'
+                    AND (levenshtein(substring(t, 1, 3), 'sacn') <= 1
+                      OR levenshtein(substring(t, 1, 4), 'sacn') <= 1
+                      OR levenshtein(substring(t, 1, 5), 'sacn') <= 1
+                      OR t LIKE 'scan%' OR t LIKE 'sanc%')
+                  GROUP BY t)
+            ORDER BY weight DESC, term LIMIT 10""",
         "suggest": f"""
             SELECT CAST(row_number() OVER (ORDER BY weight DESC, term)
                      AS BIGINT) AS rank, term, weight

@@ -1424,6 +1424,61 @@ class Searcher:
         return (_rank_limited(t, [F.desc("weight"), "term"], "term")
                 .select("rank", "term", "weight"))
 
+    def suggest_fuzzy(self, prefix: str, k: int = 10,
+                      field: str | None = None, max_edits: int = 1,
+                      non_fuzzy_prefix: int = 1,
+                      min_fuzzy_length: int = 3,
+                      transpositions: bool = True) -> DataFrame:
+        """FuzzySuggester — typo-tolerant prefix completion
+        (solr-8.4.0/lucene/suggest/src/java/org/apache/lucene/search/
+        suggest/analyzing/FuzzySuggester.java, defaults kept:
+        DEFAULT_MAX_EDITS=1, DEFAULT_TRANSPOSITIONS=true,
+        DEFAULT_NON_FUZZY_PREFIX=1, DEFAULT_MIN_FUZZY_LENGTH=3).
+
+        The reference intersects the completion FST with a Levenshtein
+        automaton of the input: a term completes if SOME prefix of it is
+        within max_edits of the input. Re-expression: a dictionary term
+        qualifies when min over j in [L-d, L+d] of
+        levenshtein(term[:j], input) <= d (a prefix within distance d
+        must have length within d of L), OR — the transposition moves,
+        which plain Levenshtein counts as 2 — the term starts with the
+        input with one adjacent pair swapped (enumerated at planning
+        time: d=1 allows exactly one swap and no other edit). The first
+        non_fuzzy_prefix chars must match exactly (a pushed
+        StringStartsWith on the sorted dictionary — the automaton's
+        exact-prefix arc); inputs shorter than min_fuzzy_length fall
+        back to exact-prefix suggest. Returns
+        DataFrame(rank, term, weight) ordered (weight desc, term asc).
+        """
+        if len(prefix) < min_fuzzy_length or max_edits == 0:
+            return self.suggest(prefix, k, field)
+        t = self._terms_src
+        if self._has_field_col:
+            fld = None if (field is None or field == self._default_field) \
+                else field
+            t = t.where(F.col("field").isNull() if fld is None
+                        else (F.col("field") == fld))
+        first = prefix[:non_fuzzy_prefix]
+        t = t.where(F.col("term").startswith(first))
+        L = len(prefix)
+        cond = None
+        for j in range(max(1, L - max_edits), L + max_edits + 1):
+            c = (F.levenshtein(F.substring("term", 1, j),
+                               F.lit(prefix)) <= max_edits)
+            cond = c if cond is None else cond | c
+        if transpositions and max_edits >= 1:
+            for i in range(non_fuzzy_prefix, L - 1):
+                if prefix[i] == prefix[i + 1]:
+                    continue
+                sw = (prefix[:i] + prefix[i + 1] + prefix[i]
+                      + prefix[i + 2:])
+                cond = cond | F.col("term").startswith(sw)
+        t = (t.where(cond)
+             .select("term", F.col("doc_freq").alias("weight"))
+             .orderBy(F.desc("weight"), "term").limit(k))
+        return (_rank_limited(t, [F.desc("weight"), "term"], "term")
+                .select("rank", "term", "weight"))
+
     def suggest_infix(self, fragment: str, k: int = 10,
                       field: str | None = None) -> DataFrame:
         """Infix suggester — the AnalyzingInfixSuggester capability

@@ -235,3 +235,30 @@ def test_did_you_mean_collation(spark, tmp_path_factory):
     assert got == "database filter"
     # clean query -> None
     assert s.did_you_mean("the database filter") is None
+
+
+def test_suggest_fuzzy_semantics(spark, tmp_path):
+    # FuzzySuggester defaults: maxEdits=1, transpositions, first char
+    # exact, minFuzzyLength=3
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    words = ["search", "serch", "socket", "sample", "earch", "sarch",
+             "xsearch", "sperach", "sexrch"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[: i + 1])) for i in range(len(words))],
+        "doc_id long, text string")
+    build_index(spark, docs, str(tmp_path / "fsug"), id_cols=["doc_id"],
+                text_col="text")
+    s = Searcher(IndexSnapshot(spark, str(tmp_path / "fsug")))
+    got = set(s.suggest_fuzzy("serach", 10).toPandas().term)
+    # transposition of ra->ar: "search" (OSA 1); deletion: "serch";
+    # insertion: "sperach" (insert p); "sarch"/"sexrch" are distance 2
+    assert "search" in got       # adjacent transposition
+    assert "serch" in got        # deletion
+    assert "sperach" in got      # insertion
+    assert "earch" not in got    # first char must match exactly
+    assert "socket" not in got   # distance 4
+    assert "xsearch" not in got  # first char mismatch
+    # short input falls back to exact prefix
+    short = set(s.suggest_fuzzy("se", 10).toPandas().term)
+    assert short == {w for w in words if w.startswith("se")}
