@@ -404,7 +404,8 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_synonyms: list | None = None,
                     require_fold: bool = False,
                     require_shingles: list | None = None,
-                    require_payload_delim: str | None = None) -> bool:
+                    require_payload_delim: str | None = None,
+                    require_phonetic: str | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -432,6 +433,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
         return True
     if require_shingles is not None and \
             m.get("analyzer", {}).get("shingles", []) != require_shingles:
+        return True
+    if require_phonetic is not None and \
+            m.get("analyzer", {}).get("phonetic") != require_phonetic:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -625,6 +629,68 @@ def _num_src_sql() -> str:
         return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
     return (f"SELECT doc_id, {pick(_NUMC_A, 4)} || ' ' || "
             f"{pick(_NUMC_B, 3)} AS text FROM documents")
+
+
+# surname-variant corpus for the phonetic (Soundex) gate: spelling
+# variants share a code (smith/smyth -> s530, ashcraft/ashcroft -> a261)
+_PHON_A = ["robert met rupert at the office",
+           "ashcraft and ashcroft filed the report",
+           "smith wrote to smyth yesterday",
+           "tymczak called tomczak early"]
+_PHON_B = ["pfister signed for peterson",
+           "honeyman met hanman at noon",
+           "the meeting ended early again"]
+
+
+def _phon_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_PHON_A, 4), pick(_PHON_B, 3)).alias("text"))
+
+
+def _phon_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_PHON_A, 4)} || ' ' || "
+            f"{pick(_PHON_B, 3)} AS text FROM documents")
+
+
+def _phon_toks() -> str:
+    """DuckDB tokenizer+soundex: a CASE map generated from the engine's
+    own soundex over the finite literal vocabulary (the stem-gate
+    model — the SQL side never re-implements the encoder)."""
+    import re
+    from lucene_7_x_9_x_spark.functions.phonetic import soundex
+    vocab = sorted({t for s in _PHON_A + _PHON_B
+                    for t in re.findall(r"[a-z0-9_]+", s.lower())})
+    cases = " ".join(f"WHEN '{t}' THEN '{soundex(t)}'" for t in vocab
+                     if soundex(t) != t)
+    return (f"list_transform({TOKS}, t -> CASE t {cases} ELSE t END)")
+
+
+def _get_searcher_phonetic(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "phonetic")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "phon_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_phonetic="soundex"):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_phon_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(phonetic="soundex"))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
 
 
 def _get_searcher_num(spark: SparkSession, sf_dir: str):
@@ -1580,6 +1646,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         model = build_freetext_model(_docs(spark, sf), "text", grams=3)
         return freetext_suggest(model, "the fast ", num=10, grams=3)
 
+    def phonetic_term_top10(spark, sf):
+        # PhoneticFilter(Soundex): query "smith ashcroft" analyzed
+        # through the same chain -> codes s530/a261, matching
+        # smyth/ashcraft spelling variants; BM25 top-10
+        s = _get_searcher_phonetic(spark, sf)
+        r = s.search(s.text_query("smith ashcroft"), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
     def fuzzy_suggest(spark, sf):
         # FuzzySuggester: typo-tolerant completion of "sacn" (adjacent
         # transposition of "scan"); first char exact, maxEdits=1
@@ -2028,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freetext_suggest_next": freetext_suggest_next,
         "classify_nb": classify_nb,
         "fuzzy_suggest": fuzzy_suggest,
+        "phonetic_term_top10": phonetic_term_top10,
         "classify_knn_top": classify_knn_top,
         "sample_fraction": sample_fraction,
         "sample_mixture": sample_mixture,
@@ -2554,6 +2630,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "stem_term_top10": _bm25_sql(
             ["run", "connect", "relat"], 10, False,
             src_sql=_stem_src_sql(), toks=_stem_toks()),
+        "phonetic_term_top10": _bm25_sql(
+            ['s530', 'a261'], 10, False,
+            src_sql=_phon_src_sql(), toks=_phon_toks()),
         "synonym_analyzer_top10": _bm25_sql(
             ["fast", "fox"], 10, False,
             src_sql=_syn_src_sql(), toks=_syn_toks()),

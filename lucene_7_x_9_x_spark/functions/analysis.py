@@ -164,6 +164,12 @@ class AnalyzerConfig:
     # tokens — documented divergence from the filler-token behavior).
     # Index-time expansion only (tokenize_to_flat*), like index synonyms.
     shingles: tuple = ()
+    # PhoneticFilter role (lucene/analysis/phonetic with the
+    # commons-codec Soundex encoder): "soundex" REPLACES each token with
+    # its American Soundex code after stemming (inject=false mode; see
+    # functions/phonetic.py for the algorithm + the inject deviation).
+    # Query analysis runs the same chain, so "smith" matches "smyth".
+    phonetic: str | None = None
     # DelimitedPayloadTokenFilter role (solr-8.4.0/lucene/analysis/common/
     # src/java/org/apache/lucene/analysis/payloads/
     # DelimitedPayloadTokenFilter.java with the FloatEncoder): a raw token
@@ -250,6 +256,12 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
         toks = toks.map(lambda ts: stem_tokens(ts, memo))
     elif cfg.stemmer is not None:
         raise ValueError(f"unknown stemmer {cfg.stemmer!r}")
+    if cfg.phonetic == "soundex":
+        from .phonetic import phonetic_tokens
+        pmemo: dict = {}
+        toks = toks.map(lambda ts: phonetic_tokens(ts, pmemo))
+    elif cfg.phonetic is not None:
+        raise ValueError(f"unknown phonetic encoder {cfg.phonetic!r}")
     return toks
 
 

@@ -85,6 +85,7 @@ class IndexSnapshot:
                 synonyms_at=a.get("synonyms_at", "query"),
                 ascii_fold=a.get("ascii_fold", False),
                 shingles=tuple(a.get("shingles", [])),
+                phonetic=a.get("phonetic"),
                 payload_delim=a.get("payload_delim"))
         self.analyzer = _cfg(self.manifest["analyzer"])
         self.field_analyzers = {
@@ -333,6 +334,7 @@ def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
             "synonyms_at": cfg.synonyms_at,
             "ascii_fold": cfg.ascii_fold,
             "shingles": list(cfg.shingles),
+            "phonetic": cfg.phonetic,
             "payload_delim": cfg.payload_delim}
 
 
