@@ -1655,6 +1655,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
+    def classify_knn_fuzzy(spark, sf):
+        # KNearestFuzzyClassifier: typo'd text, every analyzed term
+        # fuzzified (maxEdits=1, prefix 2 exact), neighbors vote by lang
+        from lucene_7_x_9_x_spark.functions.classify import \
+            knn_classify_fuzzy
+        s = _get_searcher(spark, sf)
+        return (knn_classify_fuzzy(s, "fitler joinn winodw",
+                                   _docs(spark, sf), "doc_id", "lang",
+                                   k=10)
+                .select(F.col("rank").cast("long"), "label",
+                        F.col("n_votes").cast("long")))
+
     def fuzzy_suggest(spark, sf):
         # FuzzySuggester: typo-tolerant completion of "sacn" (adjacent
         # transposition of "scan"); first char exact, maxEdits=1
@@ -2104,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_nb": classify_nb,
         "fuzzy_suggest": fuzzy_suggest,
         "phonetic_term_top10": phonetic_term_top10,
+        "classify_knn_fuzzy": classify_knn_fuzzy,
         "classify_knn_top": classify_knn_top,
         "sample_fraction": sample_fraction,
         "sample_mixture": sample_mixture,
@@ -3052,6 +3065,31 @@ FROM (SELECT doc_id, cls,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY score DESC, cls) AS rk FROM sc)
 WHERE rk = 1""",
+        # fuzzy-KNN classifier: constant-score coordination counts
+        # (integer-exact), then the same boost-weighted vote
+        "classify_knn_fuzzy": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+dict AS (SELECT DISTINCT t AS w FROM ex),
+qs AS (SELECT * FROM (VALUES ('fitler'), ('joinn'), ('winodw')) q(qt)),
+exp AS (SELECT qs.qt, d.w FROM dict d, qs
+        WHERE substring(d.w, 1, 2) = substring(qs.qt, 1, 2)
+          AND damerau_levenshtein(d.w, qs.qt) <= 1),
+m AS (SELECT DISTINCT e.doc_id, x.qt FROM ex e JOIN exp x ON e.t = x.w),
+sc AS (SELECT doc_id, count(*) AS score FROM m GROUP BY doc_id),
+top AS (SELECT doc_id, score FROM sc
+        ORDER BY score DESC, doc_id LIMIT 10),
+mx AS (SELECT max(score) AS m FROM top),
+v AS (SELECT d.lang,
+             sum(CAST(t.score AS DOUBLE) / CAST(mx.m AS DOUBLE)) / 10.0
+               AS vs,
+             count(*) AS n_votes
+      FROM top t JOIN documents d ON t.doc_id = d.doc_id, mx
+      GROUP BY d.lang)
+SELECT CAST(row_number() OVER (ORDER BY vs DESC, lang) AS BIGINT)
+         AS rank,
+       lang AS label, CAST(n_votes AS BIGINT) AS n_votes
+FROM v ORDER BY vs DESC, lang""",
         # KNN classifier: the mlt_top10 pipeline, then boost-weighted
         # class votes sum(score/maxScore)/k over the 10 neighbors
         "classify_knn_top": f"""

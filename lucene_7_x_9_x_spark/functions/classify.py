@@ -102,6 +102,38 @@ def knn_classify(searcher, text: str, classes: DataFrame,
     DataFrame(rank, label, n_votes) ordered (score desc, label asc)."""
     q = searcher.more_like_this(text, min_term_freq=min_term_freq,
                                 min_doc_freq=min_doc_freq)
+    return _vote_top_k(searcher, q, classes, id_col, class_col, k)
+
+
+def knn_classify_fuzzy(searcher, text: str, classes: DataFrame,
+                       id_col: str, class_col: str, k: int = 10,
+                       max_edits: int = 1,
+                       prefix_length: int = 2) -> DataFrame:
+    """KNearestFuzzyClassifier (KNearestFuzzyClassifier.java): neighbors
+    found by fuzzifying every analyzed query term (NearestFuzzyQuery
+    defaults kept: maxEdits=1, PREFIX_LENGTH=2), then the same
+    boost-weighted vote.
+
+    Documented simplification: NearestFuzzyQuery boosts each variant by
+    (1 - d/len)·idf (java:57,214-230); here each fuzzified term is a
+    constant-score SHOULD clause, so a neighbor's score is the NUMBER
+    of fuzzified query terms it contains (the coordination count) — an
+    integer-exact, cross-engine-reproducible ordering with the same
+    "more overlapping fuzzy terms = nearer" monotonicity."""
+    from ..plans import query as Q
+    terms = sorted(set(searcher.analyze(text)))
+    if not terms:
+        return searcher.index.spark.createDataFrame(
+            [], "rank long, label string, n_votes long")
+    q = Q.BooleanQuery([
+        (Q.Occur.SHOULD, Q.FuzzyQuery(t, max_edits=max_edits,
+                                      prefix_length=prefix_length))
+        for t in terms])
+    return _vote_top_k(searcher, q, classes, id_col, class_col, k)
+
+
+def _vote_top_k(searcher, q, classes: DataFrame, id_col: str,
+                class_col: str, k: int) -> DataFrame:
     top = searcher.search(q, k)
     idx_id = searcher.index.id_cols[0]
     hits = (top.join(F.broadcast(

@@ -94,3 +94,26 @@ def test_knn_classify_votes(spark, tmp_path):
     assert got.label.iloc[0] == "spam"
     assert list(got["rank"]) == list(range(1, len(got) + 1))
     assert int(got.n_votes.sum()) <= 5
+
+
+def test_knn_classify_fuzzy(spark, tmp_path):
+    from lucene_7_x_9_x_spark.functions.classify import knn_classify_fuzzy
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    docs = spark.createDataFrame(
+        [(0, "spam", "cheap pills deals now"),
+         (1, "spam", "cheap deals cheap pills"),
+         (2, "ham", "project meeting notes"),
+         (3, "ham", "meeting plans project notes")],
+        "doc_id long, cls string, text string")
+    build_index(spark, docs, str(tmp_path / "fz"), id_cols=["doc_id"],
+                text_col="text")
+    s = Searcher(IndexSnapshot(spark, str(tmp_path / "fz")))
+    # typos within 1 edit, first two chars exact: chaep->X (ch==ch,
+    # but chaep vs cheap = transposition ae->ea, OSA 1), pills exact,
+    # deels->deals (substitution)
+    got = knn_classify_fuzzy(s, "chaep pills deels", docs, "doc_id",
+                             "cls", k=4).toPandas()
+    assert got.label.iloc[0] == "spam"
+    # no analyzable terms -> empty, no crash
+    assert knn_classify_fuzzy(s, "", docs, "doc_id", "cls").count() == 0
