@@ -405,7 +405,8 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_fold: bool = False,
                     require_shingles: list | None = None,
                     require_payload_delim: str | None = None,
-                    require_phonetic: str | None = None) -> bool:
+                    require_phonetic: str | None = None,
+                    require_cjk_bigrams: bool = False) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -436,6 +437,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
         return True
     if require_phonetic is not None and \
             m.get("analyzer", {}).get("phonetic") != require_phonetic:
+        return True
+    if require_cjk_bigrams and \
+            not m.get("analyzer", {}).get("cjk_bigrams"):
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -670,6 +674,65 @@ def _phon_toks() -> str:
     cases = " ".join(f"WHEN '{t}' THEN '{soundex(t)}'" for t in vocab
                      if soundex(t) != t)
     return (f"list_transform({TOKS}, t -> CASE t {cases} ELSE t END)")
+
+
+# unspaced CJK corpus for the CJKAnalyzer/CJKBigramFilter gate
+_CJK_A = ["中文搜索引擎系统", "中文分词处理管道", "数据索引压缩算法",
+          "查询排序评分内核"]
+_CJK_B = ["the quick parser", "a fast 分词 engine", "索引 merge policy"]
+
+
+def _cjk_docs(spark, sf_dir) -> DataFrame:
+    def pick(lits, m):
+        return F.element_at(F.array(*[F.lit(x) for x in lits]),
+                            (F.col("doc_id") % m + 1).cast("int"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", pick(_CJK_A, 4), pick(_CJK_B, 3)).alias("text"))
+
+
+def _cjk_src_sql() -> str:
+    def pick(lits, m):
+        arr = ", ".join("'%s'" % x for x in lits)
+        return f"[{arr}][CAST(doc_id % {m} AS INT) + 1]"
+    return (f"SELECT doc_id, {pick(_CJK_A, 4)} || ' ' || "
+            f"{pick(_CJK_B, 3)} AS text FROM documents")
+
+
+def _cjk_toks() -> str:
+    """DuckDB Unicode tokenizer + the CJK bigram transform, generated
+    from the engine's own range constants; the raw token list and its
+    flag list are inlined (the _bm25_sql toks slot is one expression
+    over `text`)."""
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        cjk_bigram_sql, cjk_flags_sql)
+    raw = _uni_toks()
+    return cjk_bigram_sql(raw, cjk_flags_sql(raw))
+
+
+def _get_searcher_cjk(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, AnalyzerConfig)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "cjk")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "cjk_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_regex=UNICODE_TOKEN_REGEX,
+                       require_cjk_bigrams=True):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_cjk_docs(spark, sf_dir)
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(
+                        token_regex=UNICODE_TOKEN_REGEX,
+                        cjk_bigrams=True))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
 
 
 def _get_searcher_phonetic(spark: SparkSession, sf_dir: str):
@@ -1646,6 +1709,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         model = build_freetext_model(_docs(spark, sf), "text", grams=3)
         return freetext_suggest(model, "the fast ", num=10, grams=3)
 
+    def cjk_bigram_top10(spark, sf):
+        # CJKAnalyzer role: unspaced CJK indexes as overlapping
+        # ideograph bigrams; query "中文" + "索引" analyzed through the
+        # same chain; BM25 top-10
+        s = _get_searcher_cjk(spark, sf)
+        r = s.search(s.text_query("中文 索引"), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
     def phonetic_term_top10(spark, sf):
         # PhoneticFilter(Soundex): query "smith ashcroft" analyzed
         # through the same chain -> codes s530/a261, matching
@@ -2116,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_nb": classify_nb,
         "fuzzy_suggest": fuzzy_suggest,
         "phonetic_term_top10": phonetic_term_top10,
+        "cjk_bigram_top10": cjk_bigram_top10,
         "classify_knn_fuzzy": classify_knn_fuzzy,
         "classify_knn_top": classify_knn_top,
         "sample_fraction": sample_fraction,
@@ -2643,6 +2716,9 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "stem_term_top10": _bm25_sql(
             ["run", "connect", "relat"], 10, False,
             src_sql=_stem_src_sql(), toks=_stem_toks()),
+        "cjk_bigram_top10": _bm25_sql(
+            ["中文", "索引"], 10, False,
+            src_sql=_cjk_src_sql(), toks=_cjk_toks()),
         "phonetic_term_top10": _bm25_sql(
             ['s530', 'a261'], 10, False,
             src_sql=_phon_src_sql(), toks=_phon_toks()),

@@ -94,6 +94,70 @@ UNICODE_TOKEN_REGEX = (f"{_EMOJI_SEQ}"
                        f"|[{_HAN}{_HIRAGANA}]"
                        f"|[{_UWORD}]+")
 
+# CJKBigramFilter role (solr-8.4.0/lucene/analysis/common/src/java/org/
+# apache/lucene/analysis/cjk/CJKBigramFilter.java, the CJKAnalyzer
+# chain): consecutive single-ideograph tokens (the per-char HAN/HIRAGANA
+# classes the tokenizer above emits) combine into OVERLAPPING bigrams;
+# the last char of a multi-char run is consumed by its bigram; a LONE
+# ideograph stays a unigram (outputUnigrams=false keeps singles as the
+# only unigrams — CJKBigramFilter.java:52-57,198-213). The filter pairs
+# consecutive CJK-typed TOKENS, so "中 文" (whitespace between) bigrams
+# exactly like "中文" — same as the reference, which looks only at token
+# types and increments. Scope: the per-char classes only; katakana/
+# hangul tokenize as runs here and stay whole (documented deviation from
+# the filter's optional K/H flags).
+_CJK_RANGES = [tuple(r) for r in
+               ("一鿿", "㐀䶿", "豈﫿", "぀ゟ")]
+
+
+def _is_cjk_char(t: str) -> bool:
+    return len(t) == 1 and any(lo <= t <= hi for lo, hi in _CJK_RANGES)
+
+
+def cjk_bigram_tokens(ts: list) -> list:
+    out = []
+    n = len(ts)
+    for i, t in enumerate(ts):
+        if t is None:
+            out.append(None)
+            continue
+        if _is_cjk_char(t):
+            nxt = ts[i + 1] if i + 1 < n else None
+            prv = ts[i - 1] if i > 0 else None
+            if nxt is not None and _is_cjk_char(nxt):
+                out.append(t + nxt)
+            elif not (prv is not None and _is_cjk_char(prv)):
+                out.append(t)  # lone ideograph: unigram survives
+            # else: consumed by the previous bigram — emit nothing
+        else:
+            out.append(t)
+    return out
+
+
+def cjk_flags_sql(toks_expr: str) -> str:
+    """DuckDB: per-token CJK-single-char flags for cjk_bigram_sql
+    (UTF-8 byte order == codepoint order, so single-char range compares
+    match the Python tuple compares)."""
+    rng = " OR ".join(f"(x >= '{lo}' AND x <= '{hi}')"
+                      for lo, hi in _CJK_RANGES)
+    return (f"list_transform({toks_expr}, x -> CASE WHEN "
+            f"length(x) = 1 AND ({rng}) THEN 1 ELSE 0 END)")
+
+
+def cjk_bigram_sql(ts0: str = "ts0", fs: str = "fs") -> str:
+    """DuckDB replica of cjk_bigram_tokens, given column names holding
+    the raw token list (ts0) and its cjk_flags_sql flags (fs): the same
+    per-index CASE, NULLs (consumed run tails) filtered out."""
+    return (
+        f"list_filter(list_transform(range(1, len({ts0}) + 1), i -> "
+        f"CASE "
+        f"WHEN {fs}[i] = 1 AND i < len({ts0}) AND {fs}[i+1] = 1 "
+        f"THEN {ts0}[i] || {ts0}[i+1] "
+        f"WHEN {fs}[i] = 1 AND (i = 1 OR {fs}[i-1] = 0) "
+        f"AND (i = len({ts0}) OR {fs}[i+1] = 0) THEN {ts0}[i] "
+        f"WHEN {fs}[i] = 0 THEN {ts0}[i] "
+        f"ELSE NULL END), t -> t IS NOT NULL)")
+
 
 # ---------------------------------------------------------------------------
 # ASCIIFoldingFilter role (solr-8.4.0/lucene/analysis/common/src/java/org/
@@ -170,6 +234,9 @@ class AnalyzerConfig:
     # functions/phonetic.py for the algorithm + the inject deviation).
     # Query analysis runs the same chain, so "smith" matches "smyth".
     phonetic: str | None = None
+    # CJKBigramFilter role (see cjk_bigram_tokens above): overlapping
+    # ideograph bigrams after tokenization, before stop/stem
+    cjk_bigrams: bool = False
     # DelimitedPayloadTokenFilter role (solr-8.4.0/lucene/analysis/common/
     # src/java/org/apache/lucene/analysis/payloads/
     # DelimitedPayloadTokenFilter.java with the FloatEncoder): a raw token
@@ -243,6 +310,8 @@ def tokenize_series(content: pd.Series, cfg: AnalyzerConfig | None = None) -> pd
         if might.any():
             toks = toks.where(~might, toks[might].map(
                 lambda ts: _split_oversize(ts, cfg.max_token_length)))
+    if cfg.cjk_bigrams:
+        toks = toks.map(cjk_bigram_tokens)
     if cfg.ascii_fold:
         toks = toks.map(lambda ts: [fold_ascii(t) for t in ts])
     if cfg.stopwords:

@@ -86,6 +86,7 @@ class IndexSnapshot:
                 ascii_fold=a.get("ascii_fold", False),
                 shingles=tuple(a.get("shingles", [])),
                 phonetic=a.get("phonetic"),
+                cjk_bigrams=a.get("cjk_bigrams", False),
                 payload_delim=a.get("payload_delim"))
         self.analyzer = _cfg(self.manifest["analyzer"])
         self.field_analyzers = {
@@ -335,6 +336,7 @@ def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
             "ascii_fold": cfg.ascii_fold,
             "shingles": list(cfg.shingles),
             "phonetic": cfg.phonetic,
+            "cjk_bigrams": cfg.cjk_bigrams,
             "payload_delim": cfg.payload_delim}
 
 

@@ -178,3 +178,52 @@ def test_uax29_emoji_java_identity(spark):
             .collect())
     for r, want in zip(rows, EMOJI_WANT):
         assert r["ts"] == want
+
+
+def test_cjk_bigram_filter_semantics():
+    import pandas as pd
+
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, AnalyzerConfig, tokenize_series)
+    cfg = AnalyzerConfig(token_regex=UNICODE_TOKEN_REGEX,
+                         cjk_bigrams=True)
+    out = tokenize_series(pd.Series(
+        ["中文搜索", "中", "abc 中文 def", "中 文", "中文 word 索引"]),
+        cfg)
+    assert list(out[0]) == ["中文", "文搜", "搜索"]  # overlapping run
+    assert list(out[1]) == ["中"]                     # lone -> unigram
+    assert list(out[2]) == ["abc", "中文", "def"]
+    # whitespace between ideographs still bigrams (the filter pairs
+    # consecutive CJK TOKENS, like CJKBigramFilter)
+    assert list(out[3]) == ["中文"]
+    assert list(out[4]) == ["中文", "word", "索引"]
+
+
+def test_cjk_bigram_end_to_end_phrase(spark, tmp_path):
+    from lucene_7_x_9_x_spark.functions.analysis import (
+        UNICODE_TOKEN_REGEX, AnalyzerConfig)
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.plans.query import PhraseQuery
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    docs = spark.createDataFrame(
+        [(0, "中文搜索引擎"), (1, "搜索中文引擎"), (2, "引擎 only here")],
+        "doc_id long, text string")
+    build_index(spark, docs, str(tmp_path / "cjk"), id_cols=["doc_id"],
+                text_col="text",
+                analyzer=AnalyzerConfig(token_regex=UNICODE_TOKEN_REGEX,
+                                        cjk_bigrams=True))
+    idx = IndexSnapshot(spark, str(tmp_path / "cjk"))
+    assert idx.analyzer.cjk_bigrams
+    s = Searcher(idx)
+    # "中文搜索" analyzed -> bigrams 中文,文搜,搜索 at consecutive
+    # positions: a phrase hits doc 0 only (doc 1 has 中文 and 搜索 but
+    # not adjacent in that order)
+    bigrams = s.analyze("中文搜索")
+    assert bigrams == ["中文", "文搜", "搜索"]
+    got = {int(r.doc_id) for r in
+           s.search(PhraseQuery(bigrams), 10).collect()}
+    assert got == {0}
+    # single-term bigram matches both orderings
+    got2 = {int(r.doc_id) for r in
+            s.search(s.text_query("中文"), 10).collect()}
+    assert got2 == {0, 1}
