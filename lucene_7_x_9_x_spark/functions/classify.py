@@ -157,3 +157,50 @@ def _vote_top_k(searcher, q, classes: DataFrame, id_col: str,
     return (votes.orderBy(F.desc("_score"), F.asc("_cls")).limit(k)
             .withColumn("rank", F.row_number().over(w))
             .select("rank", F.col("_cls").alias("label"), "n_votes"))
+
+
+def bm25nb_classify(searcher, text: str, class_field: str,
+                    class_values: list) -> dict:
+    """BM25NBClassifier (BM25NBClassifier.java): Naive Bayes whose
+    probabilities come from BM25 scores instead of counts —
+    P(w|c) := top-1 BM25 score of (MUST class_field:c, SHOULD text:w),
+    defaulting to 1 when nothing matches (java:208-221); prior(c) :=
+    ln(top-1 score of class_field:c) or 0 (java:223-232); score =
+    prior + sum(ln P(w|c)) over every token instance, normalized to 0-1
+    by log-sum-exp (java:151-187).
+
+    The index must carry `class_field` as a named field (extra_fields
+    at build). ALL |tokens|x|classes| probe queries plus the |classes|
+    prior queries run as ONE fused search_many job — the batch surface
+    doing what the reference does with 1+|tokens| sequential searches
+    per class. Returns {class_value: normalized probability}.
+    """
+    import math
+
+    from ..plans import query as Q
+    toks = searcher.analyze(text)
+    if not toks:
+        raise ValueError("no analyzable tokens")
+    queries = {}
+    for c in class_values:
+        queries[f"p::{c}"] = Q.BooleanQuery(
+            [(Q.Occur.MUST, Q.TermQuery(str(c), field=class_field))])
+        for w in sorted(set(toks)):
+            queries[f"l::{c}::{w}"] = Q.BooleanQuery(
+                [(Q.Occur.MUST, Q.TermQuery(str(c), field=class_field)),
+                 (Q.Occur.SHOULD, Q.TermQuery(w))])
+    top = searcher.search_many(queries, k=1)
+    got = {r["qid"]: float(r["score"]) for r in
+           top.select("qid", "score").collect()}
+    scores = {}
+    for c in class_values:
+        prior = got.get(f"p::{c}")
+        s = math.log(prior) if prior is not None and prior > 0 else 0.0
+        for w in toks:  # every instance (repeats weigh in), java:200-206
+            p = got.get(f"l::{c}::{w}", 1.0)
+            s += math.log(p if p > 0 else 1.0)
+        scores[c] = s
+    smax = max(scores.values())
+    loga = smax + math.log(sum(math.exp(v - smax)
+                               for v in scores.values()))
+    return {c: math.exp(v - loga) for c, v in scores.items()}

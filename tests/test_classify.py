@@ -117,3 +117,61 @@ def test_knn_classify_fuzzy(spark, tmp_path):
     assert got.label.iloc[0] == "spam"
     # no analyzable terms -> empty, no crash
     assert knn_classify_fuzzy(s, "", docs, "doc_id", "cls").count() == 0
+
+
+def test_bm25nb_matches_oracle_engine(spark, tmp_path):
+    # BM25NB: same formula computed from the OracleEngine's (bit-exact
+    # float32) top-1 scores must reproduce the engine's result exactly
+    import math
+
+    import pandas as pd
+
+    from lucene_7_x_9_x_spark import oracle
+    from lucene_7_x_9_x_spark.functions.classify import bm25nb_classify
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.plans.query import (BooleanQuery, Occur,
+                                                  TermQuery)
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    rows = [(0, "spam", "buy cheap pills now buy"),
+            (1, "spam", "cheap pills cheap deals"),
+            (2, "spam", "win money now"),
+            (3, "ham", "meeting notes for the project"),
+            (4, "ham", "project deadline next week meeting"),
+            (5, "ham", "lunch plans for the week")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, cls string, text string")
+    build_index(spark, docs, str(tmp_path / "bm25nb"),
+                id_cols=["doc_id"], text_col="text",
+                extra_fields=[("cls", "cls")])
+    s = Searcher(IndexSnapshot(spark, str(tmp_path / "bm25nb")))
+    text = "cheap pills win cheap"
+    got = bm25nb_classify(s, text, "cls", ["spam", "ham"])
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "cls", "text"])
+    eng = oracle.OracleEngine(*oracle.index_corpus(
+        pdf, text_col="text", extra_fields=[("cls", "cls")]))
+
+    def top1(q):
+        r = eng.search(q, 1)
+        return float(r.score.iloc[0]) if len(r) else None
+
+    toks = text.split()
+    want = {}
+    for c in ("spam", "ham"):
+        prior = top1(BooleanQuery(
+            [(Occur.MUST, TermQuery(c, field="cls"))]))
+        sc = math.log(prior) if prior and prior > 0 else 0.0
+        for w in toks:
+            p = top1(BooleanQuery(
+                [(Occur.MUST, TermQuery(c, field="cls")),
+                 (Occur.SHOULD, TermQuery(w))]))
+            p = p if p is not None else 1.0
+            sc += math.log(p if p > 0 else 1.0)
+        want[c] = sc
+    smax = max(want.values())
+    loga = smax + math.log(sum(math.exp(v - smax)
+                               for v in want.values()))
+    want = {c: math.exp(v - loga) for c, v in want.items()}
+    assert got == want
+    assert got["spam"] > got["ham"]
+    assert abs(sum(got.values()) - 1.0) < 1e-12
