@@ -204,3 +204,105 @@ def bm25nb_classify(searcher, text: str, class_field: str,
     loga = smax + math.log(sum(math.exp(v - smax)
                                for v in scores.values()))
     return {c: math.exp(v - loga) for c, v in scores.items()}
+
+
+def perceptron_train(labeled: DataFrame, id_col: str, text_col: str,
+                     label_col: str, true_value,
+                     epochs: int = 1, bias: float | None = None,
+                     n_partitions: int | None = None):
+    """BooleanPerceptronClassifier training
+    (BooleanPerceptronClassifier.java): binary classifier with
+    term-frequency-initialized weights (java:107-113), bias defaulting
+    to the average document length (java:92-96), and the update rule
+    w[t] = max(0, w[t] + modifier*tf(t,doc)) on misclassification,
+    modifier = sign(correct - assigned) (java:137-147,152-182).
+
+    The reference trains STRICTLY SEQUENTIALLY over the index — a shape
+    that cannot scale past one machine. Spark-first substitution, per
+    the published distributed-perceptron recipe (McDonald, Hall & Mann,
+    "Distributed Training Strategies for the Structured Perceptron",
+    NAACL 2010, parameter mixing): each partition trains the reference's
+    sequential perceptron over ITS docs (ordered by id — deterministic),
+    and per-epoch the partition weight vectors are averaged. One shuffle
+    per epoch; every weight op is the reference's.
+
+    Returns (weights dict, bias). Classify with perceptron_assign.
+    """
+    spark = labeled.sparkSession
+    par = n_partitions or spark.sparkContext.defaultParallelism
+    toks = (labeled.select(id_col, label_col,
+                           tokens_col(text_col).alias("ts")))
+    agg = toks.select(F.explode("ts").alias("w")).groupBy("w") \
+        .agg(F.count("*").alias("ttf"))
+    init = {r["w"]: float(r["ttf"]) for r in agg.collect()}
+    if bias is None or bias == 0.0:
+        nd = toks.where(F.size("ts") > 0).count()
+        bias = sum(init.values()) / float(nd) if nd else 1.0
+    src = (toks.repartitionByRange(par, F.col(id_col))
+           .sortWithinPartitions(id_col)
+           .select(id_col, (F.col(label_col) == F.lit(true_value))
+                   .alias("_y"), "ts"))
+    weights = dict(init)
+    for _ in range(max(1, epochs)):
+        bc = spark.sparkContext.broadcast(weights)
+        b = float(bias)
+
+        def train_part(batches):
+            import pandas as pd
+            w = dict(bc.value)
+            changed = set()
+            for pdf in batches:
+                for ts, y in zip(pdf["ts"], pdf["_y"]):
+                    out = sum(w.get(t, 0.0) for t in ts)
+                    assigned = out >= b
+                    if assigned == bool(y):
+                        continue
+                    mod = 1.0 if y else -1.0
+                    tf = {}
+                    for t in ts:
+                        tf[t] = tf.get(t, 0) + 1
+                    for t, f in tf.items():
+                        if t in w:  # reference updates known terms only
+                            w[t] = max(0.0, w[t] + mod * f)
+                            changed.add(t)
+            yield pd.DataFrame({"w": sorted(changed),
+                                "val": [w[t] for t in sorted(changed)]})
+
+        rows = src.mapInPandas(train_part,
+                               schema="w string, val double").collect()
+        from collections import defaultdict
+        sums, cnts = defaultdict(float), defaultdict(int)
+        for r in rows:
+            sums[r["w"]] += float(r["val"])
+            cnts[r["w"]] += 1
+        new_w = dict(weights)
+        for t in sums:
+            # parameter mixing: partitions that left t untouched
+            # contribute the incoming weight
+            new_w[t] = (sums[t] + (par - cnts[t]) * weights[t]) / par
+        weights = new_w
+        bc.destroy()
+    return weights, float(bias)
+
+
+def perceptron_assign(spark, weights: dict, bias: float,
+                      unlabeled: DataFrame, id_col: str,
+                      text_col: str) -> DataFrame:
+    """assignClass over a whole column (java:199-218: sum of the
+    weights of the text's tokens, TRUE iff >= bias; score =
+    1 - exp(-|bias - output|/bias)). JVM explode + broadcast weight
+    join + sum — the serving path is fully distributed."""
+    wdf = F.broadcast(spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(weights.items())],
+        "w string, val double"))
+    toks = unlabeled.select(id_col, tokens_col(text_col).alias("ts"))
+    summed = (toks.select(id_col, F.explode_outer("ts").alias("w"))
+              .join(wdf, "w", "left")
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce(F.col("val"), F.lit(0.0)))
+                   .alias("_out")))
+    out = F.coalesce(F.col("_out"), F.lit(0.0))
+    return summed.select(
+        id_col, (out >= F.lit(float(bias))).alias("assigned"),
+        (F.lit(1.0) - F.exp(-F.abs(F.lit(float(bias)) - out)
+                            / F.lit(float(bias)))).alias("score"))

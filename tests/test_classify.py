@@ -175,3 +175,37 @@ def test_bm25nb_matches_oracle_engine(spark, tmp_path):
     assert got == want
     assert got["spam"] > got["ham"]
     assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_perceptron_learns_separable_classes(spark):
+    from lucene_7_x_9_x_spark.functions.classify import (perceptron_assign,
+                                                         perceptron_train)
+    spam_words = ["cheap", "pills", "deals", "win", "money"]
+    ham_words = ["meeting", "notes", "project", "deadline", "lunch"]
+    rows = []
+    for i in range(80):  # interleaved: every id range holds both classes
+        if i % 2 == 0:
+            ws = [spam_words[(i + j) % 5] for j in range(4)]
+            rows.append((i, "spam", " ".join(ws)))
+        else:
+            ws = [ham_words[(i + j) % 5] for j in range(4)]
+            rows.append((i, "ham", " ".join(ws)))
+    df = spark.createDataFrame(rows,
+                               "doc_id long, cls string, text string")
+    w, b = perceptron_train(df, "doc_id", "text", "cls", "spam",
+                            epochs=5, n_partitions=4)
+    te = spark.createDataFrame(
+        [(100, "cheap money deals pills"), (101, "project lunch notes"),
+         (102, "win pills cheap"), (103, "meeting deadline project")],
+        "doc_id long, text string")
+    got = {r.doc_id: bool(r.assigned) for r in
+           perceptron_assign(spark, w, b, te, "doc_id",
+                             "text").collect()}
+    assert got == {100: True, 101: False, 102: True, 103: False}
+    # determinism: identical rerun -> identical weights
+    w2, b2 = perceptron_train(df, "doc_id", "text", "cls", "spam",
+                              epochs=5, n_partitions=4)
+    assert w == w2 and b == b2
+    # score shape: 1 - exp(-|bias-out|/bias), in [0, 1)
+    sc = perceptron_assign(spark, w, b, te, "doc_id", "text").toPandas()
+    assert ((sc.score >= 0) & (sc.score < 1)).all()
