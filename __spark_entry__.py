@@ -1289,6 +1289,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (s.vector_exists_count(_sparse_emb(spark, sf), "vec_id")
                 .select(F.col("n_vectors").cast("long")))
 
+    def hybrid_rrf_top10(spark, sf):
+        # Reciprocal Rank Fusion hybrid (TopDocs.rrf, Lucene 9.8): BM25
+        # top-50 for filter OR join fused with the cosine top-50 around
+        # vec_id 0's embedding; score = sum of 1/(60+rank), ties id asc
+        s = _get_searcher(spark, sf)
+        emb = _emb(spark, sf).withColumn(
+            "embedding", F.transform("embedding",
+                                     lambda x: x.cast("double")))
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        r = s.hybrid_rrf(Q.BooleanQuery([(O.SHOULD, T("filter")),
+                                         (O.SHOULD, T("join"))]),
+                         qv, emb, k=10, n_each=50)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"),
+                        F.col("lex_rank").cast("long"),
+                        F.col("vec_rank").cast("long"))
+
     def intervals_scored_top10(spark, sf):
         # scored IntervalQuery: sloppyFreq = f32 sum of 1/(1+gaps) over
         # the doc's MINIMAL intervals (a pair (a, next_b) is minimal only
@@ -2180,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "hybrid_rrf_top10": hybrid_rrf_top10,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2632,6 +2651,31 @@ def oracle_sql() -> dict[str, str]:
         "vector_exists_count": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors
             FROM embeddings WHERE vec_id % 5 <> 0""",
+        "hybrid_rrf_top10": f"""
+            WITH lex AS ({_bm25_sql(["filter", "join"], 50, False)}),
+            q0 AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = 0),
+            vec AS (SELECT CAST(row_number() OVER (ORDER BY
+                      list_cosine_similarity(e.embedding::DOUBLE[],
+                                             q0.qv::DOUBLE[]) DESC,
+                      e.vec_id) AS BIGINT) AS rank, e.vec_id
+                    FROM embeddings e, q0
+                    ORDER BY rank LIMIT 50),
+            fused AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+                      coalesce(l.rank, 0) AS lex_rank,
+                      coalesce(v.rank, 0) AS vec_rank,
+                      (CASE WHEN l.rank IS NULL THEN CAST(0 AS DOUBLE)
+                            ELSE CAST(1 AS DOUBLE) /
+                                 (CAST(60 AS DOUBLE) + l.rank) END
+                       + CASE WHEN v.rank IS NULL THEN CAST(0 AS DOUBLE)
+                              ELSE CAST(1 AS DOUBLE) /
+                                   (CAST(60 AS DOUBLE) + v.rank) END)
+                        AS s
+                      FROM lex l FULL OUTER JOIN vec v
+                        ON l.doc_id = v.vec_id)
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                        AS BIGINT) AS rank, doc_id, lex_rank, vec_rank
+            FROM fused ORDER BY s DESC, doc_id LIMIT 10""",
         "knn_filtered_top10": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = 0),

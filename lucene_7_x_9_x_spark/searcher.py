@@ -1051,6 +1051,51 @@ class Searcher:
                 .where(F.col("rank") <= k)
                 .select("qid", "rank", vec_id_col, "cosine"))
 
+    def hybrid_rrf(self, query, query_vec, vectors, k: int = 10,
+                   n_each: int | None = None, rrf_k: int = 60,
+                   vec_id_col: str = "vec_id", vec_col: str = "embedding",
+                   **knn_kwargs) -> DataFrame:
+        """Hybrid lexical+vector retrieval fused with Reciprocal Rank
+        Fusion — the Lucene 9.8 ``TopDocs#rrf`` capability
+        (lucene/core/src/java/org/apache/lucene/search/TopDocs.java,
+        Cormack et al. 2009): ``score(d) = Σ_lists 1/(rrf_k + rank_d)``
+        over the BM25 top-``n_each`` and the KNN top-``n_each``, ties
+        broken by id asc (TopDocs.rrf's docid tie-break).
+
+        Scale shape: each leg is an independent top-n job (the lexical
+        leg through the block-max kernel, the vector leg through
+        whatever ANN index ``knn_kwargs`` routes to); the fusion itself
+        joins two ≤n_each-row frames — driver-negligible at any corpus
+        size. Returns DataFrame(rank, <id0>, lex_rank, vec_rank,
+        rrf_score); absent-in-a-list ranks are 0, contributing nothing.
+        """
+        n = n_each or max(2 * k, 20)
+        id0 = self.index.id_cols[0]
+        lex = (self.search(query, n)
+               .select(F.col(id0), F.col("rank").alias("lex_rank")))
+        vec = (self.knn(query_vec, n, vectors=vectors,
+                        vec_id_col=vec_id_col, vec_col=vec_col,
+                        **knn_kwargs)
+               .select(F.col(vec_id_col).alias(id0),
+                       F.col("rank").alias("vec_rank")))
+        fused = (lex.join(vec, id0, "full_outer")
+                 .select(id0,
+                         F.coalesce("lex_rank", F.lit(0))
+                         .alias("lex_rank"),
+                         F.coalesce("vec_rank", F.lit(0))
+                         .alias("vec_rank")))
+        # two-term f64 sum: commutative for exactly two addends, so the
+        # oracle's FULL OUTER JOIN form reproduces it bit-for-bit
+        contrib = [
+            F.when(F.col(c) > 0, F.lit(1.0) / (F.lit(float(rrf_k))
+                                               + F.col(c)))
+            .otherwise(F.lit(0.0)) for c in ("lex_rank", "vec_rank")]
+        fused = fused.withColumn("rrf_score", contrib[0] + contrib[1])
+        top = (fused.orderBy(F.desc("rrf_score"), id0).limit(k))
+        return (_rank_limited(top, [F.desc("rrf_score"), F.col(id0)], id0)
+                .select("rank", id0, "lex_rank", "vec_rank", "rrf_score")
+                .orderBy("rank"))
+
     def payload_score(self, term: str, function: str = "sum", k: int = 10,
                       field: str | None = None) -> DataFrame:
         """PayloadScoreQuery analogue (solr-8.4.0/lucene/queries/src/java/
