@@ -31,6 +31,37 @@ QDL = ("CAST(CASE WHEN dl < 24 THEN dl WHEN dl - 24 < 8 THEN dl "
        "AS BIGINT)")
 
 
+#: the expression the expr_score gate compiles — shared verbatim by the
+#: engine entry and the oracle generator below
+_EXPR_SRC = "0.3 * _score * sqrt(dl) + min(dl, 100) / 50"
+
+
+def _expr_score_sql(k: int = 10) -> str:
+    """Oracle for expr_score_top10: the function_score scaffold with the
+    scored expression emitted by the SAME compiler the engine uses
+    (bindings: _score -> the f64 BM25 fragment; dl stays a column)."""
+    from lucene_7_x_9_x_spark.functions.expressions import (
+        compile_expression)
+    bm25 = (f"ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5)) "
+            f"* tf_a / (tf_a + {K1} * ({1 - B} + {B} * qdl "
+            f"* s.doc_count / CAST(s.sum_ttf AS DOUBLE)))")
+    sc = compile_expression(_EXPR_SRC).sql({"_score": bm25})
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, dl, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl, dl,
+         len(list_filter(ts, t -> t = 'filter')) AS tf_a FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a FROM tf),
+scored AS (SELECT doc_id, {sc} AS score
+    FROM tf, stats s, dfs d WHERE tf_a > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
 def _bm25_sql(terms: list[str], k: int, conjunctive: bool,
               cond: str | None = None, src_sql: str | None = None,
               toks: str | None = None, dl_toks: str | None = None) -> str:
@@ -1529,6 +1560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long"),
                         F.col("doc_id").cast("long"))
 
+    def expr_score_top10(spark, sf):
+        # Lucene expressions module (JavascriptCompiler + SimpleBindings
+        # via FunctionScoreQuery): compiled arithmetic over _score and
+        # the dl docvalue. The SAME compiler emits the oracle's SQL —
+        # one parse tree, one operation order, both engines.
+        s = _get_searcher(spark, sf)
+        r = s.expression_score(Q.TermQuery("filter"), _EXPR_SRC, k=10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
     def join_query_top10(spark, sf):
         # JoinUtil.createJoinQuery: from-side = docs matching 'filter'
         # (BM25-scored), join field = the stored dl docvalue, ScoreMode
@@ -2199,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) new this round / never driver-gated --
         "hybrid_rrf_top10": hybrid_rrf_top10,
+        "expr_score_top10": expr_score_top10,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2651,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_exists_count": """
             SELECT CAST(count(*) AS BIGINT) AS n_vectors
             FROM embeddings WHERE vec_id % 5 <> 0""",
+        "expr_score_top10": _expr_score_sql(10),
         "hybrid_rrf_top10": f"""
             WITH lex AS ({_bm25_sql(["filter", "join"], 50, False)}),
             q0 AS (SELECT embedding AS qv FROM embeddings

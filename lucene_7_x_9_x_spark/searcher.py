@@ -1380,6 +1380,40 @@ class Searcher:
                 .select("rank", "segment", "docid", "score",
                         *self.index.id_cols))
 
+    def expression_score(self, query, expression: str,
+                         k: int = 10) -> DataFrame:
+        """Expression-valued scoring — the Lucene expressions module
+        (solr-8.4.0/lucene/expressions/src/java/org/apache/lucene/
+        expressions/js/JavascriptCompiler.java bound through
+        FunctionScoreQuery, e.g. ``"0.3*_score + sqrt(popularity)"``):
+        the match set and ``_score`` come from the wrapped query, every
+        other variable reads a stored docmap column (SimpleBindings →
+        DoubleValuesSource.fromField), and the compiled expression runs
+        as ONE plan-side SQL expression inside whole-stage codegen.
+
+        Scale shape: identical to function_score — a (segment, docid)
+        equi-join against the columnar docmap pruned to exactly the
+        referenced columns, then TakeOrderedAndProject; the expression
+        itself adds zero Python to the hot path. Returns
+        (rank, segment, docid, score, id cols), f32 score, usual ties."""
+        from .functions.expressions import compile_expression
+        dm_cols = set(self.index.docmap().columns)
+        ce = compile_expression(expression,
+                                allowed_vars=dm_cols | {"_score"})
+        dv_cols = sorted(ce.variables - {"_score"})
+        m = self.matches(query)
+        dm = self.index.docmap().select(
+            "segment", "docid", *self.index.id_cols, *dv_cols)
+        j = m.join(dm, ["segment", "docid"])
+        sc = F.expr(ce.sql({"_score": "CAST(score AS DOUBLE)"})) \
+              .cast("float")
+        out = (j.withColumn("score", sc)
+               .orderBy(F.desc("score"), "segment", "docid").limit(k))
+        return (_rank_limited(out, [F.desc("score"), "segment", "docid"],
+                              "docid")
+                .select("rank", "segment", "docid", "score",
+                        *self.index.id_cols))
+
     def sorted_topk(self, k: int = 10, ascending: bool = True) -> DataFrame:
         """Early-terminating sort-field top-k over an index built with
         sort_by=... — the index-time-sort capability of the reference
