@@ -2149,6 +2149,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_id(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "pred_lang")
 
+    def repetition_stats_q(spark, sf):
+        # Gopher repetition filters (Rae et al. 2021 A1.1) — testdata
+        # text is single-line, so the gate derives lines by replacing
+        # the frequent token ' row ' with newlines (literal replace():
+        # identical left-to-right non-overlapping semantics in Spark
+        # and DuckDB); synthetic text repeats heavily so both the
+        # dup-line and dup-bigram branches are exercised for real
+        from lucene_7_x_9_x_spark.pipeline.textstats import (
+            repetition_stats)
+        docs = _docs(spark, sf).withColumn(
+            "mtext", F.expr("replace(text, ' row ', '\n')"))
+        return repetition_stats(docs, "doc_id", "mtext").select(
+            F.col("doc_id").cast("long"), "n_lines", "n_dup_lines",
+            "dup_line_chars", "total_line_chars", "top_bigram_chars",
+            "dup_bigram_chars", "n_token_chars")
+
     def fingerprint_q(spark, sf):
         from lucene_7_x_9_x_spark.pipeline.textstats import fingerprint
         return fingerprint(_docs(spark, sf), "doc_id", "text").select(
@@ -2241,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) new this round / never driver-gated --
         "hybrid_rrf_top10": hybrid_rrf_top10,
         "expr_score_top10": expr_score_top10,
+        "repetition_stats": repetition_stats_q,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2694,6 +2711,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_vectors
             FROM embeddings WHERE vec_id % 5 <> 0""",
         "expr_score_top10": _expr_score_sql(10),
+        "repetition_stats": f"""
+WITH base AS (SELECT doc_id, replace(text, ' row ', chr(10)) AS mtext
+              FROM documents),
+t2 AS (SELECT doc_id,
+         list_filter(string_split(mtext, chr(10)), l -> l <> '') AS lines,
+         {TOKS.replace("lower(text)", "lower(mtext)")} AS ts FROM base),
+t3 AS (SELECT doc_id, lines, ts,
+         list_transform(range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i+1]) AS grams
+       FROM t2),
+lc AS (SELECT doc_id, l, count(*) AS c
+       FROM (SELECT doc_id, unnest(lines) AS l FROM t3)
+       GROUP BY doc_id, l),
+lagg AS (SELECT doc_id, count(*) AS n_distinct,
+                sum(length(l) * (c - 1)) AS dup_line_chars
+         FROM lc GROUP BY doc_id),
+gc AS (SELECT doc_id, g, count(*) AS c
+       FROM (SELECT doc_id, unnest(grams) AS g FROM t3)
+       GROUP BY doc_id, g),
+gagg AS (SELECT doc_id,
+                max((length(g) - 1) * c) AS top_bigram_chars,
+                sum(CASE WHEN c > 1 THEN (length(g) - 1) * c
+                         ELSE 0 END) AS dup_bigram_chars
+         FROM gc GROUP BY doc_id)
+SELECT t3.doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(lines) - coalesce(lagg.n_distinct, 0) AS BIGINT)
+    AS n_dup_lines,
+  CAST(coalesce(lagg.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+  CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+       AS BIGINT) AS total_line_chars,
+  CAST(coalesce(gagg.top_bigram_chars, 0) AS BIGINT)
+    AS top_bigram_chars,
+  CAST(coalesce(gagg.dup_bigram_chars, 0) AS BIGINT)
+    AS dup_bigram_chars,
+  CAST(coalesce(list_sum(list_transform(ts, t -> length(t))), 0)
+       AS BIGINT) AS n_token_chars
+FROM t3 LEFT JOIN lagg USING (doc_id) LEFT JOIN gagg USING (doc_id)""",
         "hybrid_rrf_top10": f"""
             WITH lex AS ({_bm25_sql(["filter", "join"], 50, False)}),
             q0 AS (SELECT embedding AS qv FROM embeddings
