@@ -35,6 +35,33 @@ QDL = ("CAST(CASE WHEN dl < 24 THEN dl WHEN dl - 24 < 8 THEN dl "
 #: engine entry and the oracle generator below
 _EXPR_SRC = "0.3 * _score * sqrt(dl) + min(dl, 100) / 50"
 
+#: deterministic PII splice for the pii_redact gate — same string built
+#: by both engines (Spark SQL form and DuckDB || form below)
+_PII_SPLICE_SPARK = (
+    "concat(text, ' contact u', cast(doc_id as string), "
+    "'@ex.com via 10.1.', cast(doc_id % 250 as string), '.9', "
+    "case when doc_id % 3 = 0 then ' card 4111 1111 1111 1111' "
+    "else '' end, "
+    "case when doc_id % 5 = 0 then ' ssn 987-65-4321' else '' end, "
+    "' tel +321 555-', lpad(cast(doc_id % 10000 as string), 4, '0'))")
+
+_PII_SPLICE_DUCK = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) "
+    "|| '@ex.com via 10.1.' || CAST(doc_id % 250 AS VARCHAR) || '.9' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' card 4111 1111 1111 1111' "
+    "ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' ssn 987-65-4321' ELSE '' END "
+    "|| ' tel +321 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), "
+    "4, '0')")
+
+
+def _pii_redact_sql() -> str:
+    from lucene_7_x_9_x_spark.pipeline.redact import redact_sql
+    red, cnts = redact_sql("ptext")
+    return f"""
+WITH base AS (SELECT doc_id, {_PII_SPLICE_DUCK} AS ptext FROM documents)
+SELECT doc_id, {red} AS redacted, {", ".join(cnts)} FROM base"""
+
 
 def _expr_score_sql(k: int = 10) -> str:
     """Oracle for expr_score_top10: the function_score scaffold with the
@@ -2149,6 +2176,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_id(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "pred_lang")
 
+    def pii_redact_q(spark, sf):
+        # PII scrub (C4/RefinedWeb-style): testdata has no PII, so the
+        # gate splices deterministic emails/IPs/SSNs/cards/phones from
+        # doc_id (identical concat both engines), then redacts. The
+        # oracle's regexes come from the SAME PII_RULES table.
+        from lucene_7_x_9_x_spark.pipeline.redact import redact_pii
+        d = _docs(spark, sf).withColumn("ptext", F.expr(_PII_SPLICE_SPARK))
+        return (redact_pii(d, "doc_id", "ptext")
+                .select(F.col("doc_id").cast("long"), "redacted",
+                        "n_email", "n_ipv4", "n_ssn", "n_card",
+                        "n_phone"))
+
     def repetition_stats_q(spark, sf):
         # Gopher repetition filters (Rae et al. 2021 A1.1) — testdata
         # text is single-line, so the gate derives lines by replacing
@@ -2258,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_top10": hybrid_rrf_top10,
         "expr_score_top10": expr_score_top10,
         "repetition_stats": repetition_stats_q,
+        "pii_redact": pii_redact_q,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2711,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_vectors
             FROM embeddings WHERE vec_id % 5 <> 0""",
         "expr_score_top10": _expr_score_sql(10),
+        "pii_redact": _pii_redact_sql(),
         "repetition_stats": f"""
 WITH base AS (SELECT doc_id, replace(text, ' row ', chr(10)) AS mtext
               FROM documents),
