@@ -2176,6 +2176,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_id(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "pred_lang")
 
+    def seq_pack_q(spark, sf):
+        # concat-and-chop sequence packing into ctx=512 windows across
+        # 8 md5-bucketed independent streams; all-integer layout
+        from lucene_7_x_9_x_spark.pipeline.packing import pack_sequences
+        return (pack_sequences(_docs(spark, sf), "doc_id", 512,
+                               n_buckets=8, text_col="text")
+                .select(F.col("doc_id").cast("long"),
+                        F.col("bucket").cast("long"), "n_tokens",
+                        "start_off", "first_seq", "last_seq", "n_seqs"))
+
     def pii_redact_q(spark, sf):
         # PII scrub (C4/RefinedWeb-style): testdata has no PII, so the
         # gate splices deterministic emails/IPs/SSNs/cards/phones from
@@ -2298,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_score_top10": expr_score_top10,
         "repetition_stats": repetition_stats_q,
         "pii_redact": pii_redact_q,
+        "seq_pack": seq_pack_q,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2752,6 +2763,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 5 <> 0""",
         "expr_score_top10": _expr_score_sql(10),
         "pii_redact": _pii_redact_sql(),
+        "seq_pack": f"""
+WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens,
+        ('0x' || substring(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 2147483647 % 8 AS bucket
+      FROM t WHERE n_tokens > 0),
+packed AS (SELECT doc_id, bucket, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+          AS start_off
+      FROM b)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+  CAST(start_off AS BIGINT) AS start_off,
+  CAST(start_off // 512 AS BIGINT) AS first_seq,
+  CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+  CAST((start_off + n_tokens - 1) // 512 - start_off // 512 + 1
+       AS BIGINT) AS n_seqs
+FROM packed""",
         "repetition_stats": f"""
 WITH base AS (SELECT doc_id, replace(text, ' row ', chr(10)) AS mtext
               FROM documents),
