@@ -55,6 +55,45 @@ _PII_SPLICE_DUCK = (
     "4, '0')")
 
 
+def _ann_pq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
+                k: int = 10) -> str:
+    """PQ oracle: encode (per-subspace argmin over the 16 codebook rows,
+    ties to the lowest j) + ADC (left-associated sum of per-subspace
+    squared distances), every float op written in the same order the
+    Spark side evaluates it."""
+    dsub = dim // m
+
+    def sq(s: int, v: str, c: str) -> str:
+        terms = [f"(({v}[{s * dsub + i + 1}] - {c}[{s * dsub + i + 1}])"
+                 f" * ({v}[{s * dsub + i + 1}] - {c}[{s * dsub + i + 1}]))"
+                 for i in range(dsub)]
+        e = terms[0]
+        for t in terms[1:]:
+            e = f"({e} + {t})"
+        return e
+
+    code_cols = ", ".join(
+        f"(SELECT cb.j FROM cb ORDER BY {sq(s, 'a.v', 'cb.cv')}, cb.j "
+        f"LIMIT 1) AS c{s}" for s in range(m))
+    lut_terms = [f"(SELECT {sq(s, 'q.qv', 'cb.cv')} FROM cb "
+                 f"WHERE cb.j = coded.c{s})" for s in range(m)]
+    dist = lut_terms[0]
+    for t in lut_terms[1:]:
+        dist = f"({dist} + {t})"
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings
+       WHERE vec_id BETWEEN 1 AND {ksub}),
+a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id >= {ksub + 1}),
+coded AS (SELECT vec_id, {code_cols} FROM a),
+scored AS (SELECT coded.vec_id, {dist} AS adist FROM coded, q)
+SELECT CAST(row_number() OVER (ORDER BY adist, vec_id) AS BIGINT)
+         AS rank, vec_id
+FROM scored ORDER BY adist, vec_id LIMIT {k}"""
+
+
 def _pii_redact_sql() -> str:
     from lucene_7_x_9_x_spark.pipeline.redact import redact_sql
     red, cnts = redact_sql("ptext")
@@ -2135,6 +2174,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("rank").cast("long"),
                         F.col("vec_id").cast("long")))
 
+    def ann_pq_top10(spark, sf):
+        # Product quantization with externally supplied codebooks (the
+        # distributed operators under test are the encode pass and the
+        # ADC lookup-table search; Lloyd training is driver-side
+        # preprocessing, exercised in test_pq.py). Codebook for
+        # subspace s = slices of embeddings vec_id 1..16; corpus =
+        # vec_id >= 17; query = vec_id 0; m=4 x dsub=16, ksub=16.
+        import numpy as np
+        from lucene_7_x_9_x_spark.pipeline.similarity import (pq_adc_topk,
+                                                              pq_encode)
+        emb = _emb(spark, sf)
+        rows = (emb.where(F.col("vec_id") <= 16)
+                .orderBy("vec_id").collect())
+        mat = np.array([[float(x) for x in r["embedding"]] for r in rows],
+                       dtype=np.float64)
+        qvec, brows = mat[0], mat[1:17]
+        m_sub, dsub = 4, 16
+        books = np.stack([brows[:, s * dsub:(s + 1) * dsub]
+                          for s in range(m_sub)])
+        corpus = (emb.where(F.col("vec_id") >= 17)
+                  .withColumn("embedding",
+                              F.transform("embedding",
+                                          lambda x: x.cast("double"))))
+        codes = pq_encode(corpus, books)
+        return (pq_adc_topk(codes, books, [float(x) for x in qvec], k=10)
+                .select(F.col("rank").cast("long"),
+                        F.col("vec_id").cast("long")))
+
     def ann_ivf_top10(spark, sf):
         # IVF with externally supplied centroids (the distributed operators
         # under test are the assignment pass + probed search; Lloyd
@@ -2309,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": repetition_stats_q,
         "pii_redact": pii_redact_q,
         "seq_pack": seq_pack_q,
+        "ann_pq_top10": ann_pq_top10,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2763,6 +2831,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id % 5 <> 0""",
         "expr_score_top10": _expr_score_sql(10),
         "pii_redact": _pii_redact_sql(),
+        "ann_pq_top10": _ann_pq_sql(),
         "seq_pack": f"""
 WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
            FROM documents),

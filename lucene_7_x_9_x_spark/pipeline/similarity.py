@@ -10,6 +10,7 @@ can be reused across queries.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -283,3 +284,113 @@ def cosine_topk_lsh_many(bucketed: DataFrame, queries: dict, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("qid", "rank", id_col, "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
+             n_iters: int = 5, sample_size: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> np.ndarray:
+    """Driver-side product-quantization codebooks (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): the vector is
+    split into m contiguous subspaces of dim/m and each subspace gets
+    its own ksub-centroid Lloyd quantizer — same deterministic recipe as
+    ivf_train (lowest-id sample, first-k init, emptied cluster keeps its
+    centroid). Returns float64 (m, ksub, dim//m).
+
+    The memory story at 100 TB: a 64-dim float32 vector is 256 bytes;
+    its PQ code is m bytes (m=8 -> 32x smaller), so the scored side of
+    an ANN pass fits in a fraction of the footprint and the full-vector
+    read happens only for the final re-rank candidates."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    rows = (df.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).collect())
+    x = np.array([[float(v) for v in r[1]] for r in rows],
+                 dtype=np.float64)
+    if len(x) < ksub:
+        raise ValueError("sample smaller than ksub")
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[:ksub].copy()
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(ksub):
+                msk = assign == j
+                if msk.any():
+                    cent[j] = xs[msk].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def _sub_sqdist(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared L2 between rows of x and rows of cent, accumulated
+    SEQUENTIALLY over dimensions (left fold, first term first) so the
+    result is bit-identical to a generated left-associated SQL sum —
+    np.sum's pairwise summation would differ in the low bits."""
+    d = (x[:, None, 0] - cent[None, :, 0]) ** 2
+    for j in range(1, x.shape[1]):
+        d = d + (x[:, None, j] - cent[None, :, j]) ** 2
+    return d
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """Encode vectors to m-byte PQ codes: per subspace, the index of the
+    L2-nearest codebook row (first minimum on ties — numpy argmin and
+    the oracle's ORDER BY dist, j agree). Arrow-batched pandas UDF: the
+    argmin over ksub centroids is a vectorized numpy pass per batch;
+    returns (id, codes array<int>)."""
+    from pyspark.sql.functions import pandas_udf
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.array([list(e) for e in v], dtype=np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            d = _sub_sqdist(x[:, s * dsub:(s + 1) * dsub], books[s])
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks: np.ndarray,
+                query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query's per-subspace
+    distance table (m x ksub float64, computed once on the driver with
+    the same sequential fold) is inlined as literal arrays, and each
+    row's distance is the left-folded sum of m table lookups — pure JVM
+    expressions over the m-byte codes, the full vectors are never read.
+    Returns (rank, id, adist) ordered (adist asc, id asc)."""
+    from pyspark.sql import Window
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    luts = []
+    for s in range(m):
+        luts.append(_sub_sqdist(q[None, s * dsub:(s + 1) * dsub],
+                                codebooks[s])[0])
+    # dist = ((lut0[c0] + lut1[c1]) + ...) — explicit left association,
+    # matching the oracle's written-out + chain
+    def lk(s):
+        arr = F.array(*[F.lit(float(v)) for v in luts[s]])
+        return F.element_at(arr,
+                            F.element_at(F.col("codes"), s + 1) + 1)
+    dist = lk(0)
+    for s in range(1, m):
+        dist = dist + lk(s)
+    scored = codes_df.select(F.col(id_col), dist.alias("adist"))
+    top = scored.orderBy("adist", id_col).limit(k)
+    w = (Window.partitionBy(F.xxhash64(F.col(id_col)) % F.lit(1))
+         .orderBy("adist", F.col(id_col)))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", id_col, "adist"))
