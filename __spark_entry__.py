@@ -2243,6 +2243,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lang_id(_docs(spark, sf), "doc_id", "text").select(
             F.col("doc_id").cast("long"), "pred_lang")
 
+    def split_search_top10(spark, sf):
+        # PKIndexSplitter end-to-end: split the corpus index on
+        # TermQuery('filter'), then BM25-search the MATCH half — its
+        # re-finalized stats must equal an index built fresh from the
+        # filtered corpus (the oracle scores over that subcorpus)
+        from lucene_7_x_9_x_spark.index import IndexSnapshot
+        from lucene_7_x_9_x_spark.operators.split import split_index
+        from lucene_7_x_9_x_spark.searcher import Searcher
+        key = ("split", os.path.abspath(sf))
+        if key not in _INDEXES:
+            base = os.path.basename(os.path.abspath(sf))
+            om = os.path.join(_CACHE_ROOT, f"split_m_{base}")
+            orr = os.path.join(_CACHE_ROOT, f"split_r_{base}")
+            if _cache_is_stale(om) or _cache_is_stale(orr):
+                import shutil
+                shutil.rmtree(om, ignore_errors=True)
+                shutil.rmtree(orr, ignore_errors=True)
+                src = _get_searcher(spark, sf).index
+                a, _b = split_index(spark, src, T("filter"), om, orr)
+            else:
+                a = IndexSnapshot(spark, om)
+            _INDEXES[key] = Searcher(a)
+        r = _INDEXES[key].search(
+            Q.BooleanQuery([(O.SHOULD, T("join")), (O.SHOULD, T("group"))]),
+            10)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"))
+
     def seq_pack_q(spark, sf):
         # concat-and-chop sequence packing into ctx=512 windows across
         # 8 md5-bucketed independent streams; all-integer layout
@@ -2377,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact_q,
         "seq_pack": seq_pack_q,
         "ann_pq_top10": ann_pq_top10,
+        "split_search_top10": split_search_top10,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2832,6 +2861,13 @@ def oracle_sql() -> dict[str, str]:
         "expr_score_top10": _expr_score_sql(10),
         "pii_redact": _pii_redact_sql(),
         "ann_pq_top10": _ann_pq_sql(),
+        # split half = the 'filter' subcorpus; BM25 stats come from the
+        # SUBCORPUS only (the splitter re-finalizes them)
+        "split_search_top10": _bm25_sql(
+            ["join", "group"], 10, False,
+            src_sql=f"SELECT doc_id, text FROM (SELECT doc_id, text, "
+                    f"{TOKS} AS mts FROM documents) "
+                    f"WHERE list_contains(mts, 'filter')"),
         "seq_pack": f"""
 WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
            FROM documents),

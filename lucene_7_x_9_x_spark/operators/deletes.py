@@ -140,7 +140,9 @@ def soft_update_docs(spark: SparkSession, index_dir: str,
 
 
 def compact_index(spark: SparkSession, index: IndexSnapshot,
-                  out_dir: str, soft_retention=None) -> IndexSnapshot:
+                  out_dir: str, soft_retention=None,
+                  dels_override: DataFrame | None = None
+                  ) -> IndexSnapshot:
     """Apply tombstones PHYSICALLY — the role SegmentMerger plays for
     Lucene's liveDocs (deleted docs dropped, docids renumbered densely,
     postings/norms/stats rewritten; solr-8.4.0/.../index/SegmentMerger.java
@@ -157,9 +159,13 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     from ..streaming.incremental import finalize
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
-    dels = index.deletes()
+    # dels_override (the index-splitting path) rewrites with a CALLER-
+    # supplied drop set instead of the committed tombstones — the
+    # MergeState.DocMap machinery is identical either way
+    dels = dels_override if dels_override is not None else index.deletes()
     if dels is None:
         raise ValueError("index has no tombstones to compact")
+    dels = dels.select("segment", "docid")
     # SoftDeletesRetentionMergePolicy: soft-deleted docs selected by the
     # retention policy survive the rewrite PHYSICALLY (and stay soft-
     # deleted in the compacted index, renumbered); the rest are dropped
