@@ -94,6 +94,62 @@ SELECT CAST(row_number() OVER (ORDER BY adist, vec_id) AS BIGINT)
 FROM scored ORDER BY adist, vec_id LIMIT {k}"""
 
 
+def _ann_ivfpq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
+                   n_cells: int = 8, nprobe: int = 2, rerank: int = 30,
+                   k: int = 10) -> str:
+    """IVF-PQ oracle: coarse assignment + probes (the ann_ivf pattern),
+    PQ codes + left-assoc ADC (the ann_pq pattern), ADC top-`rerank`
+    cut, exact-cosine re-rank."""
+    dsub = dim // m
+
+    def sq(s: int, v: str, c: str) -> str:
+        terms = [f"(({v}[{s * dsub + i + 1}] - {c}[{s * dsub + i + 1}])"
+                 f" * ({v}[{s * dsub + i + 1}] - {c}[{s * dsub + i + 1}]))"
+                 for i in range(dsub)]
+        e = terms[0]
+        for t in terms[1:]:
+            e = f"({e} + {t})"
+        return e
+
+    code_cols = ", ".join(
+        f"(SELECT cb.j FROM cb ORDER BY {sq(s, 'a.v', 'cb.cv')}, cb.j "
+        f"LIMIT 1) AS c{s}" for s in range(m))
+    lut_terms = [f"(SELECT {sq(s, 'q.qv', 'cb.cv')} FROM cb "
+                 f"WHERE cb.j = coded.c{s})" for s in range(m)]
+    dist = lut_terms[0]
+    for t in lut_terms[1:]:
+        dist = f"({dist} + {t})"
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+cb AS (SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings
+       WHERE vec_id BETWEEN 1 AND {ksub}),
+cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id BETWEEN 1 AND {n_cells}),
+full_v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id >= {ksub + 1}),
+asn AS (SELECT f.vec_id, f.v,
+          (SELECT cents.cid FROM cents
+           ORDER BY list_distance(f.v, cents.cv), cents.cid
+           LIMIT 1) AS list_id
+        FROM full_v f),
+probes AS (SELECT cents.cid FROM cents, q
+           ORDER BY list_distance(q.qv, cents.cv), cents.cid
+           LIMIT {nprobe}),
+a AS (SELECT vec_id, v FROM asn
+      WHERE list_id IN (SELECT cid FROM probes)),
+coded AS (SELECT vec_id, {code_cols} FROM a),
+scored AS (SELECT coded.vec_id, {dist} AS adist FROM coded, q),
+topr AS (SELECT vec_id FROM scored ORDER BY adist, vec_id
+         LIMIT {rerank}),
+rer AS (SELECT f.vec_id,
+          list_cosine_similarity(f.v, q.qv) AS cos
+        FROM full_v f JOIN topr USING (vec_id), q)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+         AS rank, vec_id
+FROM rer ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
 def _pii_redact_sql() -> str:
     from lucene_7_x_9_x_spark.pipeline.redact import redact_sql
     red, cnts = redact_sql("ptext")
@@ -2202,6 +2258,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("rank").cast("long"),
                         F.col("vec_id").cast("long")))
 
+    def ann_ivfpq_top10(spark, sf):
+        # IVF-PQ with exact re-rank (the FAISS IVFADC composition):
+        # coarse cells = embeddings 1..8, PQ codebooks = subspace slices
+        # of embeddings 1..16, corpus = vec_id >= 17, query = vec 0;
+        # nprobe=2, ADC top-30 re-ranked exactly to cosine top-10
+        import numpy as np
+        from lucene_7_x_9_x_spark.pipeline.similarity import (ivf_assign,
+                                                              ivfpq_topk,
+                                                              pq_encode)
+        emb = _emb(spark, sf)
+        rows = (emb.where(F.col("vec_id") <= 16)
+                .orderBy("vec_id").collect())
+        mat = np.array([[float(x) for x in r["embedding"]] for r in rows],
+                       dtype=np.float64)
+        qvec, cents, brows = mat[0], mat[1:9], mat[1:17]
+        m_sub, dsub = 4, 16
+        books = np.stack([brows[:, s * dsub:(s + 1) * dsub]
+                          for s in range(m_sub)])
+        corpus = (emb.where(F.col("vec_id") >= 17)
+                  .withColumn("embedding",
+                              F.transform("embedding",
+                                          lambda x: x.cast("double"))))
+        coded = pq_encode(ivf_assign(corpus, cents), books,
+                          extra_cols=("list_id",))
+        r = ivfpq_topk(coded, cents, books, [float(x) for x in qvec],
+                       k=10, nprobe=2, rerank=30, vectors=corpus)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("vec_id").cast("long"))
+
     def ann_ivf_top10(spark, sf):
         # IVF with externally supplied centroids (the distributed operators
         # under test are the assignment pass + probed search; Lloyd
@@ -2405,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact_q,
         "seq_pack": seq_pack_q,
         "ann_pq_top10": ann_pq_top10,
+        "ann_ivfpq_top10": ann_ivfpq_top10,
         "split_search_top10": split_search_top10,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
@@ -2861,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "expr_score_top10": _expr_score_sql(10),
         "pii_redact": _pii_redact_sql(),
         "ann_pq_top10": _ann_pq_sql(),
+        "ann_ivfpq_top10": _ann_ivfpq_sql(),
         # split half = the 'filter' subcorpus; BM25 stats come from the
         # SUBCORPUS only (the splitter re-finalizes them)
         "split_search_top10": _bm25_sql(

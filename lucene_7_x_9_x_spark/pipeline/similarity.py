@@ -340,8 +340,8 @@ def _sub_sqdist(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 
 def pq_encode(df: DataFrame, codebooks: np.ndarray,
-              id_col: str = "vec_id", vec_col: str = "embedding"
-              ) -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              extra_cols: tuple = ()) -> DataFrame:
     """Encode vectors to m-byte PQ codes: per subspace, the index of the
     L2-nearest codebook row (first minimum on ties — numpy argmin and
     the oracle's ORDER BY dist, j agree). Arrow-batched pandas UDF: the
@@ -360,7 +360,8 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
             codes[:, s] = np.argmin(d, axis=1)
         return pd.Series(list(codes))
 
-    return df.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+    return df.select(F.col(id_col), *extra_cols,
+                     encode(F.col(vec_col)).alias("codes"))
 
 
 def pq_adc_topk(codes_df: DataFrame, codebooks: np.ndarray,
@@ -394,3 +395,41 @@ def pq_adc_topk(codes_df: DataFrame, codebooks: np.ndarray,
          .orderBy("adist", F.col(id_col)))
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", id_col, "adist"))
+
+
+def ivfpq_topk(coded: DataFrame, centroids: np.ndarray,
+               codebooks: np.ndarray, query_vec: list[float],
+               k: int = 10, nprobe: int = 4, rerank: int = 0,
+               vectors: DataFrame | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """IVF-PQ search — the full billion-scale ANN composition (Jégou et
+    al. 2011 IVFADC; what FAISS serves with): `coded` carries
+    (id, list_id, codes) from ivf_assign + pq_encode — m bytes per
+    vector instead of 4*dim. Probe the nprobe closest coarse cells,
+    rank candidates by ADC table lookups over the codes, and (optional)
+    exactly re-rank the top `rerank` codes-ranked candidates with their
+    full vectors.
+
+    Scale shape: per-query work is (nprobe/n_cells) * corpus CODE reads
+    (32x smaller than vectors; partition the coded table by list_id on
+    disk and probes prune at planning time like ivf_topk_from_disk);
+    the re-rank join touches only `rerank` full vectors via a broadcast
+    semi-join — the vector table is never shuffled. Returns
+    (rank, id, score) where score = adist (rerank=0) or exact cosine
+    (rerank>0); ties id asc."""
+    from pyspark.sql import Window
+    d2 = ((centroids - np.asarray(query_vec, dtype=np.float64)) ** 2).sum(1)
+    probes = [int(j) for j in np.argsort(d2, kind="stable")[:nprobe]]
+    cand = coded.where(F.col("list_id").isin(probes))
+    n1 = max(k, rerank) if rerank else k
+    approx = pq_adc_topk(cand, codebooks, query_vec, k=n1, id_col=id_col)
+    if not rerank:
+        return approx.select("rank", id_col,
+                             F.col("adist").alias("score"))
+    if vectors is None:
+        raise ValueError("rerank > 0 needs the full `vectors` table")
+    ids = approx.select(id_col)
+    full = vectors.join(F.broadcast(ids), id_col, "left_semi")
+    return (cosine_topk_bruteforce(full, query_vec, id_col, vec_col, k)
+            .select("rank", id_col, F.col("cosine").alias("score")))

@@ -81,3 +81,43 @@ def test_adc_recall_nontrivial(spark, emb, books):
               .toPandas().vec_id)
     # quantized distance keeps a meaningful share of the exact top-10
     assert len(got & set(exact)) >= 3
+
+
+def test_ivfpq_degenerates_to_exact(spark, emb, books):
+    from lucene_7_x_9_x_spark.pipeline.similarity import (
+        cosine_topk_bruteforce, ivf_assign, ivf_train, ivfpq_topk)
+    pdf = emb.toPandas()
+    qv = [float(v) for v in pdf.iloc[0].embedding]
+    cents = ivf_train(emb, dim=64, n_centroids=4, sample_size=128)
+    coded = pq_encode(ivf_assign(emb, cents), books,
+                      extra_cols=("list_id",))
+    # probe every cell and re-rank everything -> exact brute force
+    got = ivfpq_topk(coded, cents, books, qv, k=10, nprobe=4,
+                     rerank=emb.count(), vectors=emb).toPandas()
+    want = cosine_topk_bruteforce(emb, qv, k=10).toPandas()
+    assert list(got.vec_id) == list(want.vec_id)
+    assert list(got.score) == list(want.cosine)
+
+
+def test_ivfpq_rerank0_matches_adc_on_probed(spark, emb, books):
+    import numpy as np
+    from lucene_7_x_9_x_spark.pipeline.similarity import (
+        ivf_assign, ivf_train, ivfpq_topk)
+    pdf = emb.toPandas()
+    qv = [float(v) for v in pdf.iloc[0].embedding]
+    cents = ivf_train(emb, dim=64, n_centroids=4, sample_size=128)
+    assigned = ivf_assign(emb, cents)
+    coded = pq_encode(assigned, books, extra_cols=("list_id",))
+    got = ivfpq_topk(coded, cents, books, qv, k=10, nprobe=2,
+                     rerank=0).toPandas()
+    # reference: ADC over rows whose list is probed
+    d2 = ((cents - np.asarray(qv)) ** 2).sum(1)
+    probes = set(int(j) for j in np.argsort(d2, kind="stable")[:2])
+    probed_ids = {r.vec_id for r in assigned.collect()
+                  if r.list_id in probes}
+    ref = pq_adc_topk(coded.where(coded.vec_id.isin(list(probed_ids))),
+                      books, qv, k=10).toPandas()
+    assert list(got.vec_id) == list(ref.vec_id)
+    assert list(got.score) == list(ref.adist)
+    with pytest.raises(ValueError):
+        ivfpq_topk(coded, cents, books, qv, rerank=5)  # needs vectors
