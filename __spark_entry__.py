@@ -2356,6 +2356,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long"),
                         F.col("doc_id").cast("long"))
 
+    def dedup_first_wins(spark, sf):
+        # batch form of the streaming exact-dedup operator: keep the
+        # lowest-id doc per sha256 (the stream's first-wins rule)
+        from lucene_7_x_9_x_spark.streaming.dedup_stream import (
+            dedup_batch)
+        return (dedup_batch(_docs(spark, sf), "doc_id", "text")
+                .select(F.col("doc_id").cast("long")))
+
+    def high_freq_terms_q(spark, sf):
+        # HighFreqTerms diagnostic: top-10 default-field terms by
+        # docFreq (ties term asc) straight off the terms table
+        s = _get_searcher(spark, sf)
+        return (s.high_freq_terms(10, by="doc_freq")
+                .select(F.col("rank").cast("long"), "term",
+                        "doc_freq", "total_term_freq"))
+
     def seq_pack_q(spark, sf):
         # concat-and-chop sequence packing into ctx=512 windows across
         # 8 md5-bucketed independent streams; all-integer layout
@@ -2492,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_top10": ann_pq_top10,
         "ann_ivfpq_top10": ann_ivfpq_top10,
         "split_search_top10": split_search_top10,
+        "high_freq_terms": high_freq_terms_q,
+        "dedup_first_wins": dedup_first_wins,
         "decontaminate": decontaminate,
         "dup_spans": dup_spans,
         "sparse_knn_top10": sparse_knn_top10,
@@ -2948,6 +2966,20 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "ann_pq_top10": _ann_pq_sql(),
         "ann_ivfpq_top10": _ann_ivfpq_sql(),
+        "dedup_first_wins": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY sha256(text)""",
+        "high_freq_terms": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            x AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+            g AS (SELECT term, count(DISTINCT doc_id) AS doc_freq,
+                         count(*) AS total_term_freq
+                  FROM x GROUP BY term)
+            SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, term)
+                        AS BIGINT) AS rank, term,
+                   CAST(doc_freq AS BIGINT) AS doc_freq,
+                   CAST(total_term_freq AS BIGINT) AS total_term_freq
+            FROM g ORDER BY doc_freq DESC, term LIMIT 10""",
         # split half = the 'filter' subcorpus; BM25 stats come from the
         # SUBCORPUS only (the splitter re-finalizes them)
         "split_search_top10": _bm25_sql(

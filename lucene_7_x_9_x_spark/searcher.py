@@ -1380,6 +1380,27 @@ class Searcher:
                 .select("rank", "segment", "docid", "score",
                         *self.index.id_cols))
 
+    def high_freq_terms(self, n: int = 10, by: str = "doc_freq",
+                        field: str | None = None) -> DataFrame:
+        """The HighFreqTerms diagnostic tool (solr-8.4.0/lucene/misc/src/
+        java/org/apache/lucene/misc/HighFreqTerms.java): top-n terms of a
+        field by docFreq or totalTermFreq, ties term asc. Like the
+        reference, stats include tombstoned docs until compaction.
+
+        Scale shape: the terms table is already a global (field, term,
+        df, ttf) aggregate — this is a TakeOrderedAndProject over it,
+        no recount of the corpus."""
+        if by not in ("doc_freq", "total_term_freq"):
+            raise ValueError(f"unknown ranking {by!r}")
+        t = self.index.terms()
+        t = t.where(F.col("field").isNull() if field is None
+                    else F.col("field") == field)
+        order = [F.desc(by), "term"]
+        top = t.orderBy(*order).limit(n)
+        return (_rank_limited(top, order, "term")
+                .select("rank", "term", "doc_freq", "total_term_freq")
+                .orderBy("rank"))
+
     def expression_score(self, query, expression: str,
                          k: int = 10) -> DataFrame:
         """Expression-valued scoring — the Lucene expressions module
