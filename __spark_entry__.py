@@ -2454,6 +2454,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.withColumn("rank",
                               F.row_number().over(w).cast("long"))
 
+    def count_fast(spark, sf):
+        # Weight#count metadata fast paths (LuceneDemo9.10.0
+        # TestCount.java): on a tombstone-free index MatchAll = manifest
+        # max_doc and a single term = terms-dict doc_freq (driver pyarrow
+        # seek) — ZERO Spark jobs; both wrapped into one 2-row frame
+        s = _get_searcher(spark, sf)
+        rows = [("matchall", s.count(Q.MatchAllDocsQuery())),
+                ("term_filter", s.count(Q.TermQuery("filter")))]
+        return spark.createDataFrame(rows, "query string, cnt long")
+
+    def sort_dv_topk(spark, sf):
+        # NumericComparator competitive-iterator sort optimization
+        # (LuceneDemo9.2.0 NumericDocValuesTopNOptimization2.java): top-k
+        # by the dl docvalue with a row-group-stats cutoff pushed into
+        # the docmap scan (operators/sortopt.py)
+        s = _get_searcher(spark, sf)
+        r = s.sorted_by_docvalues("dl", k=10, ascending=False)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"),
+                        F.col("dl").cast("long"))
+
+    def sort_missing_value(spark, sf):
+        # SortField.setMissingValue(3L) (LuceneDemo9.0.0
+        # facet/MissingValueTest.java): docs without the docvalue sort AS
+        # the missing value; external docvalues side table derived from
+        # doc_id arithmetic so the oracle reproduces it exactly
+        s = _get_searcher(spark, sf)
+        dv = _docs(spark, sf).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(None).cast("long"))
+            .otherwise((F.col("doc_id") * 13) % 400).alias("sv"))
+        r = s.sorted_by_docvalues("sv", k=10, missing=3, docvalues=dv)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"),
+                        F.col("sv").cast("long"))
+
     def events_windowed(spark, sf):
         # tumbling-window aggregation over the events stream table — the
         # batch form of the Structured Streaming windowed-agg surface
@@ -2500,6 +2537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "count_fast": count_fast,
+        "sort_dv_topk": sort_dv_topk,
+        "sort_missing_value": sort_missing_value,
         "hybrid_rrf_top10": hybrid_rrf_top10,
         "expr_score_top10": expr_score_top10,
         "repetition_stats": repetition_stats_q,
@@ -3998,6 +4038,28 @@ WHERE rank <= 2""",
                      AS BIGINT) AS rank,
                    doc_id, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10""",
+        "count_fast": f"""
+            SELECT 'matchall' AS query, CAST(count(*) AS BIGINT) AS cnt
+            FROM documents
+            UNION ALL
+            SELECT 'term_filter' AS query, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT {TOKS} AS ts FROM documents)
+            WHERE list_contains(ts, 'filter')""",
+        "sort_dv_topk": f"""
+            SELECT CAST(row_number() OVER (ORDER BY dl DESC, doc_id)
+                     AS BIGINT) AS rank,
+                   doc_id, CAST(dl AS BIGINT) AS dl
+            FROM (SELECT doc_id, len({TOKS}) AS dl FROM documents)
+            ORDER BY dl DESC, doc_id LIMIT 10""",
+        "sort_missing_value": """
+            SELECT CAST(row_number() OVER (ORDER BY coalesce(sv, 3),
+                                           doc_id) AS BIGINT) AS rank,
+                   doc_id, CAST(sv AS BIGINT) AS sv
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 7 = 0 THEN NULL
+                              ELSE (doc_id * 13) % 400 END AS sv
+                  FROM documents)
+            ORDER BY coalesce(sv, 3), doc_id LIMIT 10""",
         "events_windowed": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                             '%Y-%m-%d %H:%M:%S') AS win_start,

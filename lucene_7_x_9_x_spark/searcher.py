@@ -17,6 +17,8 @@ BlockTree/FST seek analogue (SURVEY.md §3.3).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
@@ -1225,8 +1227,41 @@ class Searcher:
                                       "ends array<long>"))
 
     def count(self, query) -> int:
-        """TotalHitCountCollector analogue (exact count)."""
-        return self._run(query, None, "complete").count()
+        """TotalHitCountCollector analogue (exact count), with the
+        Weight#count fast paths of the reference (demo
+        LuceneDemo9.10.0/src/main/java/TestCount.java; engine
+        solr-8.4.0/.../search/Weight.java count + TermQuery/
+        MatchAllDocsQuery overrides): on an index with NO tombstones, a
+        MatchAll count is the manifest max_doc and a single-term count
+        is the terms-dict doc_freq — both answered from index metadata
+        with ZERO Spark jobs (the doc_freq comes from the driver-side
+        pyarrow seek, term_stats_lookup). Score-only wrappers
+        (ConstantScore / Boost) never change a count and are stripped.
+        Any other shape, or any tombstones, falls back to counting the
+        kernel's matches."""
+        q = self.rewrite(query)
+        fast = self._count_fast(q)
+        if fast is not None:
+            return fast
+        return self._run(q, None, "complete").count()
+
+    def _count_fast(self, q) -> int | None:
+        """Metadata-only count for the shapes Weight#count can answer,
+        else None. Safe only tombstone-free: a delete may hit a matching
+        doc, and neither manifest stats nor the terms dict see liveness."""
+        while isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):
+            q = q.query
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return 0
+        if self.index.deletes() is not None:
+            return None
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return int(self.index.stats["max_doc"])
+        if isinstance(q, Q.TermQuery):
+            key = q.term if q.field is None else (q.field, q.term)
+            st = self.index.term_stats_lookup({key})
+            return int(st[key][0]) if key in st else 0
+        return None
 
     def to_parent_join(self, child_query, parent, score_mode: str = "total",
                        k: int = 10) -> DataFrame:
@@ -1465,6 +1500,57 @@ class Searcher:
         out = dm.orderBy(*order).limit(k)
         return (_rank_limited(out, order, "docid")
                 .select("rank", *self.index.id_cols, col))
+
+    def sorted_by_docvalues(self, col: str, k: int = 10,
+                            ascending: bool = True, missing=0,
+                            docvalues: DataFrame | None = None
+                            ) -> DataFrame:
+        """Sort-field top-k over a per-doc numeric column WITHOUT an
+        index-time sort — TopFieldCollector over NumericDocValues with
+        Lucene 9's sort optimization and setMissingValue semantics
+        (demos LuceneDemo9.2.0/NumericDocValuesTopNOptimization2.java,
+        LuceneDemo9.6.0/TestEarlyTerminal.java,
+        LuceneDemo9.0.0/facet/MissingValueTest.java; engine
+        solr-8.4.0/.../search/comparators/NumericComparator.java
+        competitive iterator).
+
+        The skip logic re-expressed columnar (operators/sortopt.py):
+        parquet row-group min/max/null stats — a driver-side footer
+        read, no job — give a safe cutoff with >= k values guaranteed
+        competitive; the scan then carries a pushed range filter so row
+        groups wholly past the cutoff are pruned at the reader, the
+        point-index intersect's exact effect. Pruning is disabled (same
+        semantics, full sort) when liveness or values aren't visible to
+        footer stats: tombstones, docvalues-update overlays, or an
+        external `docvalues` side table.
+
+        `missing` follows the reference: docs without the field sort as
+        this value (numeric SortField default 0; setMissingValue to
+        change); `missing=None` drops them. Ties (key, segment asc,
+        docid asc). Returns (rank, segment, docid, <id cols>, <col>)."""
+        from .operators import sortopt
+        dels = self.index.deletes()
+        cutoff = None
+        if docvalues is None:
+            if col not in self.index.docmap().columns:
+                raise ValueError(f"{col!r} is not a stored docmap column")
+            src = self.index.docmap()
+            if dels is not None:
+                src = src.join(dels, ["segment", "docid"], "left_anti")
+            elif not self.index.manifest.get("dv_updates"):
+                paths = [os.path.join(self.index.root, d, "kind=docmap")
+                         for d in self.index.manifest["batches"]]
+                cutoff = sortopt.prune_threshold(
+                    sortopt.rowgroup_value_stats(paths, col), k, ascending)
+        else:
+            src = self._live_values(docvalues, [col])
+        limited, order = sortopt.pruned_topk(
+            src, col, k, ascending=ascending, missing=missing,
+            cutoff=cutoff,
+            tiebreak=(F.col("segment").asc(), F.col("docid").asc()))
+        return (_rank_limited(limited, order, "docid")
+                .select("rank", "segment", "docid", *self.index.id_cols,
+                        col))
 
     def more_like_this(self, text: str, field: str | None = None,
                        min_term_freq: int = 2, min_doc_freq: int = 5,
