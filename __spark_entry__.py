@@ -2491,6 +2491,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("doc_id").cast("long"),
                         F.col("sv").cast("long"))
 
+    def sort_str_topk(spark, sf):
+        # TermOrdValComparator role (LuceneDemo9.5.0
+        # TermOrdValComparatorTest.java): top-k by a STRING docvalue.
+        # String stats may be length-truncated in parquet footers, so
+        # sortopt refuses a cutoff (numeric-only guard) — the sort runs
+        # un-pruned but stays k-bounded (TakeOrderedAndProject)
+        s = _get_searcher(spark, sf)
+        dv = _docs(spark, sf).select(
+            "doc_id", F.concat("source", F.lit("_"), "lang").alias("sk"))
+        r = s.sorted_by_docvalues("sk", k=10, missing=None, docvalues=dv)
+        return r.select(F.col("rank").cast("long"),
+                        F.col("doc_id").cast("long"), "sk")
+
     def events_windowed(spark, sf):
         # tumbling-window aggregation over the events stream table — the
         # batch form of the Structured Streaming windowed-agg surface
@@ -2540,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_fast": count_fast,
         "sort_dv_topk": sort_dv_topk,
         "sort_missing_value": sort_missing_value,
+        "sort_str_topk": sort_str_topk,
         "hybrid_rrf_top10": hybrid_rrf_top10,
         "expr_score_top10": expr_score_top10,
         "repetition_stats": repetition_stats_q,
@@ -4060,6 +4074,12 @@ WHERE rank <= 2""",
                               ELSE (doc_id * 13) % 400 END AS sv
                   FROM documents)
             ORDER BY coalesce(sv, 3), doc_id LIMIT 10""",
+        "sort_str_topk": """
+            SELECT CAST(row_number() OVER (ORDER BY sk, doc_id)
+                     AS BIGINT) AS rank, doc_id, sk
+            FROM (SELECT doc_id, source || '_' || lang AS sk
+                  FROM documents)
+            ORDER BY sk, doc_id LIMIT 10""",
         "events_windowed": """
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                             '%Y-%m-%d %H:%M:%S') AS win_start,

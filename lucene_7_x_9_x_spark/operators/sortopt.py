@@ -54,6 +54,15 @@ def rowgroup_value_stats(paths, col: str) -> list | None:
                 break
         if ci is None:
             return None
+        # numeric physical types only: BYTE_ARRAY (string) min/max stats
+        # may be length-truncated by the writer, and a truncated max
+        # UNDERSTATES the true max — the cutoff accumulation would then
+        # overcount competitive rows and prune true top-k rows. Strings
+        # sort correctly through the un-pruned TakeOrderedAndProject
+        # (TermOrdValComparator's role needs no skip to stay k-bounded).
+        if md.row_group(0).column(ci).physical_type not in (
+                "INT32", "INT64", "FLOAT", "DOUBLE"):
+            return None
         for i in range(md.num_row_groups):
             rg = md.row_group(i)
             st = rg.column(ci).statistics

@@ -224,3 +224,19 @@ def test_count_falls_back_with_deletes(spark, so_index, tmp_path):
     s2 = Searcher(IndexSnapshot(spark, out))
     assert s2._count_fast(Q.MatchAllDocsQuery()) is None
     assert s2.count(Q.MatchAllDocsQuery()) == len(pdf) - 1
+
+
+def test_string_stats_refused(spark, tmp_path):
+    # BYTE_ARRAY stats may be length-truncated in footers -> no cutoff;
+    # the sort must still work un-pruned (TermOrdValComparator role)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 13:03d}") for i in range(100)], "id long, sk string")
+    path = str(tmp_path / "s.parquet")
+    df.write.parquet(path)
+    assert sortopt.rowgroup_value_stats([path], "sk") is None
+    limited, _ = sortopt.pruned_topk(
+        spark.read.parquet(path), "sk", 5, ascending=True,
+        tiebreak=(F.col("id"),))
+    got = [(r["id"], r["sk"]) for r in limited.collect()]
+    assert got == [(0, "s000"), (13, "s000"), (26, "s000"),
+                   (39, "s000"), (52, "s000")]
