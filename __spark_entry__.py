@@ -559,7 +559,9 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
                     require_shingles: list | None = None,
                     require_payload_delim: str | None = None,
                     require_phonetic: str | None = None,
-                    require_cjk_bigrams: bool = False) -> bool:
+                    require_cjk_bigrams: bool = False,
+                    require_edge_ngrams: list | None = None,
+                    require_ngrams: list | None = None) -> bool:
     import json
     mpath = os.path.join(out, "manifest.json")
     if not os.path.exists(mpath):
@@ -593,6 +595,13 @@ def _cache_is_stale(out: str, require_offsets: bool = False,
         return True
     if require_cjk_bigrams and \
             not m.get("analyzer", {}).get("cjk_bigrams"):
+        return True
+    if require_edge_ngrams is not None and \
+            m.get("analyzer", {}).get("edge_ngrams", []) != \
+            require_edge_ngrams:
+        return True
+    if require_ngrams is not None and \
+            m.get("analyzer", {}).get("ngrams", []) != require_ngrams:
         return True
     return m.get("format_version") != _FORMAT_VERSION
 
@@ -1164,6 +1173,25 @@ def _shingle_toks() -> str:
             f"i -> {TOKS}[i] || ' ' || {TOKS}[i + 1])")
 
 
+def _edgegram_toks() -> str:
+    """DuckDB replica of the EdgeNGramTokenFilter(2,4) stream: unigrams
+    plus every prefix of length 2..min(4, len-1) (the full-length gram is
+    skipped — the primary token already carries it)."""
+    return (f"list_concat({TOKS}, flatten(list_transform({TOKS}, "
+            f"t -> list_transform(list_filter(range(2, 5), "
+            f"g -> g < length(t)), g -> substr(t, 1, g)))))")
+
+
+def _ngram_toks() -> str:
+    """DuckDB replica of the NGramTokenFilter(3,3) stream: unigrams plus
+    every length-3 substring at every start offset, excluding the
+    (start=1, len=3) whole-token duplicate."""
+    return (f"list_concat({TOKS}, flatten(list_transform({TOKS}, "
+            f"t -> list_transform(list_filter(range(1, length(t) - 1), "
+            f"s -> NOT (s = 1 AND length(t) = 3)), "
+            f"s -> substr(t, s, 3)))))")
+
+
 def _get_searcher_shingle(spark: SparkSession, sf_dir: str):
     from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
     from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
@@ -1180,6 +1208,48 @@ def _get_searcher_shingle(spark: SparkSession, sf_dir: str):
         build_index(spark, docs, out, id_cols=["doc_id"],
                     text_col="text", segment_by="input",
                     analyzer=AnalyzerConfig(shingles=(2,)))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+def _get_searcher_edgegram(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "edgegram")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "edge_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_edge_ngrams=[2, 4]):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_docs(spark, sf_dir).select("doc_id", "text")
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(edge_ngrams=(2, 4)))
+    s = Searcher(IndexSnapshot(spark, out))
+    _INDEXES[key] = s
+    return s
+
+
+def _get_searcher_ngram(spark: SparkSession, sf_dir: str):
+    from lucene_7_x_9_x_spark.functions.analysis import AnalyzerConfig
+    from lucene_7_x_9_x_spark.index import IndexSnapshot, build_index
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    key = (os.path.abspath(sf_dir), "ngram")
+    if key in _INDEXES:
+        return _INDEXES[key]
+    out = os.path.join(_CACHE_ROOT, "ngram_" + os.path.basename(key[0]))
+    if _cache_is_stale(out, require_ngrams=[3, 3]):
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        docs = (_docs(spark, sf_dir).select("doc_id", "text")
+                .repartitionByRange(8, F.col("doc_id")))
+        build_index(spark, docs, out, id_cols=["doc_id"],
+                    text_col="text", segment_by="input",
+                    analyzer=AnalyzerConfig(ngrams=(3, 3)))
     s = Searcher(IndexSnapshot(spark, out))
     _INDEXES[key] = s
     return s
@@ -1541,6 +1611,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select(F.col("rank").cast("long").alias("rank"),
                         F.col("doc_id").cast("long").alias("doc_id"))
 
+    def edge_ngram_prefix_top10(spark, sf):
+        # EdgeNGramTokenFilter(2,4) search-as-you-type index: typed
+        # prefixes are literal terms; BM25 top-10 for three prefixes
+        # (tf = count of tokens starting with the gram; dl/norms count
+        # unigrams only)
+        s = _get_searcher_edgegram(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("sca")),
+                                     (O.SHOULD, T("col")),
+                                     (O.SHOULD, T("qu"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
+    def ngram_infix_top10(spark, sf):
+        # NGramTokenFilter(3,3) infix-match index: every length-3
+        # substring is a term; BM25 top-10 for three interior grams
+        s = _get_searcher_ngram(spark, sf)
+        r = s.search(Q.BooleanQuery([(O.SHOULD, T("ast")),
+                                     (O.SHOULD, T("olu")),
+                                     (O.SHOULD, T("rea"))]), 10)
+        return r.select(F.col("rank").cast("long").alias("rank"),
+                        F.col("doc_id").cast("long").alias("doc_id"))
+
     def shingle_term_top10(spark, sf):
         # ShingleFilter: bigram tokens emitted alongside unigrams at the
         # first member's position; dl/norms count unigrams only. BM25
@@ -1814,6 +1906,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_phrase_top10(spark, sf):
         return _topk_ids(spark, sf, Q.PhraseQuery(["the", "fast"]), 10)
+
+    def multi_phrase_top10(spark, sf):
+        # MultiPhraseQuery: "[fast|slow] scan" — slot 0 is a positional
+        # UNION of two terms; weight = idf(fast)+idf(slow)+idf(scan)
+        # (every slot-term occurrence with df>0, MultiPhraseQuery.java:229)
+        return _topk_ids(spark, sf, Q.MultiPhraseQuery(
+            (("fast", "slow"), ("scan",))), 10)
 
     def field_term(spark, sf):
         # field-scoped TermQuery over the "head" extra field
@@ -2550,6 +2649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     locally regardless of position.
     return {
         # -- (a) new this round / never driver-gated --
+        "edge_ngram_prefix_top10": edge_ngram_prefix_top10,
+        "ngram_infix_top10": ngram_infix_top10,
+        "multi_phrase_top10": multi_phrase_top10,
         "count_fast": count_fast,
         "sort_dv_topk": sort_dv_topk,
         "sort_missing_value": sort_missing_value,
@@ -3242,6 +3344,38 @@ ORDER BY pay DESC, doc_id LIMIT 10""",
         "shingle_term_top10": _bm25_sql(
             ["the fast", "of the"], 10, False,
             toks=_shingle_toks(), dl_toks=TOKS),
+        "multi_phrase_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(range(1, len(ts)),
+             i -> (ts[i] = 'fast' OR ts[i] = 'slow')
+                  AND ts[i+1] = 'scan')) AS tf_p,
+         len(list_filter(ts, t -> t = 'fast')) AS tf_a,
+         len(list_filter(ts, t -> t = 'slow')) AS tf_b,
+         len(list_filter(ts, t -> t = 'scan')) AS tf_c FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_a > 0) AS df_a,
+               count(*) FILTER (WHERE tf_b > 0) AS df_b,
+               count(*) FILTER (WHERE tf_c > 0) AS df_c FROM tf),
+scored AS (SELECT doc_id,
+    (ln(1 + (s.doc_count - d.df_a + 0.5) / (d.df_a + 0.5))
+     + ln(1 + (s.doc_count - d.df_b + 0.5) / (d.df_b + 0.5))
+     + ln(1 + (s.doc_count - d.df_c + 0.5) / (d.df_c + 0.5))) * tf_p
+      / (tf_p + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d WHERE tf_p > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
+        "edge_ngram_prefix_top10": _bm25_sql(
+            ["sca", "col", "qu"], 10, False,
+            toks=_edgegram_toks(), dl_toks=TOKS),
+        "ngram_infix_top10": _bm25_sql(
+            ["ast", "olu", "rea"], 10, False,
+            toks=_ngram_toks(), dl_toks=TOKS),
         "unicode_numeric_top10": _bm25_sql(
             ["2.4.1", "192.168.0.1", "3.14"], 10, False,
             src_sql=_num_src_sql(), toks=_uni_toks()),

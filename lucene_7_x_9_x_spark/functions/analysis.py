@@ -249,6 +249,27 @@ class AnalyzerConfig:
     # WhitespaceTokenizer pairing); payload mode excludes stemmer/
     # synonyms/shingles (validated at build).
     payload_delim: str | None = None
+    # EdgeNGramTokenFilter role (solr-8.4.0/lucene/analysis/common/src/
+    # java/org/apache/lucene/analysis/ngram/EdgeNGramTokenFilter.java):
+    # (min_gram, max_gram) — every token ALSO emits its prefixes of
+    # length min_gram..min(max_gram, len-1) at the SAME position
+    # (posIncr-0; preserveOriginal=true semantics: the full token is
+    # always the primary stream token, so the len(t)-length gram is
+    # skipped rather than emitted twice).  Offsets (when stored) keep the
+    # SOURCE token's character span (the filter's post-4.4 behavior —
+    # grams no longer narrow offsets).  dl/norms/collection stats count
+    # unigrams only (discountOverlaps).  Index-time expansion only: query
+    # analysis leaves the typed prefix as a literal term — the
+    # search-as-you-type configuration.
+    edge_ngrams: tuple = ()
+    # NGramTokenFilter role (same package, NGramTokenFilter.java):
+    # (min_gram, max_gram) — every token ALSO emits ALL its substrings of
+    # those lengths (every start offset) at the token's position, for
+    # infix matching.  The (start=0, len(t))-length gram duplicates the
+    # primary token and is skipped.  Same posIncr-0 / offsets / stats
+    # rules as edge_ngrams.  Both gram modes exclude shingles and
+    # index-time synonyms (grams of grams are not meaningful).
+    ngrams: tuple = ()
 
 
 def canon_synonyms(mapping) -> tuple:
@@ -438,6 +459,61 @@ def _inject_shingles(row_idx, pos, flat, cfg, starts=None, ends=None):
             None if ends is None else ends[order])
 
 
+def _inject_grams(row_idx, pos, flat, cfg, starts=None, ends=None):
+    """Edge-/full-ngram expansion over the PRIMARY token stream —
+    EdgeNGramTokenFilter / NGramTokenFilter (solr-8.4.0/lucene/analysis/
+    common/src/java/org/apache/lucene/analysis/ngram/): each source token
+    additionally emits prefix grams (edge_ngrams) and/or every-offset
+    substring grams (ngrams) of the configured lengths at the SOURCE
+    token's position (posIncr 0) and, when offsets are stored, the SOURCE
+    token's character span.  Grams equal to the whole token are skipped —
+    the primary stream already carries it (preserveOriginal semantics
+    without a duplicate posting).  Vectorized per (length, start) pair:
+    the loop count is bounded by gram-length range x observed max token
+    length, each iteration a masked pandas slice."""
+    if cfg.shingles or (cfg.synonyms and cfg.synonyms_at == "index"):
+        raise ValueError(
+            "edge_ngrams/ngrams cannot combine with shingles or "
+            "index-time synonyms")
+    if len(flat) == 0:
+        return (row_idx, pos, flat, starts, ends)
+    s = pd.Series(flat, dtype=object)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    max_len = int(lens.max())
+    add_i, add_t = [], []
+    if cfg.edge_ngrams:
+        lo, hi = cfg.edge_ngrams
+        for g in range(max(1, lo), min(hi, max_len - 1) + 1):
+            idx = np.nonzero(lens > g)[0]  # == g would duplicate primary
+            if len(idx):
+                add_i.append(idx)
+                add_t.append(s.iloc[idx].str[:g].to_numpy(dtype=object))
+    if cfg.ngrams:
+        lo, hi = cfg.ngrams
+        for g in range(max(1, lo), min(hi, max_len) + 1):
+            for st in range(0, max_len - g + 1):
+                idx = np.nonzero(lens >= st + g)[0]
+                if st == 0:  # skip the whole-token gram (primary dup)
+                    idx = idx[lens[idx] > g]
+                if len(idx):
+                    add_i.append(idx)
+                    add_t.append(s.iloc[idx].str[st:st + g]
+                                 .to_numpy(dtype=object))
+    if not add_i:
+        return (row_idx, pos, flat, starts, ends)
+    src = np.concatenate(add_i)
+    row_idx = np.concatenate([row_idx, row_idx[src]])
+    pos = np.concatenate([pos, pos[src]])
+    flat = np.concatenate([flat] + add_t)
+    if starts is not None:
+        starts = np.concatenate([starts, starts[src]])
+        ends = np.concatenate([ends, ends[src]])
+    order = np.lexsort((pos, row_idx))
+    return (row_idx[order], pos[order], flat[order],
+            None if starts is None else starts[order],
+            None if ends is None else ends[order])
+
+
 def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
     """Vectorized flatten: returns (row_idx:int64[], pos:int32[], term:object[])
     where pos is the token's position within its document (stopword holes
@@ -463,6 +539,8 @@ def tokenize_to_flat(content: pd.Series, cfg: AnalyzerConfig | None = None):
     dl = np.bincount(row_idx, minlength=len(toks)).astype(np.int64)
     if cfg.shingles:
         row_idx, pos, flat, _, _ = _inject_shingles(row_idx, pos, flat, cfg)
+    if cfg.edge_ngrams or cfg.ngrams:
+        row_idx, pos, flat, _, _ = _inject_grams(row_idx, pos, flat, cfg)
     if cfg.synonyms and cfg.synonyms_at == "index":
         row_idx, pos, flat, _, _ = _inject_index_synonyms(
             row_idx, pos, flat, cfg)
@@ -537,6 +615,9 @@ def tokenize_to_flat_with_offsets(content: pd.Series,
     ends = np.asarray(rows_e, dtype=np.int64)
     if cfg.shingles:
         row_idx, pos, flat, starts, ends = _inject_shingles(
+            row_idx, pos, flat, cfg, starts, ends)
+    if cfg.edge_ngrams or cfg.ngrams:
+        row_idx, pos, flat, starts, ends = _inject_grams(
             row_idx, pos, flat, cfg, starts, ends)
     if cfg.synonyms and cfg.synonyms_at == "index":
         row_idx, pos, flat, starts, ends = _inject_index_synonyms(

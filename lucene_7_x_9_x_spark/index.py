@@ -87,7 +87,9 @@ class IndexSnapshot:
                 shingles=tuple(a.get("shingles", [])),
                 phonetic=a.get("phonetic"),
                 cjk_bigrams=a.get("cjk_bigrams", False),
-                payload_delim=a.get("payload_delim"))
+                payload_delim=a.get("payload_delim"),
+                edge_ngrams=tuple(a.get("edge_ngrams", [])),
+                ngrams=tuple(a.get("ngrams", [])))
         self.analyzer = _cfg(self.manifest["analyzer"])
         self.field_analyzers = {
             n: _cfg(a)
@@ -337,7 +339,9 @@ def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
             "shingles": list(cfg.shingles),
             "phonetic": cfg.phonetic,
             "cjk_bigrams": cfg.cjk_bigrams,
-            "payload_delim": cfg.payload_delim}
+            "payload_delim": cfg.payload_delim,
+            "edge_ngrams": list(cfg.edge_ngrams),
+            "ngrams": list(cfg.ngrams)}
 
 
 def build_index(

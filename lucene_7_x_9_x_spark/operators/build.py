@@ -67,9 +67,10 @@ def _maybe_split_payloads(flat, cfg: AnalyzerConfig, with_offsets: bool):
     the .pay file role (Lucene84PostingsFormat.java:99-104)."""
     if cfg.payload_delim is None:
         return flat, None
-    if cfg.stemmer or cfg.synonyms or cfg.shingles:
-        raise ValueError(
-            "payload_delim cannot combine with stemmer/synonyms/shingles")
+    if cfg.stemmer or cfg.synonyms or cfg.shingles or cfg.edge_ngrams \
+            or cfg.ngrams:
+        raise ValueError("payload_delim cannot combine with "
+                         "stemmer/synonyms/shingles/ngrams")
     if with_offsets:
         raise ValueError("payload_delim with with_offsets is unsupported "
                          "(offsets would span the raw delimited token)")

@@ -27,7 +27,8 @@ from ..functions.bm25 import F32
 from ..plans.query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                            DisjunctionMaxQuery, IntervalQuery,
                            MatchAllDocsQuery,
-                           MatchNoDocsQuery, Occur, PhraseQuery, Query,
+                           MatchNoDocsQuery, MultiPhraseQuery, Occur,
+                           PhraseQuery, Query,
                            SpanFirstQuery, SpanNearQuery, SpanOrQuery,
                            SynonymQuery, TermInSetQuery,
                            TermQuery, key_field, term_key)
@@ -324,6 +325,33 @@ def evaluate(reader, stats: SegmentStats, q: Query,
             [stats.idf(term_key(q.field, t)) for t in q.terms],
             dtype=np.float32,
         ).astype(np.float64)))
+        w = F32(b32 * F32(q.boost)) * F32(idf_sum)
+        scores = stats.score_arr(freqs, _norms_for(reader, q.field)[docids],
+                                 w, field=q.field)
+        return Matches(docids, scores)
+
+    if isinstance(q, MultiPhraseQuery):
+        docids, freqs = _multi_phrase_match(reader, q)
+        if len(docids) == 0:
+            return Matches.empty()
+        if not needs_scores:
+            return Matches(docids)
+        # stats per (slot, term) OCCURRENCE with df > 0 — a term listed
+        # in two slots contributes twice (MultiPhraseQuery.java:229-251);
+        # unlike PhraseQuery, a slot alternative may be absent from the
+        # index while the phrase still matches, so df==0 terms are skipped
+        occ = [term_key(q.field, t)
+               for slot in q.term_arrays for t in slot]
+        occ = [kk for kk in occ if stats.doc_freqs.get(kk, 0) > 0]
+        if stats._lmd is not None:
+            ttf = sum(stats.total_term_freqs.get(kk, 0) for kk in occ)
+            scores = stats.pseudo_score(
+                1, ttf, F32(b32 * F32(q.boost)), freqs,
+                _norms_for(reader, q.field)[docids], field=q.field)
+            return Matches(docids, scores)
+        idf_sum = float(np.sum(np.array(
+            [stats.idf(kk) for kk in occ],
+            dtype=np.float32).astype(np.float64)))
         w = F32(b32 * F32(q.boost)) * F32(idf_sum)
         scores = stats.score_arr(freqs, _norms_for(reader, q.field)[docids],
                                  w, field=q.field)
@@ -639,6 +667,85 @@ def _phrase_match(reader, q: PhraseQuery):
         ok = ok[_in_sorted(ok + i, keys[i])]
         if len(ok) == 0:
             return empty
+    freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(cand))
+    m = freqs > 0
+    return cand[m], freqs[m].astype(np.int64)
+
+
+def _union_flat_positions(reader, keys):
+    """Positional UNION of several terms' postings — the
+    UnionPostingsEnum role (MultiPhraseQuery.java:420-470): one merged
+    (docids, counts, flat_pos) stream, positions sorted per doc with
+    duplicates KEPT (two alternatives at the same position are two
+    tokens, exactly like the reference's merged posQueue). Docids are
+    segment-local (< 2^31, the Lucene segment-size bound) so one packed
+    (doc << 32 | pos) sort merges every doc at once."""
+    subs = [got for k in keys
+            if (got := _flat_positions(reader, k)) is not None]
+    if not subs:
+        return None
+    if len(subs) == 1:
+        return subs[0]
+    packed = []
+    for d, counts, flat in subs:
+        packed.append((np.repeat(d, counts) << _POS_SHIFT) | flat)
+    allk = np.sort(np.concatenate(packed))
+    docs = allk >> _POS_SHIFT
+    d_unique, counts = np.unique(docs, return_counts=True)
+    return d_unique, counts, allk & ((np.int64(1) << _POS_SHIFT) - 1)
+
+
+def _multi_phrase_match(reader, q: MultiPhraseQuery):
+    """MultiPhraseQuery matching: each slot's postings are the positional
+    union of its alternatives (_union_flat_positions); the match/freq
+    machinery is then EXACTLY PhraseQuery's — vectorized packed-key
+    intersection when slop=0, the Lucene-faithful minimal-window walk
+    when slop>0.  Repeat handling mirrors SloppyPhraseMatcher's
+    repeating-pps detection only for IDENTICAL slots (same alternative
+    set twice); partially overlapping distinct slots are rejected — an
+    honest unsupported-shape guard, not silent wrong answers."""
+    empty = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    slot_keys = [tuple(dict.fromkeys(term_key(q.field, t) for t in slot))
+                 for slot in q.term_arrays]
+    if any(not sk for sk in slot_keys):
+        return empty
+    flats = []
+    for sk in slot_keys:
+        got = _union_flat_positions(reader, sk)
+        if got is None:
+            return empty
+        flats.append(got)
+    cand = flats[0][0]
+    for d, _, _ in flats[1:]:
+        cand = cand[_in_sorted(cand, d)]
+    if len(cand) == 0:
+        return empty
+    if q.slop > 0 and len(flats) > 1:
+        sigs = [tuple(sorted(map(repr, sk))) for sk in slot_keys]
+        for i, a in enumerate(slot_keys):
+            for j in range(i + 1, len(slot_keys)):
+                if sigs[i] != sigs[j] and set(a) & set(slot_keys[j]):
+                    raise NotImplementedError(
+                        "sloppy MultiPhraseQuery with partially "
+                        "overlapping slots is unsupported")
+        return _sloppy_match(flats, cand, q.slop, sigs)
+    keys = []
+    for d, counts, flat in flats:
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        take = _gather_ranges(starts[idx], counts[idx])
+        doc_rank = np.repeat(np.arange(len(cand), dtype=np.int64),
+                             counts[idx])
+        keys.append((doc_rank << _POS_SHIFT) | flat[take])
+    ok = keys[0]
+    for i in range(1, len(keys)):
+        ok = ok[_in_sorted(ok + i, keys[i])]
+        if len(ok) == 0:
+            return empty
+    # duplicate union positions (two alternatives at one position) can
+    # repeat a packed key: count DISTINCT phrase starts, like the
+    # reference's matcher which advances past a matched start
+    ok = np.unique(ok)
     freqs = np.bincount(ok >> _POS_SHIFT, minlength=len(cand))
     m = freqs > 0
     return cand[m], freqs[m].astype(np.int64)

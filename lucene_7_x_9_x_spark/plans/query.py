@@ -54,6 +54,29 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with a term SET per position (solr-8.4.0/lucene/core/src/
+    java/org/apache/lucene/search/MultiPhraseQuery.java): slot i matches
+    when ANY of its terms sits at the right relative position — a slot's
+    postings are the positional UNION of its terms' postings
+    (UnionPostingsEnum, :420-470, duplicates kept) — and the sim weight
+    is built from the stats of EVERY (slot, term) occurrence with df > 0
+    (:229-251: a term listed in two slots contributes its idf twice).
+    term_arrays is a tuple of per-position term tuples."""
+    term_arrays: tuple
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+    def __init__(self, term_arrays, slop=0, boost=1.0, field=None):
+        object.__setattr__(self, "term_arrays",
+                           tuple(tuple(a) for a in term_arrays))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: freqs summed per doc
     (solr-8.4.0/.../search/SynonymQuery.java:55,281-344)."""
@@ -591,6 +614,9 @@ def scoring_terms(q: Query) -> set:
         return {term_key(q.field, t) for t in q.terms}
     if isinstance(q, SpanFirstQuery):
         return {term_key(q.field, q.term)}
+    if isinstance(q, MultiPhraseQuery):
+        return {term_key(q.field, t)
+                for slot in q.term_arrays for t in slot}
     if isinstance(q, IntervalQuery):
         return {term_key(q.field, t) for t in interval_terms(q.source)}
     if isinstance(q, CommonTermsQuery):
@@ -614,6 +640,8 @@ def map_fields(q: Query, f) -> Query:
         return TermQuery(q.term, q.boost, f(q.field))
     if isinstance(q, PhraseQuery):
         return PhraseQuery(q.terms, q.slop, q.boost, f(q.field))
+    if isinstance(q, MultiPhraseQuery):
+        return MultiPhraseQuery(q.term_arrays, q.slop, q.boost, f(q.field))
     if isinstance(q, SynonymQuery):
         return SynonymQuery(q.terms, q.boost, f(q.field))
     if isinstance(q, TermInSetQuery):

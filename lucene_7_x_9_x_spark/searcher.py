@@ -2256,8 +2256,8 @@ def _contains_matchall(q) -> bool:
 
 
 def _needs_positions(q) -> bool:
-    if isinstance(q, (Q.PhraseQuery, Q.SpanNearQuery, Q.SpanFirstQuery,
-                      Q.IntervalQuery)):
+    if isinstance(q, (Q.PhraseQuery, Q.MultiPhraseQuery, Q.SpanNearQuery,
+                      Q.SpanFirstQuery, Q.IntervalQuery)):
         return True
     if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
         return _needs_positions(q.query)

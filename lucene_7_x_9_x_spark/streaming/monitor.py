@@ -99,6 +99,15 @@ def _cover_terms(q, weight) -> set | None:
         if not ts:
             return set()
         return {max(ts, key=lambda t: (weight(t), repr(t)))}
+    if isinstance(q, Q.MultiPhraseQuery):
+        # a multi-phrase is a conjunction of slots, each slot a
+        # disjunction: a valid cover is ONE slot's full term set — pick
+        # the slot whose weakest alternative is the most selective
+        slots = [{Q.term_key(q.field, t) for t in slot}
+                 for slot in q.term_arrays if slot]
+        if not slots:
+            return set()
+        return max(slots, key=lambda sl: _set_weight(sl, weight))
     return set(Q.scoring_terms(q))
 
 
