@@ -376,6 +376,39 @@ class Searcher:
             return clauses[0]
         return Q.BooleanQuery([(occur, c) for c in clauses])
 
+    def phrase_query(self, text: str, slop: int = 0):
+        """Analyzed QUOTED-phrase construction — QueryBuilder's
+        createPhraseQuery/analyzeGraphPhrase role (solr-8.4.0/lucene/core/
+        src/java/org/apache/lucene/util/QueryBuilder.java:243-260,546-575):
+        analyze the text with the index's chain; when query-time synonym
+        rules put single-word alternatives at a position, the result is a
+        MultiPhraseQuery whose slot is the alternative set (the graph's
+        side-by-side arcs); with no applicable rules it stays a plain
+        PhraseQuery.  Multi-word synonym sides inside a phrase (the
+        reference builds SpanNear there) fall back to ignoring that rule —
+        a documented divergence, matching analyzeGraphPhrase's pre-graph
+        behavior."""
+        terms = self.analyze(text)
+        if not terms:
+            return Q.MatchNoDocsQuery()
+        cfg = self.index.analyzer
+        syn = (dict(cfg.synonyms)
+               if cfg.synonyms and cfg.synonyms_at == "query" else None)
+        if len(terms) == 1 and not syn:
+            return Q.TermQuery(terms[0])
+        slots = []
+        for t in terms:
+            alts = (t,)
+            if syn and t in syn:
+                singles = [r for r in syn[t] if " " not in r]
+                alts = tuple(sorted({t, *singles}))
+            slots.append(alts)
+        if all(len(s) == 1 for s in slots):
+            if len(slots) == 1:
+                return Q.TermQuery(slots[0][0])
+            return Q.PhraseQuery([s[0] for s in slots], slop=slop)
+        return Q.MultiPhraseQuery(slots, slop=slop)
+
     def rewrite(self, query):
         if self._default_field is not None:
             query = Q.map_fields(

@@ -142,3 +142,30 @@ def test_query_time_expansion(spark, tmp_index_dir):
     # longest-match consumed both tokens: 'york' is not a bare clause
     assert all(not (isinstance(c.query, TermQuery)
                     and c.query.term == "york") for c in q2.clauses)
+
+
+def test_phrase_query_graph_builds_multi_phrase(spark, tmp_index_dir):
+    # QueryBuilder.analyzeGraphPhrase role: a quoted phrase whose token
+    # has single-word synonym alternatives becomes a MultiPhraseQuery
+    from lucene_7_x_9_x_spark.index import build_index
+    from lucene_7_x_9_x_spark.plans.query import MultiPhraseQuery
+    from lucene_7_x_9_x_spark.searcher import Searcher
+    docs = spark.createDataFrame(
+        [(0, "the quick fox jumps"), (1, "a fast fox naps"),
+         (2, "quick brown fox"), (3, "fox quick")],
+        "doc_id long, text string")
+    cfg = AnalyzerConfig(synonyms=canon_synonyms(
+        {"quick": ("fast",), "new york": ("ny",)}), synonyms_at="query")
+    idx = build_index(spark, docs, str(tmp_index_dir) + "_pq",
+                      id_cols=["doc_id"], text_col="text",
+                      num_segments=2, analyzer=cfg)
+    s = Searcher(idx)
+    q = s.phrase_query("quick fox")
+    assert isinstance(q, MultiPhraseQuery)
+    assert q.term_arrays == (("fast", "quick"), ("fox",))
+    got = s.search(q, 10).collect()
+    # docs 0 and 1 match via the two alternatives; 2 and 3 are not
+    # consecutive in order
+    assert sorted(r["doc_id"] for r in got) == [0, 1]
+    # no applicable rule -> plain PhraseQuery
+    assert isinstance(s.phrase_query("brown fox"), PhraseQuery)
