@@ -2235,6 +2235,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_windows").cast("long"),
                         F.col("n_dup_windows").cast("long")))
 
+    def dup_span_ranges(spark, sf):
+        # span REMOVAL ranges (Lee et al. 2021 dedup at window
+        # granularity): merged half-open token ranges covered by 8-token
+        # windows shared with >= 1 other doc
+        from lucene_7_x_9_x_spark.pipeline.decontam import (
+            duplicate_span_ranges)
+        return (duplicate_span_ranges(_docs(spark, sf), "doc_id", "text",
+                                      n=8, min_docs=2)
+                .select(F.col("doc_id").cast("long"),
+                        F.col("span_start").cast("long"),
+                        F.col("span_end").cast("long")))
+
     def _geo_df(spark, sf):
         # deterministic md5-derived coordinates over the documents table
         # (both engines compute the identical integers, then identical
@@ -2652,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_prefix_top10": edge_ngram_prefix_top10,
         "ngram_infix_top10": ngram_infix_top10,
         "multi_phrase_top10": multi_phrase_top10,
+        "dup_span_ranges": dup_span_ranges,
         "count_fast": count_fast,
         "sort_dv_topk": sort_dv_topk,
         "sort_missing_value": sort_missing_value,
@@ -4055,6 +4068,32 @@ WHERE rank <= 2""",
                    CAST(count(d.span) AS BIGINT) AS n_dup_windows
             FROM w LEFT JOIN d ON w.span = d.span
             GROUP BY w.doc_id""",
+        "dup_span_ranges": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            w AS (SELECT doc_id, i - 1 AS pos,
+                         array_to_string(list_slice(ts, i, i + 7), ' ')
+                           AS span
+                  FROM (SELECT doc_id, ts,
+                               unnest(range(1, len(ts) - 6)) AS i
+                        FROM toks WHERE len(ts) >= 8)),
+            d AS (SELECT span FROM w GROUP BY span
+                  HAVING count(DISTINCT doc_id) >= 2),
+            f AS (SELECT w.doc_id, w.pos, w.pos + 8 AS e
+                  FROM w JOIN d ON w.span = d.span),
+            m AS (SELECT doc_id, pos, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+                  FROM f),
+            isl AS (SELECT doc_id, pos, e,
+                           sum(CASE WHEN prev_max IS NULL
+                                    OR pos > prev_max THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS island
+                    FROM m)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island""",
         **_geo_sql(),
         "dedup_minhash_lsh": _minhash_lsh_sql(shingle),
         # transitive closure of the LSH pairs via a recursive CTE (the

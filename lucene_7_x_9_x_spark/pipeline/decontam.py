@@ -102,3 +102,44 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     return (flagged.groupBy(id_col)
             .agg(F.count("*").alias("n_windows"),
                  F.count("_dup").alias("n_dup_windows")))
+
+
+def duplicate_span_ranges(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 8, min_docs: int = 2) -> DataFrame:
+    """The REMOVAL form of duplicate_spans — per-doc merged token ranges
+    covered by cross-doc duplicated windows, the operation that actually
+    cuts boilerplate out of a training corpus (the deduplicate-spans step
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", approximated at n-token window granularity — the
+    standard practical substitute for the paper's suffix-array pass, and
+    exactly C4's span-removal unit).
+
+    Returns (id_col, span_start, span_end): half-open TOKEN ranges
+    [span_start, span_end) such that every n-token window inside a range
+    occurs in >= min_docs distinct documents, merged transitively
+    (overlapping/adjacent flagged windows coalesce — the gaps-and-islands
+    merge).  Ranges are disjoint and maximal per doc.
+
+    Scale shape: the span-df aggregation and join-back are
+    duplicate_spans' (one hash shuffle + AQE skew join); the merge is a
+    per-DOC window (partitionBy id — parallel across docs, never a
+    global window) followed by one hash aggregate."""
+    from pyspark.sql import Window
+    pos = _positional_shingles(df, id_col, text_col, n)
+    span_df = (pos.groupBy("span")
+               .agg(F.countDistinct(id_col).alias("_span_docs")))
+    dup = (pos.join(span_df.where(F.col("_span_docs") >= min_docs)
+                    .select("span"), "span")
+           .select(id_col, "pos",
+                   (F.col("pos") + F.lit(n)).alias("end")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (dup.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col("pos") > prev_max), 1).otherwise(0))
+        .withColumn("_island", F.sum("_new").over(w)))
+    return (isl.groupBy(id_col, "_island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"))
+            .select(id_col, "span_start", "span_end"))

@@ -103,3 +103,55 @@ def test_duplicate_spans_internal_repeat_counts_each_window(spark):
     # are shared with doc 2 -> 2 dup windows
     assert got[1] == (9, 2)
     assert got[2] == (9, 1)
+
+
+def test_duplicate_span_ranges_merges_islands(spark):
+    from lucene_7_x_9_x_spark.pipeline.decontam import duplicate_span_ranges
+    # doc 1: the shared 8-gram appears at pos 0 and pos 8 -> windows
+    # [0,8) and [8,16) are ADJACENT (pos 8 == prev end) and merge into
+    # one [0,16) range; doc 2's single shared window is [0,8)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h"),
+         (2, "a b c d e f g h x y z w q r s t"),
+         (3, "p q r s t u v w x y z zz yy xx ww vv")],
+        "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end) for r in
+                 duplicate_span_ranges(df, "doc_id", "text",
+                                       n=8, min_docs=2).collect())
+    assert got == [(1, 0, 16), (2, 0, 8)]
+
+
+def test_duplicate_span_ranges_brute_force(spark):
+    from lucene_7_x_9_x_spark.pipeline.decontam import duplicate_span_ranges
+    import random
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(12)]
+    n, min_docs = 4, 2
+    # python reference: flag windows whose text occurs in >= min_docs
+    # docs, merge overlapping/adjacent [p, p+n) intervals per doc
+    toks = {d: t.split() for d, t in docs}
+    span_docs: dict = {}
+    for d, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            span_docs.setdefault(" ".join(ts[p:p + n]), set()).add(d)
+    want = []
+    for d, ts in toks.items():
+        flagged = [p for p in range(len(ts) - n + 1)
+                   if len(span_docs[" ".join(ts[p:p + n])]) >= min_docs]
+        cur = None
+        for p in flagged:
+            if cur and p <= cur[1]:
+                cur[1] = max(cur[1], p + n)
+            else:
+                if cur:
+                    want.append((d, cur[0], cur[1]))
+                cur = [p, p + n]
+        if cur:
+            want.append((d, cur[0], cur[1]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end) for r in
+                 duplicate_span_ranges(df, "doc_id", "text",
+                                       n=n, min_docs=min_docs).collect())
+    assert got == sorted(want)
