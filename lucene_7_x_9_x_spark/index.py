@@ -47,6 +47,106 @@ def _atomic_write_json(path: str, obj: dict):
     os.replace(tmp, path)
 
 
+class LockObtainFailedError(RuntimeError):
+    """Another writer holds this index's write.lock —
+    LockObtainFailedException (L/store/Lock.java, demos
+    NativeFSLockFactory.java / LockStree.java)."""
+
+
+WRITE_LOCK = "write.lock"
+_HELD_LOCKS: set = set()  # same-process reentrancy (update calls delete)
+
+
+class writer_lock:
+    """IndexWriter single-writer guard — the write.lock role
+    (L/store/NativeFSLockFactory.java, SimpleFSLockFactory.java; demo
+    lucene/index/LockStree.java).  Create-exclusive lock FILE rather than
+    an OS flock: the index root is a shared filesystem / object-store
+    prefix on a real cluster, where O_EXCL-create is the portable
+    primitive (SimpleFSLockFactory's model; object stores have no byte
+    locks).  The file records {pid, host, acquired_at}; a lock whose
+    owner pid is dead ON THE SAME HOST is stale and is broken
+    automatically (the documented SimpleFSLockFactory crash weakness,
+    resolved the way IndexWriter.unlock did).  Same-process reentrant:
+    compound mutators (updateDocument = delete + add) nest freely."""
+
+    def __init__(self, index_dir: str):
+        os.makedirs(index_dir, exist_ok=True)
+        self.path = os.path.join(index_dir, WRITE_LOCK)
+        self._owner = False
+
+    def __enter__(self):
+        if self.path in _HELD_LOCKS:
+            return self  # reentrant inner scope: outer holds it
+        for attempt in (0, 1):
+            try:
+                fd = os.open(self.path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"pid": os.getpid(), "host": os.uname()[1],
+                               "acquired_at": time.time()}, f)
+                self._owner = True
+                _HELD_LOCKS.add(self.path)
+                return self
+            except FileExistsError:
+                if attempt or not self._stale():
+                    raise LockObtainFailedError(
+                        f"write.lock held for {os.path.dirname(self.path)}"
+                        " — another writer is active (delete the lock "
+                        "file only if you are sure it is stale on a "
+                        "remote host)") from None
+                try:  # break the stale lock, then retry the O_EXCL once
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+        raise AssertionError("unreachable")
+
+    def _stale(self) -> bool:
+        try:
+            with open(self.path) as f:
+                owner = json.load(f)
+        except (OSError, ValueError):
+            return False  # unreadable/mid-write: treat as live
+        if owner.get("host") != os.uname()[1]:
+            return False  # liveness unknowable across hosts
+        try:
+            os.kill(int(owner.get("pid", -1)), 0)
+            return False  # alive
+        except ProcessLookupError:
+            return True
+        except (PermissionError, ValueError, OverflowError):
+            return False
+
+    def __exit__(self, *exc):
+        if self._owner:
+            _HELD_LOCKS.discard(self.path)
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+        return False
+
+
+def locked_writer(argname: str):
+    """Decorator: run the index-mutating function under the target
+    directory's write.lock (IndexWriter's ensureOpen/obtainLock
+    discipline).  `argname` names the parameter holding the index/output
+    directory.  Readers never lock — single-writer, multi-reader."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            ba = sig.bind(*args, **kwargs)
+            with writer_lock(str(ba.arguments[argname])):
+                return fn(*args, **kwargs)
+        return wrapper
+    return deco
+
+
 class IndexSnapshot:
     """Point-in-time readable view (DirectoryReader analogue)."""
 
@@ -344,6 +444,7 @@ def _analyzer_manifest(cfg: AnalyzerConfig) -> dict:
             "ngrams": list(cfg.ngrams)}
 
 
+@locked_writer("out_dir")
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,

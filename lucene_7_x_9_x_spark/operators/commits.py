@@ -24,7 +24,8 @@ import re
 
 from pyspark.sql import SparkSession
 
-from ..index import MANIFEST, IndexSnapshot, _atomic_write_json
+from ..index import (MANIFEST, IndexSnapshot, _atomic_write_json,
+                     locked_writer)
 
 _COMMITS_DIR = "commits"
 _COMMIT_RE = re.compile(r"commit_(\d+)\.json$")
@@ -93,6 +94,7 @@ def release_commit(index_dir: str, gen: int) -> None:
     os.remove(os.path.join(index_dir, commits[gen]))
 
 
+@locked_writer("index_dir")
 def rollback_to(spark: SparkSession, index_dir: str,
                 gen: int) -> IndexSnapshot:
     """Open-at-commit + make it CURRENT (IndexWriter opened with
@@ -119,6 +121,7 @@ def _referenced_roots(manifest: dict) -> set[str]:
     return roots
 
 
+@locked_writer("index_dir")
 def purge_commits(index_dir: str, keep_last: int = 1) -> dict:
     """KeepLastN deletion policy + IndexFileDeleter sweep: retain the
     newest keep_last commit points (the live manifest is always

@@ -29,10 +29,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import codec
-from ..index import MANIFEST, IndexSnapshot, _atomic_write_json
+from ..index import (MANIFEST, IndexSnapshot, _atomic_write_json,
+                     locked_writer)
 from ..operators.build import POSTINGS_COLS, postings_schema_ddl
 
 
+@locked_writer("index_dir")
 def delete_by_ids(spark: SparkSession, index_dir: str,
                   ids: DataFrame) -> int:
     """Mark docs whose id columns appear in `ids` as deleted. Returns the
@@ -55,6 +57,7 @@ def delete_by_ids(spark: SparkSession, index_dir: str,
     return n
 
 
+@locked_writer("index_dir")
 def soft_delete_by_ids(spark: SparkSession, index_dir: str,
                        ids: DataFrame, value: int | None = None) -> int:
     """Soft-delete — the soft-deletes DocValues field analogue
@@ -90,6 +93,7 @@ def soft_delete_by_ids(spark: SparkSession, index_dir: str,
     return n
 
 
+@locked_writer("index_dir")
 def undelete_by_ids(spark: SparkSession, index_dir: str,
                     ids: DataFrame) -> int:
     """Remove soft tombstones for the given ids — the recovery move soft
@@ -124,6 +128,7 @@ def undelete_by_ids(spark: SparkSession, index_dir: str,
     return n_before - n_after
 
 
+@locked_writer("index_dir")
 def soft_update_docs(spark: SparkSession, index_dir: str,
                      new_docs: DataFrame, value: int | None = None,
                      refresh_stats: bool = True) -> IndexSnapshot:
@@ -139,6 +144,7 @@ def soft_update_docs(spark: SparkSession, index_dir: str,
     return IndexSnapshot(spark, index_dir)
 
 
+@locked_writer("out_dir")
 def compact_index(spark: SparkSession, index: IndexSnapshot,
                   out_dir: str, soft_retention=None,
                   dels_override: DataFrame | None = None
@@ -344,6 +350,7 @@ def compact_index(spark: SparkSession, index: IndexSnapshot,
     return finalize(spark, out_dir)
 
 
+@locked_writer("index_dir")
 def update_docs(spark: SparkSession, index_dir: str, new_docs: DataFrame,
                 *, refresh_stats: bool = True) -> IndexSnapshot:
     """updateDocument analogue: tombstone any existing docs with the same

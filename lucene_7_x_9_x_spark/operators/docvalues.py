@@ -24,9 +24,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..index import MANIFEST, IndexSnapshot, _atomic_write_json
+from ..index import (MANIFEST, IndexSnapshot, _atomic_write_json,
+                     locked_writer)
 
 
+@locked_writer("index_dir")
 def update_doc_values(spark: SparkSession, index_dir: str, field: str,
                       updates: DataFrame) -> int:
     """Update (or create) the per-doc column `field` for the docs whose

@@ -32,7 +32,8 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F
 
 from ..functions import codec
-from ..index import MANIFEST, IndexSnapshot, _atomic_write_json
+from ..index import (MANIFEST, IndexSnapshot, _atomic_write_json,
+                     locked_writer)
 from .build import POSTINGS_COLS
 
 
@@ -143,6 +144,7 @@ def _balanced_contiguous_groups(segs: list[int], sizes: dict,
             for j in range(m)]
 
 
+@locked_writer("out_dir")
 def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
                 target_segments: int, salt: int = 1,
                 term_buckets: int = 64) -> IndexSnapshot:
@@ -337,6 +339,7 @@ def merge_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
     return IndexSnapshot(spark, out_dir)
 
 
+@locked_writer("out_dir")
 def resort_index(spark: SparkSession, index: IndexSnapshot, out_dir: str,
                  sort_by: str, attrs: DataFrame = None) -> IndexSnapshot:
     """Apply an index-time sort to an EXISTING index — the Sorter /

@@ -21,11 +21,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.analysis import AnalyzerConfig
-from ..index import MANIFEST, IndexSnapshot, _atomic_write_json, _dir_bytes
+from ..index import (MANIFEST, IndexSnapshot, _atomic_write_json,
+                     _dir_bytes, locked_writer)
 from ..operators.build import (combine_segment_rows, combined_schema_ddl,
                                invert_segment)
 
 
+@locked_writer("index_dir")
 def append_batch(spark: SparkSession, corpus_batch: DataFrame,
                  index_dir: str, *, segments_in_batch: int | None = None
                  ) -> None:
@@ -87,6 +89,7 @@ def append_batch(spark: SparkSession, corpus_batch: DataFrame,
     _atomic_write_json(os.path.join(index_dir, MANIFEST), m)
 
 
+@locked_writer("index_dir")
 def finalize(spark: SparkSession, index_dir: str) -> IndexSnapshot:
     """Recompute global terms/stats after appends (snapshot refresh)."""
     idx = IndexSnapshot(spark, index_dir)
