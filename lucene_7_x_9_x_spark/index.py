@@ -38,6 +38,16 @@ from .operators.build import (combine_segment_rows, combined_schema_ddl,
                               invert_segment)
 
 MANIFEST = "manifest.json"
+# On-disk layout generation, stamped into every manifest.  Version 2 =
+# multi-field postings/norms.  Readers refuse other generations with a
+# typed error — the IndexFormatTooOld/TooNewException role
+# (L/index/IndexFormatTooOldException.java; demo OldVersionTest.java):
+# a clear refusal with a remedy beats decoding garbage.
+FORMAT_VERSION = 2
+
+
+class IndexFormatError(RuntimeError):
+    """Index layout generation this reader cannot open."""
 
 
 def _atomic_write_json(path: str, obj: dict):
@@ -164,6 +174,13 @@ class IndexSnapshot:
         # operators/commits.py); relative to root
         with open(os.path.join(root, manifest_name)) as f:
             self.manifest = json.load(f)
+        fv = self.manifest.get("format_version", 1)
+        if fv != FORMAT_VERSION:
+            age = "older" if fv < FORMAT_VERSION else "newer"
+            raise IndexFormatError(
+                f"index at {root} has format_version {fv}; this reader "
+                f"opens only {FORMAT_VERSION} ({age} layout — rebuild the "
+                "index, or open it with a matching engine version)")
         self.id_fields = [tuple(x) for x in self.manifest["id_fields"]]
         self.id_cols = [n for n, _ in self.id_fields]
         # multi-field support (format_version >= 2): the default field is
@@ -687,7 +704,7 @@ def build_index(
     }
 
     manifest = {
-        "format_version": 2,
+        "format_version": FORMAT_VERSION,
         "run_id": run_id,
         "created_unix": time.time(),
         "id_fields": id_fields,

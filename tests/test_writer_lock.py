@@ -110,3 +110,27 @@ def test_build_index_holds_and_releases_lock(spark, tmp_path):
                     num_segments=1)
     os.unlink(os.path.join(d, WRITE_LOCK))
     assert idx.stats["max_doc"] == 2
+
+
+def test_format_version_gate(spark, tmp_path):
+    # IndexFormatTooOld/TooNewException role (OldVersionTest demo): a
+    # manifest from another layout generation is refused with a remedy
+    from lucene_7_x_9_x_spark.index import (FORMAT_VERSION,
+                                            IndexFormatError,
+                                            IndexSnapshot, build_index)
+    d = str(tmp_path / "fmt_idx")
+    docs = spark.createDataFrame([(0, "a b"), (1, "b c")],
+                                 "doc_id long, text string")
+    build_index(spark, docs, d, id_cols=["doc_id"], text_col="text",
+                num_segments=1)
+    mpath = os.path.join(d, "manifest.json")
+    m = json.load(open(mpath))
+    assert m["format_version"] == FORMAT_VERSION
+    for bad in (1, FORMAT_VERSION + 1):
+        m["format_version"] = bad
+        json.dump(m, open(mpath, "w"))
+        with pytest.raises(IndexFormatError):
+            IndexSnapshot(spark, d)
+    m["format_version"] = FORMAT_VERSION
+    json.dump(m, open(mpath, "w"))
+    assert IndexSnapshot(spark, d).stats["max_doc"] == 2
