@@ -49,6 +49,25 @@ def main():
     extra: dict = {"sf_dir": SF_DIR, "cpus": CPUS}
     tmp = tempfile.mkdtemp(prefix="lucene_bench_")
 
+    def _env_sample() -> dict:
+        """Contention telemetry: /proc/loadavg counts runnable threads
+        HOST-wide (co-tenant load shows here while this pid namespace is
+        idle), and cpu 'steal' jiffies count time the hypervisor gave our
+        vCPUs to someone else.  Recorded so a reader can tell an inflated
+        run from a regression."""
+        out = {}
+        try:
+            out["loadavg_1m"] = float(
+                open("/proc/loadavg").read().split()[0])
+            cpu = open("/proc/stat").readline().split()
+            out["cpu_jiffies_total"] = sum(int(x) for x in cpu[1:])
+            out["cpu_jiffies_steal"] = int(cpu[8])
+        except (OSError, IndexError, ValueError):
+            pass
+        return out
+
+    env0 = _env_sample()
+
     def timed(name, fn):
         t0 = time.time()
         out = fn()
@@ -266,6 +285,16 @@ def main():
         s_stem.text_query("filtering joined windows"), 10).collect())
 
     total = round(time.time() - t_all, 3)
+    env1 = _env_sample()
+    if env0 and env1:
+        extra["env_loadavg_1m_start"] = env0.get("loadavg_1m")
+        extra["env_loadavg_1m_end"] = env1.get("loadavg_1m")
+        dt = env1.get("cpu_jiffies_total", 0) - \
+            env0.get("cpu_jiffies_total", 0)
+        ds = env1.get("cpu_jiffies_steal", 0) - \
+            env0.get("cpu_jiffies_steal", 0)
+        if dt > 0:
+            extra["env_steal_pct"] = round(100.0 * ds / dt, 2)
     result = {
         "metric": "index_build_plus_query_suite_sec",
         "value": total,
