@@ -1907,6 +1907,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_phrase_top10(spark, sf):
         return _topk_ids(spark, sf, Q.PhraseQuery(["the", "fast"]), 10)
 
+    def wildcard_phrase_top10(spark, sf):
+        # PhraseWildcardQuery / ComplexPhraseQueryParser: '"s* scan"' —
+        # the wildcard slot expands against the terms dictionary into a
+        # MultiPhraseQuery slot (6 terms at sf0.01); weight = idf of every
+        # expanded term + idf(scan)
+        from lucene_7_x_9_x_spark.plans.parser import parse
+        return _topk_ids(spark, sf, parse('"s* scan"'), 10)
+
     def multi_phrase_top10(spark, sf):
         # MultiPhraseQuery: "[fast|slow] scan" — slot 0 is a positional
         # UNION of two terms; weight = idf(fast)+idf(slow)+idf(scan)
@@ -2665,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_infix_top10": ngram_infix_top10,
         "multi_phrase_top10": multi_phrase_top10,
         "dup_span_ranges": dup_span_ranges,
+        "wildcard_phrase_top10": wildcard_phrase_top10,
         "count_fast": count_fast,
         "sort_dv_topk": sort_dv_topk,
         "sort_missing_value": sort_missing_value,
@@ -3357,6 +3366,31 @@ ORDER BY pay DESC, doc_id LIMIT 10""",
         "shingle_term_top10": _bm25_sql(
             ["the fast", "of the"], 10, False,
             toks=_shingle_toks(), dl_toks=TOKS),
+        "wildcard_phrase_top10": f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),
+stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                 sum(dl) AS sum_ttf FROM dl_t),
+q AS (SELECT doc_id, ts, {QDL} AS qdl FROM dl_t),
+ex AS (SELECT doc_id, unnest(list_distinct(ts)) AS t FROM toks),
+wdf AS (SELECT t, count(*) AS df FROM ex WHERE t LIKE 's%' GROUP BY t),
+widf AS (SELECT sum(ln(1 + (s.doc_count - w.df + 0.5) / (w.df + 0.5)))
+           AS idf_w
+         FROM wdf w, stats s),
+tf AS (SELECT doc_id, qdl,
+         len(list_filter(range(1, len(ts)),
+             i -> ts[i] LIKE 's%' AND ts[i+1] = 'scan')) AS tf_p,
+         len(list_filter(ts, t -> t = 'scan')) AS tf_c FROM q),
+dfs AS (SELECT count(*) FILTER (WHERE tf_c > 0) AS df_c FROM tf),
+scored AS (SELECT doc_id,
+    (wi.idf_w
+     + ln(1 + (s.doc_count - d.df_c + 0.5) / (d.df_c + 0.5))) * tf_p
+      / (tf_p + {K1} * ({1 - B} + {B} * qdl * s.doc_count
+         / CAST(s.sum_ttf AS DOUBLE))) AS score
+    FROM tf, stats s, dfs d, widf wi WHERE tf_p > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "multi_phrase_top10": f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS ts FROM documents),
 dl_t AS (SELECT doc_id, ts, len(ts) AS dl FROM toks),

@@ -202,11 +202,23 @@ def _parse_query(toks: list, i: int, default_and: bool):
             i += 1
             q = sub if not isinstance(sub, Q.MatchNoDocsQuery) else None
         elif kind == "phrase":
-            terms = _analyze(m.group("phrase_body"))
+            body = m.group("phrase_body")
             slop = int(m.group("slop")) if m.group("slop") else 0
-            q = (None if not terms
-                 else Q.TermQuery(terms[0]) if len(terms) == 1
-                 else Q.PhraseQuery(terms, slop=slop))
+            if _has_unescaped(body, "*?"):
+                # ComplexPhraseQueryParser role (solr-8.4.0/lucene/
+                # queryparser/.../complexPhrase/ComplexPhraseQueryParser
+                # .java): wildcards inside a quoted phrase build a
+                # dictionary-expanded phrase (PhraseWildcardQuery)
+                pats = re.findall(r"[a-z0-9_*?]+",
+                                  _unescape(body).lower())
+                q = (None if not pats
+                     else Q.WildcardQuery(pats[0]) if len(pats) == 1
+                     else Q.WildcardPhraseQuery(pats, slop=slop))
+            else:
+                terms = _analyze(body)
+                q = (None if not terms
+                     else Q.TermQuery(terms[0]) if len(terms) == 1
+                     else Q.PhraseQuery(terms, slop=slop))
             i += 1
         elif kind == "range":
             lo = _analyze(m.group("lo"))

@@ -77,6 +77,32 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class WildcardPhraseQuery(Query):
+    """Phrase whose slots may be wildcard patterns — PhraseWildcardQuery
+    (solr-8.4.0/lucene/sandbox/src/java/org/apache/lucene/search/
+    PhraseWildcardQuery.java; the query ComplexPhraseQueryParser surfaces
+    for '"fa* scan"').  At rewrite, each pattern slot (containing * or ?)
+    expands against the terms dictionary into a MultiPhraseQuery slot;
+    literal slots pass through.  The reference budgets expansions with
+    maxMultiTermExpansions and fails over it (the TooManyClauses
+    discipline) — same here, per slot, against a GLOBAL dictionary (the
+    reference expands per segment)."""
+    patterns: tuple
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+    max_expansions: int = 128
+
+    def __init__(self, patterns, slop=0, boost=1.0, field=None,
+                 max_expansions=128):
+        object.__setattr__(self, "patterns", tuple(patterns))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+        object.__setattr__(self, "field", field)
+        object.__setattr__(self, "max_expansions", max_expansions)
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: freqs summed per doc
     (solr-8.4.0/.../search/SynonymQuery.java:55,281-344)."""
@@ -518,6 +544,30 @@ def _rewrite_once(q: Query, ctx) -> Query:
         if src2 != q.source:
             return IntervalQuery(src2, q.boost, q.field)
 
+    if isinstance(q, WildcardPhraseQuery) and ctx is not None \
+            and ctx.expand_terms:
+        slots = []
+        for p in q.patterns:
+            if "*" in p or "?" in p:
+                got = ctx.expand_terms(WildcardQuery(p, field=q.field))
+                if got is None:
+                    return q  # dictionary unavailable: leave unrewritten
+                if not got:
+                    return MatchNoDocsQuery()
+                if len(got) > q.max_expansions:
+                    raise ValueError(
+                        f"wildcard phrase slot {p!r} expands to "
+                        f"{len(got)} terms > max_expansions="
+                        f"{q.max_expansions} (the PhraseWildcardQuery "
+                        "maxMultiTermExpansions / TooManyClauses guard)")
+                slots.append(tuple(sorted(got)))
+            else:
+                slots.append((p,))
+        if all(len(s) == 1 for s in slots):
+            return PhraseQuery([s[0] for s in slots], q.slop, q.boost,
+                               q.field)
+        return MultiPhraseQuery(slots, q.slop, q.boost, q.field)
+
     if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
                       FuzzyQuery)) and ctx is not None and ctx.expand_terms:
         terms = ctx.expand_terms(q)
@@ -642,6 +692,9 @@ def map_fields(q: Query, f) -> Query:
         return PhraseQuery(q.terms, q.slop, q.boost, f(q.field))
     if isinstance(q, MultiPhraseQuery):
         return MultiPhraseQuery(q.term_arrays, q.slop, q.boost, f(q.field))
+    if isinstance(q, WildcardPhraseQuery):
+        return WildcardPhraseQuery(q.patterns, q.slop, q.boost, f(q.field),
+                                   q.max_expansions)
     if isinstance(q, SynonymQuery):
         return SynonymQuery(q.terms, q.boost, f(q.field))
     if isinstance(q, TermInSetQuery):

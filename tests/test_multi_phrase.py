@@ -125,3 +125,39 @@ def test_no_match_and_empty_slot():
     m = evaluate(reader, stats, Q.MultiPhraseQuery(
         (("zzz", "qqq"), ("scan",))), 1.0, True)
     assert len(m.docids) == 0
+
+
+def test_wildcard_phrase_rewrite_paths():
+    # PhraseWildcardQuery role: dictionary-expanded phrase slots
+    DICT = ["fast", "fat", "false", "scan", "slow"]
+
+    def expand(w):
+        lit = w.pattern.split("*")[0].split("?")[0]
+        return [t for t in DICT if t.startswith(lit)]
+
+    ctx = Q.RewriteContext(expand_terms=expand)
+    q = Q.rewrite(Q.WildcardPhraseQuery(("fa*", "scan")), ctx)
+    assert isinstance(q, Q.MultiPhraseQuery)
+    assert q.term_arrays == (("false", "fast", "fat"), ("scan",))
+    # single expansion degenerates to a plain PhraseQuery
+    q = Q.rewrite(Q.WildcardPhraseQuery(("sc*", "fast")), ctx)
+    assert isinstance(q, Q.PhraseQuery) and q.terms == ("scan", "fast")
+    # empty expansion matches nothing
+    assert isinstance(Q.rewrite(Q.WildcardPhraseQuery(("zz*", "scan")),
+                                ctx), Q.MatchNoDocsQuery)
+    # TooManyClauses-style budget
+    with pytest.raises(ValueError, match="max_expansions"):
+        Q.rewrite(Q.WildcardPhraseQuery(("fa*", "scan"),
+                                        max_expansions=2), ctx)
+    # no dictionary -> left unrewritten
+    q = Q.WildcardPhraseQuery(("fa*", "scan"))
+    assert Q.rewrite(q, Q.RewriteContext()) == q
+
+
+def test_parser_complex_phrase():
+    from lucene_7_x_9_x_spark.plans.parser import parse
+    q = parse('"fa* scan"~2')
+    assert isinstance(q, Q.WildcardPhraseQuery)
+    assert q.patterns == ("fa*", "scan") and q.slop == 2
+    assert isinstance(parse('"the fast"'), Q.PhraseQuery)
+    assert isinstance(parse('"wild*"'), Q.WildcardQuery)
