@@ -147,6 +147,12 @@ def main():
         PhraseQuery(["the", "fast"]), 10).collect())
     timedq("sloppy_phrase", lambda: searcher.search(
         PhraseQuery(["the", "fast"], slop=2), 10).collect())
+    from lucene_7_x_9_x_spark.plans.query import (MultiPhraseQuery,
+                                                  WildcardPhraseQuery)
+    timedq("multi_phrase", lambda: searcher.search(MultiPhraseQuery(
+        (("fast", "slow"), ("scan",))), 10).collect())
+    timedq("wildcard_phrase", lambda: searcher.search(
+        WildcardPhraseQuery(("s*", "scan")), 10).collect())
     timedq("term_count", lambda: searcher.count(TermQuery("filter")))
     from lucene_7_x_9_x_spark.plans.parser import parse
     timedq("parsed_query_top10", lambda: searcher.search(
