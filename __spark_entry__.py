@@ -1696,6 +1696,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_gaps=4)
         return _match_ids(spark, sf, IntervalQuery(tree))
 
+    def surround_query(spark, sf):
+        # queryparser/surround: AND(2N(filter, join), NOT(window)) — an
+        # unordered within-2 proximity pair composed with boolean NOT,
+        # parsed by plans/surround.py onto the intervals module
+        from lucene_7_x_9_x_spark.plans.surround import parse_surround
+        return _match_ids(spark, sf,
+                          parse_surround("AND(2N(filter, join), "
+                                         "NOT(window))"))
+
     def span_near(spark, sf):
         # ordered span-near (NearSpansOrdered): key ... hash ... row with
         # total gap <= 6
@@ -2674,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase_top10": multi_phrase_top10,
         "dup_span_ranges": dup_span_ranges,
         "wildcard_phrase_top10": wildcard_phrase_top10,
+        "surround_query": surround_query,
         "count_fast": count_fast,
         "sort_dv_topk": sort_dv_topk,
         "sort_missing_value": sort_missing_value,
@@ -3426,6 +3436,19 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 10""",
         "unicode_numeric_top10": _bm25_sql(
             ["2.4.1", "192.168.0.1", "3.14"], 10, False,
             src_sql=_num_src_sql(), toks=_uni_toks()),
+        "surround_query": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
+            p AS (SELECT doc_id,
+                    list_filter(range(1, len(ts)+1),
+                                i -> ts[i] = 'filter') AS pf,
+                    list_filter(range(1, len(ts)+1),
+                                i -> ts[i] = 'join') AS pj,
+                    len(list_filter(ts, x -> x = 'window')) AS nw
+                  FROM t)
+            SELECT doc_id FROM p
+            WHERE nw = 0
+              AND len(list_filter(pf, a ->
+                    len(list_filter(pj, b -> abs(a - b) <= 2)) > 0)) > 0""",
         "intervals_ordered": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS ts FROM documents),
             p AS (SELECT doc_id,
