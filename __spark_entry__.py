@@ -2707,13 +2707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": fuzzy_suggest,
         "phonetic_term_top10": phonetic_term_top10,
         "cjk_bigram_top10": cjk_bigram_top10,
-        "classify_knn_fuzzy": classify_knn_fuzzy,
+        "unicode_numeric_top10": unicode_numeric_top10,
         "classify_knn_top": classify_knn_top,
         "sample_fraction": sample_fraction,
         "sample_mixture": sample_mixture,
         "dedup_clusters": dedup_clusters,
         "join_query_top10": join_query_top10,
-        "geo_box": geo_box_ids,
+        "facet_ssdv": facet_ssdv,
         "geo_distance": geo_distance_ids,
         "geo_nearest_top10": geo_nearest_top10,
         "geo_polygon": geo_polygon_ids,
@@ -2728,8 +2728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_fold_top10": ascii_fold_top10,
         "shingle_term_top10": shingle_term_top10,
         "synonym_analyzer_top10": synonym_analyzer_top10,
-        "unicode_numeric_top10": unicode_numeric_top10,
-        "facet_ssdv": facet_ssdv,
+        # geo_box / classify_knn_fuzzy yield their window slots to the
+        # never-driver-gated facet_ssdv + unicode_numeric_top10: their
+        # engine paths stay covered by geo_distance/nearest/polygon and
+        # classify_knn_top within the first 50
+        "geo_box": geo_box_ids,
+        "classify_knn_fuzzy": classify_knn_fuzzy,
         # -- (b) engine path changed this round (fuzzy seek, facet plan) --
         "fuzzy": fuzzy,
         "spell_correct": spell_correct,
