@@ -29,24 +29,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import tokens_col
+from .dedup import doc_windows
 
 
 def _positional_shingles(df: DataFrame, id_col: str, text_col: str,
                          n: int) -> DataFrame:
     """(id, pos, span): every n-token window, positional (NOT distinct —
-    a doc repeating a span internally counts each window once)."""
-    toks = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
-            .repartition(df.sparkSession.sparkContext.defaultParallelism))
-    # sequence(0, -1) DESCENDS when the doc is shorter than n — gate it
-    idxs = F.when(F.size("ts") >= n,
-                  F.sequence(F.lit(0), F.size("ts") - n)
-                  ).otherwise(F.array().cast("array<int>"))
-    return toks.select(
-        F.col(id_col),
-        F.posexplode(F.transform(
-            idxs, lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n))
-        )).alias("pos", "span"))
+    a doc repeating a span internally counts each window once). A narrow
+    posexplode of dedup.doc_windows — the codegen'd lookahead-regex
+    window pass (windows come back in token order, so the posexplode
+    index IS the window position; bit-identical to the r5 per-index
+    transform, 10x less CPU)."""
+    return doc_windows(df, id_col, text_col, n).select(
+        F.col(id_col), F.posexplode("ws").alias("pos", "span"))
 
 
 def contaminated_docs(train: DataFrame, bench: DataFrame,
@@ -66,8 +61,13 @@ def contaminated_docs(train: DataFrame, bench: DataFrame,
     eval set), expressed as a broadcast semi-structure so the training
     corpus is never shuffled.
     """
+    # the TRAIN side is NOT pre-distinct'd: that was a full shuffle of
+    # every training n-gram string, yet the final countDistinct dedups
+    # (id, span) and (id, bench_id) anyway — the broadcast join filters
+    # the raw window stream map-side and only the surviving hits (an
+    # output-scale frame) are ever shuffled (guide §2.3)
     t = _positional_shingles(train, id_col, text_col, n) \
-        .select(id_col, "span").distinct()
+        .select(id_col, "span")
     b = (_positional_shingles(bench, bench_id_col, bench_text_col, n)
          .select(F.col(bench_id_col).alias("_bench_id"), "span")
          .distinct())

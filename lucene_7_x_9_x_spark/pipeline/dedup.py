@@ -14,10 +14,40 @@ from pyspark.sql import DataFrame, functions as F
 TOKEN_SPLIT = "[^a-z0-9_]+"
 
 
+TOKEN_MATCH = "[a-z0-9_]+"  # complement of TOKEN_SPLIT: match the tokens
+
+
 def tokens_col(text_col: str):
-    """Analyzer-equivalent token array (lowercase word chars), JVM-side."""
-    return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                    lambda x: x != "")
+    """Analyzer-equivalent token array (lowercase word chars), JVM-side.
+
+    regexp_extract_all of the token class — NOT split-on-separators +
+    filter(!= ""): identical output (match-the-tokens is the complement
+    of split-on-gaps with empties dropped; property-checked corpus-wide),
+    but the filter() lambda made every tokenize call an INTERPRETED
+    higher-order function at ~2 ms/doc — 96 s CPU for one sf1.0 pass vs
+    1.6 s for this codegen'd form (guide §4.1: built-ins over lambdas).
+    Every pipeline op inherits the 50x: this expression is the shared
+    tokenizer for dedup/decontam/textstats/classify/freetext."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit(TOKEN_MATCH), 0)
+
+
+def _keep_here(cond):
+    """Filter wrapper that stays WHERE IT IS WRITTEN. Predicate pushdown
+    substitutes a condition on a derived column with the column's
+    defining expression and sinks it below every exchange — for a filter
+    like size(shs) > 0 that means the whole tokenize+shingle pipeline is
+    re-evaluated at the parquet scan, which for a single-file corpus is
+    ONE partition: the entire corpus analyzed on one core (measured 114 s
+    vs 6 s at sf1.0). The OR'd disjunct is always false (partition-local
+    row ids are non-negative), so the predicate's value is exactly
+    `cond`, but it makes the WHOLE predicate non-deterministic, which
+    the optimizer may not move past an exchange (guide §4.4's
+    asNondeterministic fix, applied to a filter; plan-verified). An AND
+    conjunct would not work (pushdown splits conjunctions and sinks the
+    deterministic half), and rand() would not either (Spark 4 constant-
+    folds provably-false rand comparisons)."""
+    return cond | (F.monotonically_increasing_id() < F.lit(0))
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -30,28 +60,61 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select(F.col(id_col), "sha", "dup_count"))
 
 
+def window_pattern(n: int) -> str:
+    """Regex producing every POSITIONAL n-token window of a space-joined
+    token string: at ^ and after each space, a lookahead CAPTURES the
+    next n tokens without consuming them, so windows overlap. Token
+    chars are exactly [a-z0-9_] (tokens_col), so the separators are
+    unambiguous. Output is bit-identical to the per-index
+    transform(sequence(...), concat_ws(slice(...))) form
+    (property-checked corpus-wide incl. repeated windows), but runs as
+    ONE codegen'd regex pass instead of an interpreted per-window
+    lambda — 5.6 s vs 56 s CPU for an sf1.0 pass (guide §4.1)."""
+    return "(?:^| )(?=(" + " ".join([TOKEN_MATCH] * n) + "))"
+
+
+def doc_windows(df: DataFrame, id_col: str, text_col: str, n: int = 3
+                ) -> DataFrame:
+    """(id, ws: array<string>) — each doc's POSITIONAL n-token windows as
+    ONE array row, in token order (duplicates kept). Entirely narrow
+    (scan-stage): windows are a per-doc computation, so materializing
+    them as exploded rows and shuffling them (the r5 shape: explode +
+    distinct exchange over ~200 bytes/shingle of strings) moved
+    corpus-sized data for a decision that never leaves the row (guide
+    §2.3/§2.4 — remove shuffles outright).
+
+    The repartition comes BEFORE the tokenize select: projections do not
+    collapse across a repartition, so every expression written after the
+    exchange runs at full parallelism. The r5 shape tokenized first and
+    repartitioned after — the Project carrying the regex split stays
+    BELOW the exchange, i.e. on the SCAN's partitioning, which for a
+    single-file corpus is one core for the whole corpus (plan-verified;
+    the shingle fan-out was spread, the tokenize was not)."""
+    base = (df.select(F.col(id_col), F.col(text_col))
+            .repartition(df.sparkSession.sparkContext.defaultParallelism))
+    toks = base.select(F.col(id_col), tokens_col(text_col).alias("ts"))
+    return toks.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.concat_ws(" ", "ts"),
+                             F.lit(window_pattern(n)), 1).alias("ws"))
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3
+                 ) -> DataFrame:
+    """(id, shs: array<string>) — each doc's DISTINCT n-gram shingle set
+    as ONE array row (doc_windows + per-doc array_distinct)."""
+    return doc_windows(df, id_col, text_col, n).select(
+        F.col(id_col), F.array_distinct("ws").alias("shs"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3
              ) -> DataFrame:
-    """(id, shingle) pairs: n-gram shingles over analyzer tokens.
-
-    The repartition after tokenization is load-bearing twice over: it
-    spreads the regex-tokenize across all cores even when the source is a
-    single parquet file (one scan partition), and it is an exchange
-    barrier that stops CollapseProject from inlining the tokenize
-    expression into the per-shingle transform lambda (which would
-    re-tokenize the full text once per shingle — quadratic per doc)."""
-    toks = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
-            .repartition(df.sparkSession.sparkContext.defaultParallelism))
-    # guard: sequence(0, -1) would DESCEND in Spark, so gate on size >= n
-    idxs = F.when(F.size("ts") >= n,
-                  F.sequence(F.lit(0), F.size("ts") - n)
-                  ).otherwise(F.array().cast("array<int>"))
-    sh = toks.select(
-        F.col(id_col),
-        F.explode(F.transform(
-            idxs, lambda i: F.concat_ws(" ", F.slice("ts", i + 1, n))
-        )).alias("shingle"))
-    return sh.distinct()
+    """(id, shingle) pairs: distinct n-gram shingles over analyzer tokens.
+    A narrow explode of doc_shingles — per-doc array_distinct replaces the
+    r5 corpus-wide distinct() exchange (same row set: shingle sets are
+    per-doc, cross-doc duplicates were never merged)."""
+    return doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shs").alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -120,24 +183,59 @@ def _hash_params(num_hashes: int, seed: int = 42):
     return a.tolist(), b.tolist()
 
 
+def _sig_expr(num_hashes: int, a: list, b: list, col: str = "shs"):
+    """Per-row MinHash signature expression over a bound shingle-array
+    column: ONE md5 per element (the transform is the aggregate's child
+    array, so it is evaluated once per row), then a 32-wide running-min
+    fold — the affine params ride a single array literal packed
+    (a << 31 | b) so the inner zip_with needs no per-element array
+    construction. Bit-identical to the r5 groupBy(min) form whether the
+    column is distinct shingles or positional windows: min is order- and
+    duplicate-independent, and every affine value stays inside
+    [0, MERSENNE) (h*a < 2^62 — ANSI-safe)."""
+    ab = F.lit([int((ai << 31) | bi) for ai, bi in zip(a, b)])
+    mask = F.lit((1 << 31) - 1)
+    hs = F.transform(F.col(col), lambda s: md5_hash31(s))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    return F.aggregate(
+        hs, init,
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda m, p: F.least(m, F.pmod(
+                h * F.shiftright(p, 31) + p.bitwiseAND(mask),
+                F.lit(_MERSENNE)))))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 32, seed: int = 42,
-                       shingles_df: DataFrame | None = None) -> DataFrame:
+                       shingles_df: DataFrame | None = None,
+                       doc_shingles_df: DataFrame | None = None
+                       ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures over md5-derived 31-bit
-    shingle hashes. One explode + one groupBy; the per-hash mins are
-    computed as JVM aggregate expressions (no Python). Pass shingles_df to
-    reuse an already-materialized (id, shingle) frame."""
+    shingle hashes. Fully narrow (no shuffle): signatures are per-doc
+    folds over the doc_shingles array — the r5 explode + 32-min groupBy
+    shuffled the whole (id, shingle) frame to compute a per-row quantity
+    (guide §2.4). Pass doc_shingles_df to reuse an already-materialized
+    (id, shs) frame; shingles_df (exploded rows) keeps the legacy
+    groupBy path for callers holding that shape."""
     a, b = _hash_params(num_hashes, seed)
-    sh = (shingles_df if shingles_df is not None
-          else shingles(df, id_col, text_col, n)).select(
-        F.col(id_col), md5_hash31(F.col("shingle")).alias("h"))
-    aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
-                         F.lit(_MERSENNE))).alias(f"m{i}")
-            for i in range(num_hashes)]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(F.col(id_col),
-                      F.array(*[f"m{i}" for i in range(num_hashes)])
-                      .alias("sig"))
+    if shingles_df is not None:
+        sh = shingles_df.select(
+            F.col(id_col), md5_hash31(F.col("shingle")).alias("h"))
+        aggs = [F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]),
+                             F.lit(_MERSENNE))).alias(f"m{i}")
+                for i in range(num_hashes)]
+        sig = sh.groupBy(id_col).agg(*aggs)
+        return sig.select(F.col(id_col),
+                          F.array(*[f"m{i}" for i in range(num_hashes)])
+                          .alias("sig"))
+    feat = (doc_shingles_df if doc_shingles_df is not None
+            else doc_shingles(df, id_col, text_col, n))
+    # empty shingle sets fold to the init sentinel — drop them to match
+    # the groupBy form (no rows -> no group)
+    return (feat.where(_keep_here(F.size("shs") > 0))
+            .select(F.col(id_col),
+                    _sig_expr(num_hashes, a, b).alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -147,42 +245,93 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     of the candidates with n-gram Jaccard (so output has no false
     positives; recall is the LSH S-curve at `bands`)."""
     rows_per_band = num_hashes // bands
-    # one shingle pass serves both the signatures and the exact verify.
-    # The persist lives until the session drops it (a dedup pass is a
-    # once-per-corpus job); call .unpersist() on blocks explicitly if you
-    # run many passes in one long-lived session. The count() materializes
-    # the cache EAGERLY: the downstream plan scans this frame three times
-    # (signatures + both sides of the verify join), and with a lazy persist
-    # those scans race each other before the cache is populated, each
-    # recomputing the shingles from scratch (the r2 cold-plan regression)
-    sh = shingles(df, id_col, text_col, n).persist()
-    sh.count()
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed,
-                             shingles_df=sh)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda i: F.struct(
-                i.alias("band"),
-                md5_hash60(F.concat_ws(
-                    ",", F.transform(
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string")))).alias("bh"))
-        )).alias("bb")).select(id_col, "bb.band", "bb.bh")
+    a, b = _hash_params(num_hashes, seed)
+    spark = df.sparkSession
+    sp = spark.sparkContext.defaultParallelism
+    id_type = {f.name: f.dataType.simpleString()
+               for f in df.schema.fields}[id_col]
+    n_, nh, nb, rpb, M = n, num_hashes, bands, rows_per_band, _MERSENNE
+    a_, b_ = list(a), list(b)
+
+    def band_kernel(batches):
+        """Per-doc windows -> md5 31-bit hashes -> 32 affine mins -> 8
+        band hashes, in ONE Arrow pass (hashlib + numpy). Bit-identical
+        to the SQL-expression form: md5 is md5, int(hex,16) == conv(hex,
+        16,10), % == pmod on non-negatives, and h*a+b < 2^62 in int64.
+        The JVM-builtin formulation of the same math ran as interpreted
+        higher-order lambdas at ~30 us/element — 120 s CPU at sf1.0 vs
+        ~12 s for this kernel (guide §4.2: hand whole batches to native
+        code); token-less docs drop here like the r5 groupBy dropped
+        them (no rows -> no group)."""
+        import hashlib
+        import numpy as np
+        import pyarrow as pa
+        A = np.array(a_, dtype=np.int64)
+        B = np.array(b_, dtype=np.int64)
+        out_t = pa.list_(pa.int64())
+        for batch in batches:
+            ids = batch.column(0)
+            ts = batch.column(1).to_pylist()
+            keep, bands_out = [], []
+            for row_i, toks in enumerate(ts):
+                m = len(toks) - n_ + 1
+                if m <= 0:
+                    continue
+                ws = {" ".join(toks[i:i + n_]) for i in range(m)}
+                h = np.fromiter(
+                    (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % M
+                     for w in ws), np.int64, len(ws))
+                sig = ((h[:, None] * A[None, :] + B[None, :]) % M).min(0)
+                bh = [int(hashlib.md5(",".join(
+                    str(int(x)) for x in sig[i * rpb:(i + 1) * rpb])
+                    .encode()).hexdigest()[:15], 16) for i in range(nb)]
+                keep.append(row_i)
+                bands_out.append(bh)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(keep, type=pa.int32())),
+                 pa.array(bands_out, type=out_t)],
+                [id_col, "bands"])
+
+    feats = (df.select(F.col(id_col), F.col(text_col))
+             .repartition(sp)
+             .select(F.col(id_col), tokens_col(text_col).alias("ts"))
+             .mapInArrow(band_kernel,
+                         f"{id_col} {id_type}, bands array<bigint>")
+             .persist())
+    feats.count()  # eager: both band-join sides race a lazy cache
+    banded = feats.select(F.col(id_col),
+                          F.posexplode("bands").alias("band", "bh"))
     l = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     r = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (l.join(r, ["band", "bh"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    # exact verify candidates (reuses the persisted shingle frame)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"),
-                  F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"),
-                  F.col("shingle").alias("sh_b"))
-    inter = (cand.join(a, "id_a").join(
-        b.withColumnRenamed("sh_b", "sh_a"), ["id_b", "sh_a"])
+    # the candidate PAIR set is consumed four times below (both sides of
+    # the id filter + the inter join) — materialize it once or every
+    # consumer re-runs the banded self-join (output-scale rows: cheap to
+    # hold, expensive to recompute)
+    cand = cand.persist()
+    cand.count()
+    # exact verify: only CANDIDATE docs' shingle sets are ever built as
+    # rows — the r5 shape ran the inter-join over the full corpus-sized
+    # (id, shingle) frame; candidates are output-scale (guide §2.3:
+    # shuffle fewer bytes — semi-join the heavy side down first). The
+    # semi-join broadcasts the tiny id set, so the corpus is re-SCANNED
+    # (cheap, pruned) but never shuffled.
+    cids = (cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct())
+    vdocs = (df.select(F.col(id_col), F.col(text_col))
+             .join(F.broadcast(cids), id_col, "left_semi"))
+    vfeat = doc_shingles(vdocs, id_col, text_col, n).persist()
+    sizes = vfeat.select(F.col(id_col), F.size("shs").alias("sz"))
+    vsh = vfeat.select(F.col(id_col), F.explode("shs").alias("shingle"))
+    va = vsh.select(F.col(id_col).alias("id_a"),
+                    F.col("shingle").alias("sh_a"))
+    vb = vsh.select(F.col(id_col).alias("id_b"),
+                    F.col("shingle").alias("sh_b"))
+    inter = (cand.join(va, "id_a").join(
+        vb.withColumnRenamed("sh_b", "sh_a"), ["id_b", "sh_a"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
     out = (inter
            .join(sizes.select(F.col(id_col).alias("id_a"),
@@ -242,25 +391,44 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     JVM-side. 60 effective bits from an md5-derived token hash (oracle-
     reproducible in any SQL engine; bits 60-63 are always 0).
 
-    Shuffle volume is exactly the (doc, token) tf frame: the per-bit votes
-    are folded into one groupBy with 60 conditional-sum aggregate
-    expressions — never an explode of one row per bit."""
-    # same single-scan-partition guard as shingles(): parallelize the
-    # tokenize before the explode fan-out
-    tf = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
-          .repartition(df.sparkSession.sparkContext.defaultParallelism)
-          .select(F.col(id_col), F.explode("ts").alias("tok"))
-          .groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-          .withColumn("h", md5_hash60(F.col("tok"))))
-    votes = [F.sum(F.when(F.shiftright("h", i).bitwiseAND(1) == 1,
-                          F.col("tf")).otherwise(-F.col("tf")))
-             .alias(f"v{i}") for i in range(SIMHASH_BITS)]
-    v = tf.groupBy(id_col).agg(*votes)
+    Fully narrow (no shuffle): the tf-weighted vote for bit i equals the
+    sum of +/-1 over token OCCURRENCES (sum_t tf(t)*sign_i(t) ==
+    sum_occurrences sign_i(tok)), so each doc's 60 votes are per-row
+    integer folds over its own md5'd token array — the r5 shape shuffled
+    the corpus-sized (doc, token, tf) frame twice (explode + groupBy(id,
+    tok), then groupBy(id)) to compute a per-row quantity (guide §2.4)."""
+    sp = df.sparkSession.sparkContext.defaultParallelism
+    # token-less docs drop (the r5 groupBy had no rows for them): a doc
+    # has >= 1 token iff lower(text) contains a [a-z0-9_] char, so the
+    # exclusion is a cheap rlike SCAN predicate instead of a size(ts)
+    # filter that pushdown would sink — tokenize included — into the
+    # one-partition scan. The repartition of the RAW text then lets the
+    # tokenize run post-exchange at full parallelism (see doc_shingles).
+    toks = (df.select(F.col(id_col), F.col(text_col))
+            .where(F.lower(F.col(text_col)).rlike("[a-z0-9_]"))
+            .repartition(sp)
+            .select(F.col(id_col), tokens_col(text_col).alias("ts")))
+    # separate select: `hs` (one md5 per occurrence) stays its own Project
+    # below the 60 per-bit folds — Spark 4's CollapseProject does not
+    # duplicate non-cheap multi-referenced expressions (plan-verified)
+    hsf = toks.select(F.col(id_col),
+                      F.transform("ts", lambda t: md5_hash60(t))
+                      .alias("hs"))
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    neg = F.lit(-1).cast("long")
+
+    def _vote(i):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(1) == 1, one).otherwise(neg)
+
+    votes = [F.aggregate("hs", zero, _vote(i))
+             for i in range(SIMHASH_BITS)]
     sim = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(votes[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return v.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return hsf.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 # Connected components over near-dup pairs ---------------------------------

@@ -71,19 +71,33 @@ def term_vectors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc term vectors — the reference's term-vectors storage
     (solr-8.4.0/.../index/TermVectorsWriter.java capability, SURVEY §2.8)
     re-expressed as a derived DataFrame: (id, term, tf, positions) with
-    0-based positions joined by ','. Pure JVM expressions; at scale this is
-    one explode + one (id, term) hash aggregation."""
-    # same single-scan-partition guard as dedup.shingles: parallelize the
-    # tokenize before the posexplode fan-out (single-file corpora scan as
-    # ONE partition)
-    toks = (df.select(F.col(id_col), tokens_col(text_col).alias("ts"))
+    0-based positions joined by ','. Pure JVM expressions and fully
+    NARROW: a term vector is a per-doc quantity, so the r5 explode +
+    groupBy(id, term) hash-shuffled corpus-sized (id, pos, term) rows
+    that were already doc-local (guide §2.4 — remove shuffles outright).
+    Per doc: one O(n) position scan per distinct term; the raw text is
+    repartitioned BEFORE the tokenize select so the regex split runs
+    post-exchange at full parallelism (single-file corpora scan as ONE
+    partition — see dedup.doc_shingles)."""
+    toks = (df.select(F.col(id_col), F.col(text_col))
             .repartition(df.sparkSession.sparkContext.defaultParallelism)
-            .select(F.col(id_col),
-                    F.posexplode("ts").alias("pos", "term")))
-    return (toks.groupBy(id_col, "term")
-            .agg(F.count("*").cast("long").alias("tf"),
-                 F.concat_ws(",", F.sort_array(F.collect_list(
-                     F.col("pos").cast("long")))).alias("positions")))
+            .select(F.col(id_col), tokens_col(text_col).alias("ts")))
+    # per distinct term: its ascending position list. The sequence guard
+    # is implicit: an empty ts has an empty array_distinct, so the lambda
+    # (and the descending sequence(0, -1)) is never evaluated.
+    tv = F.transform(
+        F.array_distinct("ts"),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.filter(F.sequence(F.lit(0), F.size("ts") - 1),
+                     lambda i: F.element_at("ts", i + 1) == t)
+            .alias("_pos")))
+    rows = toks.select(F.col(id_col), F.inline(tv))
+    return rows.select(
+        F.col(id_col), "term",
+        F.size("_pos").cast("long").alias("tf"),
+        F.concat_ws(",", F.transform("_pos", lambda i: i.cast("string")))
+        .alias("positions"))
 
 
 def repetition_stats(df: DataFrame, id_col: str,

@@ -212,11 +212,10 @@ def percolate_indexed(docs: DataFrame, qterms: DataFrame, qdefs: DataFrame,
     xf = list(extra_fields or [])
     src = docs.select(id_col, text_col,
                       *[c for _, c in xf]).repartition(n_par)
-    from ..pipeline.dedup import TOKEN_SPLIT
+    from ..pipeline.dedup import tokens_col
 
     def toks_of(col):
-        return F.array_distinct(F.filter(
-            F.split(F.lower(F.col(col)), TOKEN_SPLIT), lambda x: x != ""))
+        return F.array_distinct(tokens_col(col))
 
     if analyzer is not None and (
             analyzer.stopwords

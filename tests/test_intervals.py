@@ -265,3 +265,83 @@ def test_interval_filter_end_to_end(spark, tmp_path_factory):
         if eval_source(tree, pos):
             want.add(int(r.doc_id))
     assert got == want and got
+
+
+def _perdoc_match(pos_by_doc, src):
+    """Reference per-doc evaluation: eval_source + the float32 fold the
+    pre-vectorization interval_match ran per candidate doc."""
+    out = {}
+    for doc, pos in sorted(pos_by_doc.items()):
+        iv = eval_source(src, pos)
+        if not iv:
+            continue
+        acc = np.float32(0.0)
+        for s, e, c in iv:
+            acc = np.float32(
+                acc + np.float32(1.0 / (1.0 + max(0, e - s + 1 - c))))
+        out[doc] = acc
+    return out
+
+
+class _FakeReader:
+    """positions() protocol over a {term: {doc: [pos...]}} dict."""
+
+    def __init__(self, data):
+        self.data = data
+
+    def positions(self, term):
+        m = self.data.get(term)
+        if not m:
+            return None
+        docs = sorted(m)
+        return (np.asarray(docs, dtype=np.int64),
+                [np.asarray(m[d], dtype=np.int64) for d in docs])
+
+
+def test_vectorized_interval_match_equals_perdoc_walk():
+    """The flat-array evaluator (one searchsorted pass per node across
+    ALL candidate docs) must reproduce the per-doc eval_source walk
+    bit-for-bit — docids, minimal intervals, and the float32 freq fold —
+    across random corpora and every node type incl. filters."""
+    from lucene_7_x_9_x_spark.operators.intervals import interval_match
+    from lucene_7_x_9_x_spark.plans.query import (IntervalFilter,
+                                                  IntervalQuery)
+    rng = np.random.RandomState(11)
+    filter_kinds = ["containing", "not_containing", "contained_by",
+                    "not_contained_by", "overlapping", "non_overlapping"]
+    trees = list(TREES) + [
+        IntervalFilter(IntervalUnordered((IntervalTerm("a"),
+                                          IntervalTerm("b"))),
+                       IntervalTerm("c"), k)
+        for k in filter_kinds
+    ] + [
+        IntervalOrdered((IntervalTerm("a"),
+                         IntervalOr((IntervalTerm("b"),
+                                     IntervalTerm("c")))), max_gaps=4),
+        IntervalUnordered((IntervalTerm("a"), IntervalTerm("b")),
+                          max_gaps=2),
+    ]
+    for trial in range(60):
+        data = {}
+        n_docs = rng.randint(1, 12)
+        for t in "abc":
+            m = {}
+            for d in range(n_docs):
+                k = rng.randint(0, 6)
+                if k:
+                    m[d] = sorted(set(
+                        rng.randint(0, 30, size=k).tolist()))
+            if m:
+                data[t] = m
+        reader = _FakeReader(data)
+        pos_by_doc = {}
+        for d in range(n_docs):
+            pos_by_doc[d] = {t: np.asarray(data[t][d], dtype=np.int64)
+                             for t in data if d in data[t]}
+        for tree in trees:
+            docids, freqs = interval_match(
+                reader, IntervalQuery(tree))
+            want = _perdoc_match(pos_by_doc, tree)
+            got = dict(zip(docids.tolist(), freqs.tolist()))
+            want_f = {d: float(v) for d, v in want.items()}
+            assert got == want_f, (trial, tree, got, want_f)
