@@ -601,13 +601,85 @@ def _sloppy_match_2(flats: list, cand: np.ndarray, slop: int):
     return cand[m], freq[m]
 
 
+def _sloppy_match_k(flats: list, cand: np.ndarray, slop: int):
+    """Vectorized k-distinct-term sloppy matcher (k >= 3) — the
+    generalization of _sloppy_match_2's lockstep rounds to k pointers.
+
+    One round replays one pop-group of the reference PhraseQueue walk
+    (SloppyPhraseMatcher.nextMatch) for every still-alive doc at once.
+    The reduction: popping the min front (slot j, ties to the lower
+    slot) and advancing j while position <= nxt (the second-min front)
+    minimizes match_length to end - e_last, where e_last is the LARGEST
+    slot-j element <= nxt — one searchsorted over slot j's rank-packed
+    values. During that run `end` cannot move (every consumed value <=
+    nxt <= end = max of fronts), so end is just the per-round max front;
+    a pop-group whose window stays over the slop records nothing and the
+    walk re-pops, so every pop-group contributes independently:
+    1/(1+ml) iff ml <= slop, folded in round order — bit-identical to
+    _sloppy_freq_doc's float32 accumulation (property-tested against the
+    per-doc walk and the brute-force oracle). A doc dies in the round
+    that exhausts one of its slots; that terminal window is still
+    evaluated, like the reference's positioned=False break."""
+    F = np.float32
+    k = len(flats)
+    n = len(cand)
+    vals, keys, ptr, ends = [], [], [], []
+    for slot, (d, counts, flat) in enumerate(flats):
+        idx = np.searchsorted(d, cand)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        take = _gather_ranges(starts[idx], counts[idx])
+        cnt = counts[idx]
+        v = (flat[take] - slot + k).astype(np.int64)  # +k: keep >= 0
+        rank = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        off = np.concatenate(([0], np.cumsum(cnt)))
+        vals.append(v)
+        keys.append((rank << _POS_SHIFT) | v)
+        ptr.append(off[:-1].copy())
+        ends.append(off[1:])
+    freq = np.zeros(n, dtype=np.float32)
+    alive = np.ones(n, dtype=bool)
+    for s in range(k):
+        alive &= ends[s] > ptr[s]
+    one = F(1.0)
+    slop64 = np.int64(slop)
+    K64 = np.int64(k)
+    while alive.any():
+        aw = np.nonzero(alive)[0]
+        fronts = np.stack([vals[s][ptr[s][aw]] for s in range(k)])
+        packed = fronts * K64 + np.arange(k, dtype=np.int64)[:, None]
+        j_min = packed.argmin(axis=0)
+        nxt = np.partition(packed, 1, axis=0)[1] // K64
+        end = fronts.max(axis=0)
+        ml = np.empty(len(aw), dtype=np.int64)
+        dead = np.zeros(len(aw), dtype=bool)
+        for s in range(k):
+            m = j_min == s
+            if not m.any():
+                continue
+            q = (aw[m] << _POS_SHIFT) | nxt[m]
+            pa = np.searchsorted(keys[s], q, side="right") - 1
+            ml[m] = end[m] - vals[s][pa]
+            nptr = pa + 1
+            ptr[s][aw[m]] = nptr
+            dead[m] = nptr >= ends[s][aw[m]]
+        hit = ml <= slop64
+        tgt = aw[hit]
+        freq[tgt] = freq[tgt] + (one / (one + ml[hit].astype(np.float32)))
+        alive[aw[dead]] = False
+    m = freq > 0
+    return cand[m], freq[m]
+
+
 def _sloppy_match(flats: list, cand: np.ndarray, slop: int, terms):
-    """Sloppy path: per-candidate-doc PhraseQueue walk (the slow path —
-    sloppy phrases are inherently per-window sequential; the exact path
-    below stays fully vectorized). The dominant 2-distinct-term case is
-    fully vectorized in _sloppy_match_2."""
+    """Sloppy path: fully vectorized for DISTINCT terms (any k) — the
+    2-term two-pointer leapfrog in _sloppy_match_2, its k-pointer
+    generalization in _sloppy_match_k. Queries with REPEATED terms keep
+    the per-candidate-doc PhraseQueue walk (the repeater-collision
+    machinery is inherently sequential)."""
     if len(terms) == 2 and terms[0] != terms[1]:
         return _sloppy_match_2(flats, cand, slop)
+    if len(set(terms)) == len(terms):
+        return _sloppy_match_k(flats, cand, slop)
     slices = []
     for d, counts, flat in flats:
         idx = np.searchsorted(d, cand)

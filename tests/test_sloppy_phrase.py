@@ -131,3 +131,41 @@ def test_vectorized_2term_matches_heap_walk_random():
                 exp_f.append(f)
         assert vd.tolist() == exp_d, (trial, slop, per_doc)
         assert [F32(x) for x in vf] == exp_f, (trial, slop, per_doc)
+
+
+def test_vectorized_kterm_matches_heap_walk_random():
+    """Property: the k-pointer round simulation (_sloppy_match_k, k >= 3
+    distinct terms) reproduces the PhraseQueue heap walk bit-for-bit —
+    docids, float32 sloppyFreq, and fold order — across random position
+    data, slops and k."""
+    from lucene_7_x_9_x_spark.operators.executor import (_sloppy_freq_doc,
+                                                         _sloppy_match_k)
+    rng = np.random.RandomState(777)
+    for trial in range(400):
+        k = int(rng.randint(3, 6))
+        n_docs = rng.randint(1, 6)
+        slop = int(rng.randint(0, 8))
+        per_slot = [[] for _ in range(k)]
+        per_doc = []
+        for d in range(n_docs):
+            lists = []
+            for s in range(k):
+                ns = rng.randint(1, 8)
+                lists.append(np.unique(
+                    rng.randint(0, 30, size=ns)).astype(np.int64))
+                per_slot[s].append(lists[-1])
+            per_doc.append(lists)
+        d_arr = np.arange(n_docs, dtype=np.int64)
+        flats = []
+        for s in range(k):
+            counts = np.asarray([len(x) for x in per_slot[s]], np.int64)
+            flats.append((d_arr, counts, np.concatenate(per_slot[s])))
+        vd, vf = _sloppy_match_k(flats, d_arr, slop)
+        exp_d, exp_f = [], []
+        for d, lists in enumerate(per_doc):
+            f = _sloppy_freq_doc(lists, slop)
+            if f > 0:
+                exp_d.append(d)
+                exp_f.append(f)
+        assert vd.tolist() == exp_d, (trial, k, slop, per_doc)
+        assert [F32(x) for x in vf] == exp_f, (trial, k, slop, per_doc)
