@@ -327,34 +327,6 @@ class IndexSnapshot:
             out[t if f is None else (f, t)] = (int(df_), int(ttf))
         return out
 
-    def docmap_lookup(self, pairs, cols) -> dict:
-        """Driver-side stored-fields seek for a K-BOUNDED result set —
-        the StoredFieldsReader.document(docID) analogue (a point read,
-        not a cluster job). Same pyarrow pattern as term_stats_lookup:
-        the (segment, docid) filter prunes docmap files/row groups on
-        min/max stats and returns in milliseconds, where the r5 shape
-        (broadcast-join the k result rows against a full docmap scan)
-        added a scan + join stage to EVERY search (~0.2 s of the cold
-        floor). Returns {(segment, docid): (col values...)}."""
-        import pyarrow.dataset as pads
-        dset = self._pads_dataset(tuple(
-            os.path.join(self.root, d, "kind=docmap")
-            for d in self.manifest["batches"]))
-        segs = sorted({int(s) for s, _ in pairs})
-        dids = sorted({int(d) for _, d in pairs})
-        expr = (pads.field("segment").isin(segs)
-                & pads.field("docid").isin(dids))
-        tbl = dset.to_table(filter=expr,
-                            columns=["segment", "docid"] + list(cols)
-                            ).to_pydict()
-        want = {(int(s), int(d)) for s, d in pairs}
-        out = {}
-        for i in range(len(tbl["segment"])):
-            key = (int(tbl["segment"][i]), int(tbl["docid"][i]))
-            if key in want:
-                out[key] = tuple(tbl[c][i] for c in cols)
-        return out
-
     def impacts_lookup(self, keys) -> dict:
         """Driver-side read of the index-time IMPACT pairs of the given
         term keys — (freq, norm) frontier entries accumulated per block by

@@ -151,10 +151,6 @@ class Searcher:
     # driver and run the distributed fallback (tests shrink this to
     # exercise the big-deletes path without 5M rows)
     TOMBSTONE_DRIVER_CAP = 5_000_000
-    # search(with_ids=True) uses the driver-side pyarrow docmap seek up
-    # to this k; beyond it (deep paging, exports) the distributed
-    # broadcast-join path attaches ids instead
-    IDS_DRIVER_CAP = 1024
 
     def _deleted_by_segment(self, max_driver_rows: int | None = None
                             ) -> dict | None:
@@ -791,44 +787,14 @@ class Searcher:
                .orderBy(F.desc("score"), "segment", "docid").limit(k))
         res = _rank_limited(
             res, [F.desc("score"), "segment", "docid"], "docid")
-        cols = ["rank", "segment", "docid", "score"] + (
-            self.index.id_cols if with_ids else [])
         if with_ids:
-            if (k is not None and k <= self.IDS_DRIVER_CAP
-                    and not self.index.manifest.get("dv_updates")):
-                # k-bounded driver attach: collect the k result rows and
-                # point-read their stored id fields via the pyarrow
-                # docmap seek — no docmap scan stage, no join stage
-                # (saved ~0.2 s of the cold per-query floor). Results
-                # and schema are identical to the join form; dv-update
-                # overlays (which rewrite docmap columns lazily) fall
-                # back to the join path.
-                rows = res.collect()
-                got = self.index.docmap_lookup(
-                    [(r["segment"], r["docid"]) for r in rows],
-                    self.index.id_cols)
-                dm_schema = {f.name: f.dataType
-                             for f in self.index.docmap().schema.fields}
-                from pyspark.sql import types as T
-                schema = T.StructType(
-                    [T.StructField("rank", T.IntegerType()),
-                     T.StructField("segment", T.IntegerType()),
-                     T.StructField("docid", T.LongType()),
-                     T.StructField("score", T.FloatType())]
-                    + [T.StructField(c, dm_schema[c])
-                       for c in self.index.id_cols])
-                data = [
-                    (int(r["rank"]), int(r["segment"]), int(r["docid"]),
-                     r["score"],
-                     *got[(int(r["segment"]), int(r["docid"]))])
-                    for r in rows]
-                data.sort(key=lambda t: t[0])
-                return self.index.spark.createDataFrame(data, schema)
             dm = self.index.docmap().select(
                 "segment", "docid", *self.index.id_cols)
             # k rows vs the full docmap: broadcast the tiny result side
             res = dm.join(F.broadcast(res), on=["segment", "docid"],
                           how="inner")
+        cols = ["rank", "segment", "docid", "score"] + (
+            self.index.id_cols if with_ids else [])
         return res.select(*cols).orderBy("rank")
 
     def matches(self, query) -> DataFrame:
